@@ -1,0 +1,50 @@
+"""Global constants: directory layout, result-file naming, runtime tolerances.
+
+Capability parity with the reference constants module (`/root/reference/src/config.py:1-29`):
+same directory layout contract (``models/<name>``, ``embedders/<name>``), same result
+suffixes so result folders written by the reference and by this framework are mutually
+resumable, and the same corrupt-read / tiny-file tolerances.
+"""
+
+import os
+
+# --- file structure -------------------------------------------------------
+# Default input directory for audio (relative to the working directory).
+DIR_AUDIO = 'audio_in'
+
+# Per-model output subdirectory used when no --dir_out is given.
+SUBDIR_OUTPUT = 'output'
+
+# Root of the repo (so model/embedder discovery works regardless of CWD).
+DIR_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Model and embedder plugin roots. Searched in order: absolute env override,
+# the working directory, then the repo checkout.
+DIR_MODELS = os.environ.get('BUZZDETECT_DIR_MODELS', 'models')
+DIR_EMBEDDERS = os.environ.get('BUZZDETECT_DIR_EMBEDDERS', 'embedders')
+DEFAULT_MODEL = 'model_general_v3'
+SUBDIR_TESTS = 'tests'
+FNAME_METRICS = 'metrics.csv'
+
+# --- results --------------------------------------------------------------
+SUFFIX_RESULT_COMPLETE = '_buzzdetect.csv'
+SUFFIX_RESULT_PARTIAL = '_buzzpart.csv'
+PREFIX_COLUMN_ACTIVATION = 'activation_'
+PREFIX_COLUMN_DETECTION = 'detections_'
+
+# --- audio tolerances -----------------------------------------------------
+# Proportion of a file's tail that may be unreadable before the bad-read report
+# escalates from DEBUG to WARNING (recorders dying mid-file corrupt the tail).
+BAD_READ_ALLOWANCE = 0.01
+# Files smaller than this many bytes are skipped as presumed-corrupt.
+FILE_SIZE_MINIMUM = 5000
+
+
+def resolve_dir(d: str) -> str:
+    """Resolve a model/embedder root: absolute paths pass through; relative
+    paths resolve against CWD if present there, else against the repo root."""
+    if os.path.isabs(d):
+        return d
+    if os.path.isdir(d):
+        return os.path.abspath(d)
+    return os.path.join(DIR_REPO, d)

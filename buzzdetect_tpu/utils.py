@@ -1,0 +1,71 @@
+"""Small shared utilities: wall-clock timer, recursive file search, result idents.
+
+Parity: reference `src/utils.py:8-62` (Timer / search_dir / build_ident / get_ext).
+Reimplemented; `build_ident` here uses path arithmetic instead of the reference's
+regex substitution (which misbehaves when the root dir contains regex
+metacharacters).
+"""
+
+import os
+import time
+from datetime import datetime
+
+
+def get_ext(path: str) -> str:
+    """Lower-case extension without the leading dot."""
+    return os.path.splitext(path)[1].lower().lstrip('.')
+
+
+class Timer:
+    """Start/stop wall timer used for analysis-rate reporting."""
+
+    def __init__(self):
+        self.time_start = datetime.now()
+        self._t0 = time.monotonic()
+        self._t1 = self._t0
+
+    def restart(self):
+        self._t0 = time.monotonic()
+
+    def stop(self):
+        self._t1 = time.monotonic()
+
+    def get_current(self) -> float:
+        return time.monotonic() - self._t0
+
+    def get_total(self, decimals: int = 2) -> float:
+        return round(self._t1 - self._t0, decimals)
+
+
+def search_dir(dir_in: str, extensions=None):
+    """Recursively list files under ``dir_in``; optionally filter by extension.
+
+    ``extensions`` is a list of extension strings (no dot, case-insensitive),
+    e.g. ``['wav', 'mp3']``.
+    """
+    if extensions is not None:
+        if not isinstance(extensions, (list, tuple)) or (
+                extensions and not isinstance(extensions[0], str)):
+            raise ValueError('extensions should be None or a list of strings')
+        wanted = {e.lower().lstrip('.').rstrip('$') for e in extensions}
+
+    paths = []
+    for root, _dirs, files in os.walk(dir_in):
+        for f in files:
+            p = os.path.join(root, f)
+            if extensions is None or get_ext(p) in wanted:
+                paths.append(p)
+    return sorted(paths)
+
+
+def build_ident(path: str, root_dir: str, tag: str = None) -> str:
+    """Identity of an audio file = its path relative to the audio root, minus
+    extension (and an optional tag substring). Used to name result files."""
+    path = os.path.normpath(path)
+    root_dir = os.path.normpath(root_dir)
+    rel = os.path.relpath(path, root_dir) if path.startswith(root_dir) else path
+    ident = os.path.splitext(rel)[0]
+    if tag is not None:
+        ident = ident.replace(tag, '')
+    ident = ident.replace(os.sep, '/').lstrip('/')
+    return ident

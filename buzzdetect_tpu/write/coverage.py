@@ -1,0 +1,120 @@
+"""Interval algebra for resumable analysis.
+
+A result CSV records one row per analyzed frame start time. On resume we
+reconstruct which spans of the recording are already covered, compute the
+gaps, clean up degenerate gaps, and split the gaps into analysis chunks.
+
+Behavioral parity with reference `src/stream/results_coverage.py:4-70`
+(melt_coverage / get_gaps / smooth_gaps / gaps_to_chunklist), re-implemented on
+plain numpy. Differences: coverage merging uses a running-max end (robust to
+non-uniform frame lengths), and empty coverage is handled instead of raising.
+"""
+
+import numpy as np
+
+
+def melt_coverage(starts, ends=None, framelength: float = None):
+    """Merge per-frame [start, end) spans into a minimal list of covered intervals.
+
+    ``starts`` is an array-like of frame start times; ``ends`` either given
+    explicitly or derived as ``start + framelength``. Touching or overlapping
+    spans merge. Returns a list of (start, end) tuples sorted by start.
+    """
+    starts = np.asarray(starts, dtype=np.float64)
+    if starts.size == 0:
+        return []
+    if ends is None:
+        if framelength is None:
+            raise ValueError('provide ends or framelength')
+        ends = starts + framelength
+    else:
+        ends = np.asarray(ends, dtype=np.float64)
+
+    order = np.argsort(starts, kind='stable')
+    starts, ends = starts[order], ends[order]
+
+    merged = []
+    cur_s, cur_e = starts[0], ends[0]
+    for s, e in zip(starts[1:], ends[1:]):
+        if s > cur_e:  # strict: touching intervals merge
+            merged.append((float(cur_s), float(cur_e)))
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    merged.append((float(cur_s), float(cur_e)))
+    return merged
+
+
+def get_gaps(range_in, coverage_in):
+    """Complement of ``coverage_in`` within ``range_in = (lo, hi)``."""
+    lo, hi = range_in
+    coverage = sorted(coverage_in)
+    if not coverage:
+        return [(lo, hi)]
+
+    gaps = []
+    if coverage[0][0] > lo:
+        gaps.append((lo, coverage[0][0]))
+    for (s0, e0), (s1, _e1) in zip(coverage[:-1], coverage[1:]):
+        if s1 > e0:
+            gaps.append((e0, s1))
+    if coverage[-1][1] < hi:
+        gaps.append((coverage[-1][1], hi))
+    return gaps
+
+
+def smooth_gaps(gaps, range_in, framelength: float, gap_tolerance: float = None):
+    """Clean degenerate gaps before chunking:
+
+    * drop gaps that start within one frame of the range end (no full frame fits);
+    * drop gaps no longer than ``gap_tolerance`` (float-noise gaps);
+    * widen sub-frame gaps to exactly one frame, centered on the gap start, so a
+      re-analysis frame actually covers them.
+    """
+    gaps = [g for g in gaps if g[0] < (range_in[1] - framelength)]
+    if gap_tolerance is not None:
+        gaps = [g for g in gaps if (g[1] - g[0]) > gap_tolerance]
+    out = []
+    for g in gaps:
+        if (g[1] - g[0]) < framelength:
+            out.append((g[0] - framelength / 2, g[0] + framelength / 2))
+        else:
+            out.append(g)
+    return out
+
+
+def gaps_to_chunklist(gaps_in, chunklength: float, decimals: int = 2):
+    """Split each gap into chunks of at most ``chunklength`` seconds.
+
+    Chunk boundaries are rounded to ``decimals`` to keep result timestamps
+    intelligible (floating-point noise would otherwise leak into filenames
+    and resume math).
+    """
+    chunklist = []
+    for lo, hi in gaps_in:
+        points = np.arange(lo, hi, chunklength).tolist()
+        points.append(hi)  # arange is right-exclusive even on exact alignment
+        points = np.round(points, decimals)
+        chunklist.extend(zip(points[:-1], points[1:]))
+    return [(float(a), float(b)) for a, b in chunklist]
+
+
+def coverage_from_csv(path: str, framelength: float):
+    """Read a (partial) result CSV and return merged covered intervals.
+
+    Only the ``start`` column matters; every row attests one analyzed frame.
+    """
+    import csv
+    starts = []
+    with open(path, 'r', newline='') as f:
+        reader = csv.reader(f)
+        header = next(reader, None)
+        if header is None:
+            return []
+        idx = header.index('start')
+        for row in reader:
+            if row:
+                starts.append(float(row[idx]))
+    if not starts:
+        return []
+    return melt_coverage(np.array(starts), framelength=framelength)

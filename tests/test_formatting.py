@@ -1,0 +1,79 @@
+"""Unit tests for result formatting and threshold calibration."""
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu.write.formatting import format_activations, format_detections
+
+CLASSES = ['mech_train', 'ins_buzz', 'human']
+
+
+def test_activations_columns_and_rounding():
+    results = np.array([[0.123456, -1.23456, 2.0],
+                        [0.5, 0.4449, -0.001]])
+    t = format_activations(results, CLASSES, framehop_s=0.96, digits_time=2)
+    assert t.columns == ['activation_mech_train', 'activation_ins_buzz',
+                         'activation_human']
+    assert np.allclose(t.values[0], [0.12, -1.23, 2.0])
+    assert np.allclose(t.start, [0.0, 0.96])
+
+
+def test_activations_subset_preserves_model_order():
+    results = np.arange(6, dtype=np.float64).reshape(2, 3)
+    t = format_activations(results, CLASSES, framehop_s=0.96, digits_time=2,
+                           classes_keep=['human', 'ins_buzz'])
+    # order follows the model's class order, not the selection order
+    assert t.columns == ['activation_ins_buzz', 'activation_human']
+    assert np.allclose(t.values, [[1, 2], [4, 5]])
+
+
+def test_activations_unknown_class_raises():
+    with pytest.raises(ValueError, match='nope'):
+        format_activations(np.zeros((1, 3)), CLASSES, 0.96, 2,
+                           classes_keep=['nope'])
+
+
+def test_activations_time_offset():
+    t = format_activations(np.zeros((3, 3)), CLASSES, framehop_s=0.48,
+                           digits_time=2, time_start=100.0)
+    assert np.allclose(t.start, [100.0, 100.48, 100.96])
+
+
+def test_detections_threshold():
+    results = np.array([[0.0, -1.5, 0.0],
+                        [0.0, -1.0, 0.0],
+                        [0.0, 0.5, 0.0]])
+    t = format_detections(results, threshold=-1.2, classes=CLASSES,
+                          framehop_s=0.96, digits_time=2)
+    assert t.columns == ['detections_ins_buzz']
+    assert t.values[:, 0].tolist() == [0, 1, 1]
+
+
+def test_csv_render():
+    t = format_activations(np.array([[0.1, -1.234567, 3.0]]), CLASSES,
+                           framehop_s=0.96, digits_time=2)
+    csv_text = t.render_csv(digits_time=2, include_header=True)
+    lines = csv_text.strip().split('\n')
+    assert lines[0] == 'start,activation_mech_train,activation_ins_buzz,activation_human'
+    assert lines[1] == '0.0,0.1,-1.23,3.0'
+
+
+def test_threshold_calibration(tmp_path, monkeypatch):
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.write import thresholds
+
+    d = tmp_path / 'models' / 'm' / 'tests'
+    d.mkdir(parents=True)
+    rows = ['threshold,precision,sensitivity,fpr']
+    # precision climbs with threshold; rows at precision .949, .95, .951
+    rows += ['-1.3,0.949,0.3,0.004', '-1.2,0.95,0.28,0.003', '-1.1,0.951,0.25,0.002',
+             '-0.5,0.99,0.1,0.0001']
+    (d / 'metrics.csv').write_text('\n'.join(rows) + '\n')
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+    thr = thresholds.calculate_threshold('m', 0.95, tolerance=0.01)
+    # rows within ±0.005: all three around 0.95 → mean of thresholds
+    assert thr == pytest.approx((-1.3 + -1.2 + -1.1) / 3)
+
+    with pytest.raises(ValueError):
+        thresholds.calculate_threshold('m', 0.80, tolerance=0.01)

@@ -1,0 +1,58 @@
+"""Unit tests for the output-folder manifest (schema-compatibility guard)."""
+
+from buzzdetect_tpu.manifest import (
+    build_manifest, read_manifest, write_manifest, diff_manifests,
+    check_or_write_manifest)
+
+
+def test_build_activations_mode():
+    m = build_manifest('m1', 1.0, None, ['b', 'a'])
+    assert m['output_mode'] == 'activations'
+    assert m['classes_out'] == ['a', 'b']  # sorted
+    assert m['precision'] is None
+
+
+def test_build_detections_mode_ignores_classes():
+    m = build_manifest('m1', 1.0, 0.95, ['a'])
+    assert m['output_mode'] == 'detections'
+    assert m['classes_out'] is None
+
+
+def test_diff_class_order_insensitive():
+    a = build_manifest('m1', 1.0, None, ['a', 'b'])
+    b = build_manifest('m1', 1.0, None, ['b', 'a'])
+    assert diff_manifests(a, b) == []
+
+
+def test_diff_reports_conflicts():
+    a = build_manifest('m1', 1.0, None, ['a', 'b'])
+    b = build_manifest('m2', 0.5, None, ['a', 'c'])
+    conflicts = diff_manifests(a, b)
+    joined = '\n'.join(conflicts)
+    assert 'modelname' in joined
+    assert 'framehop_prop' in joined
+    assert 'added c' in joined and 'removed b' in joined
+
+
+def test_check_writes_then_matches_then_conflicts(tmp_path):
+    d = str(tmp_path / 'out')
+    m = build_manifest('m1', 1.0, None, ['a'])
+    ok, msg = check_or_write_manifest(d, m)
+    assert ok and msg is None
+    assert read_manifest(d) == m
+
+    ok, msg = check_or_write_manifest(d, dict(m))
+    assert ok
+
+    bad = build_manifest('m1', 0.5, None, ['a'])
+    ok, msg = check_or_write_manifest(d, bad)
+    assert not ok
+    assert 'framehop_prop' in msg
+    # conflicting manifest must not overwrite the original
+    assert read_manifest(d) == m
+
+
+def test_write_creates_dir(tmp_path):
+    d = str(tmp_path / 'nested' / 'out')
+    write_manifest(d, {'x': 1})
+    assert read_manifest(d) == {'x': 1}
