@@ -1,0 +1,197 @@
+"""YAMNet log-mel patch frontend as a fused, jit-compiled JAX graph.
+
+Pipeline (algorithm parity with reference `embedders/yamnet/features.py:22-108`,
+redesigned for TPU):
+
+    waveform (16 kHz f32)
+      -> pad to integral patch count        [host-side static length math]
+      -> overlapping 25 ms frames, 10 ms hop  [one gather]
+      -> windowed rDFT (Hann folded in) + magnitude   [one MXU matmul + VPU]
+      -> 64-bin HTK mel projection          [one MXU matmul]
+      -> log(mel + 0.001)
+      -> 96-frame patches at stride round(96 * framehop_prop)  [one gather]
+
+All shapes are static functions of the (padded) waveform length, so each
+(chunk_samples, framehop) pair compiles exactly once. The DFT trick replaces
+the FFT with dense matmuls that XLA tiles directly onto the 128x128 systolic
+array; real and imaginary banks are concatenated into a single
+(400, 514) operand so the MXU runs one large matmul instead of two small ones.
+
+Everything runs in float32: the frontend feeds log-compression, and bfloat16
+here would break the <=1e-3 score-parity contract (BASELINE.md).
+"""
+
+from dataclasses import dataclass
+from functools import partial, lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from buzzdetect_tpu.ops import mel as mel_lib
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Frozen DSP hyperparameters (reference `embedders/yamnet/params.py:25-51`)."""
+    sample_rate: int = 16000
+    stft_window_seconds: float = 0.025
+    stft_hop_seconds: float = 0.010
+    mel_bands: int = 64
+    mel_min_hz: float = 125.0
+    mel_max_hz: float = 7500.0
+    log_offset: float = 0.001
+    patch_window_seconds: float = 0.96
+    patch_hop_seconds: float = 0.48  # = patch_window_seconds * framehop_prop
+
+    @property
+    def window_samples(self) -> int:
+        return int(round(self.sample_rate * self.stft_window_seconds))  # 400
+
+    @property
+    def hop_samples(self) -> int:
+        return int(round(self.sample_rate * self.stft_hop_seconds))  # 160
+
+    @property
+    def fft_length(self) -> int:
+        return 2 ** int(np.ceil(np.log2(self.window_samples)))  # 512
+
+    @property
+    def fft_bins(self) -> int:
+        return self.fft_length // 2 + 1  # 257
+
+    @property
+    def patch_frames(self) -> int:
+        return int(round(self.patch_window_seconds / self.stft_hop_seconds))  # 96
+
+    @property
+    def patch_hop_frames(self) -> int:
+        # spectrogram rate is sample_rate / hop_samples (100 Hz)
+        spect_rate = self.sample_rate / self.hop_samples
+        return int(round(spect_rate * self.patch_hop_seconds))
+
+    @property
+    def patch_hop_samples(self) -> int:
+        return int(self.patch_hop_seconds * self.sample_rate)
+
+    def with_framehop(self, framehop_prop: float) -> 'FrontendConfig':
+        return FrontendConfig(
+            sample_rate=self.sample_rate,
+            stft_window_seconds=self.stft_window_seconds,
+            stft_hop_seconds=self.stft_hop_seconds,
+            mel_bands=self.mel_bands,
+            mel_min_hz=self.mel_min_hz,
+            mel_max_hz=self.mel_max_hz,
+            log_offset=self.log_offset,
+            patch_window_seconds=self.patch_window_seconds,
+            patch_hop_seconds=self.patch_window_seconds * framehop_prop,
+        )
+
+
+# --- static length math (host side) ----------------------------------------
+
+def min_waveform_samples(cfg: FrontendConfig) -> int:
+    """Samples needed for exactly one patch: one patch window plus the extra
+    samples that complete the final STFT analysis window."""
+    min_seconds = (cfg.patch_window_seconds
+                   + cfg.stft_window_seconds - cfg.stft_hop_seconds)
+    return int(min_seconds * cfg.sample_rate)
+
+
+def padded_length(n_samples: int, cfg: FrontendConfig) -> int:
+    """Length after zero-padding to an integral number of patch hops.
+
+    Mirrors the two-part padding rule of the reference
+    (`embedders/yamnet/features.py:82-108`): grow to the one-patch minimum,
+    then round the remainder up to a whole number of patch hops.
+    """
+    min_samples = max(n_samples, min_waveform_samples(cfg))
+    after_first = min_samples - min_waveform_samples(cfg)
+    hop = cfg.patch_hop_samples
+    n_hops = int(np.ceil(after_first / hop)) if hop > 0 else 0
+    return min_waveform_samples(cfg) + n_hops * hop
+
+
+def num_stft_frames(n_padded: int, cfg: FrontendConfig) -> int:
+    """STFT frame count for a padded waveform (no end-padding: drop remainder)."""
+    return 1 + (n_padded - cfg.window_samples) // cfg.hop_samples
+
+
+def num_patches(n_samples: int, cfg: FrontendConfig) -> int:
+    """Patch count produced for a waveform of ``n_samples`` (pre-padding)."""
+    n_frames = num_stft_frames(padded_length(n_samples, cfg), cfg)
+    return 1 + (n_frames - cfg.patch_frames) // cfg.patch_hop_frames
+
+
+def pad_waveform(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Zero-pad a 1-D waveform to an integral patch count (static shape)."""
+    target = padded_length(waveform.shape[-1], cfg)
+    pad = target - waveform.shape[-1]
+    if pad == 0:
+        return waveform
+    widths = [(0, 0)] * (waveform.ndim - 1) + [(0, pad)]
+    return jnp.pad(waveform, widths)
+
+
+# --- constant operands ------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def _dft_mel_constants(cfg: FrontendConfig):
+    """(frame_length, 2*bins) fused windowed-DFT operand and the mel matrix."""
+    w_real, w_imag = mel_lib.windowed_rdft_matrices(cfg.window_samples,
+                                                    cfg.fft_length)
+    dft = np.concatenate([w_real, w_imag], axis=1)  # (400, 514)
+    mel = mel_lib.mel_weight_matrix(cfg.mel_bands, cfg.fft_bins,
+                                    cfg.sample_rate, cfg.mel_min_hz,
+                                    cfg.mel_max_hz)
+    return dft, mel
+
+
+@lru_cache(maxsize=64)
+def _frame_indices(n_input: int, frame_length: int, hop: int):
+    """(n_frames, frame_length) gather index matrix (a trace-time constant)."""
+    n_frames = 1 + (n_input - frame_length) // hop
+    starts = np.arange(n_frames, dtype=np.int32)[:, None] * hop
+    return starts + np.arange(frame_length, dtype=np.int32)[None, :]
+
+
+# --- the jitted graph --------------------------------------------------------
+
+def log_mel_spectrogram(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Padded 1-D waveform -> (n_stft_frames, mel_bands) log-mel spectrogram."""
+    waveform = waveform.astype(jnp.float32)
+    idx = _frame_indices(waveform.shape[-1], cfg.window_samples, cfg.hop_samples)
+    frames = waveform[..., idx]                      # (..., n_frames, 400)
+
+    # HIGHEST precision: on TPU the MXU would otherwise round the f32 operands
+    # to bfloat16, which costs ~3 decimal digits and breaks 1e-3 score parity.
+    # These matmuls are a tiny fraction of total FLOPs, so the 6-pass f32
+    # emulation is cheap.
+    dft, mel = _dft_mel_constants(cfg)
+    spectrum = jnp.matmul(frames, jnp.asarray(dft),
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    re, im = jnp.split(spectrum, 2, axis=-1)         # (..., n_frames, 257) each
+    magnitude = jnp.sqrt(re * re + im * im)
+    mel_spec = jnp.matmul(magnitude, jnp.asarray(mel),
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.log(mel_spec + cfg.log_offset)
+
+
+def log_mel_patches(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """1-D waveform -> (n_patches, patch_frames, mel_bands) log-mel patches.
+
+    The input must already be padded (see :func:`pad_waveform`); only complete
+    patches are emitted (drop-remainder, as in `features.py:63-79`).
+    """
+    log_mel = log_mel_spectrogram(waveform, cfg)
+    idx = _frame_indices(log_mel.shape[-2], cfg.patch_frames,
+                         cfg.patch_hop_frames)
+    return log_mel[..., idx, :]                      # (..., n_patches, 96, 64)
+
+
+@partial(jax.jit, static_argnames=('cfg',))
+def waveform_to_patches(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Jitted end-to-end frontend for an already-padded waveform."""
+    return log_mel_patches(waveform, cfg)
