@@ -1,0 +1,147 @@
+"""The end-to-end chunk classifier: one jit graph from waveform to scores.
+
+This is the device-side heart of the framework: for a 16 kHz mono chunk it
+runs pad -> log-mel patches -> MobileNet embed -> dense head as a single
+XLA-compiled program (reference equivalent: the TFSMLayer call chain at
+`models/model_general_v3/model.py:18-30`, rebuilt as one fused graph).
+
+Shape discipline (TPU requirement): XLA compiles per input shape. Chunk
+lengths are uniform for full chunks but ragged for file tails and resume
+gaps, so the classifier pads each waveform up to a cached *compiled length*
+(smallest already-compiled length that fits, else compile exactly) and
+discards the patch rows beyond the chunk's true patch count. Zero-padding is
+semantically identical to the reference's pad_waveform, so discarded rows are
+the only difference. In steady state every full chunk reuses one compiled
+program and ragged tails pad up into it.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from buzzdetect_tpu.ops.frontend import (
+    FrontendConfig, padded_length, num_patches, log_mel_patches)
+from buzzdetect_tpu.models import yamnet as yamnet_lib
+from buzzdetect_tpu.models.heads import apply_head
+
+
+@partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
+def _classify_padded(params, waveform, cfg: FrontendConfig,
+                     compute_dtype=jnp.float32):
+    """Already-padded 1-D waveform -> (n_patches, n_classes) activations."""
+    patches = log_mel_patches(waveform, cfg)
+    embeddings = yamnet_lib.embed(params['yamnet'], patches,
+                                  compute_dtype=compute_dtype)
+    return apply_head(params['head'], embeddings)
+
+
+@partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
+def _embed_padded(params, waveform, cfg: FrontendConfig,
+                  compute_dtype=jnp.float32):
+    patches = log_mel_patches(waveform, cfg)
+    return yamnet_lib.embed(params['yamnet'], patches,
+                            compute_dtype=compute_dtype)
+
+
+class ChunkClassifier:
+    """Callable classifier over variable-length chunks with compile caching.
+
+    Parameters are a flat dict: ``yamnet/...`` folded conv weights and
+    ``head/kernel``, ``head/bias``. ``sharding`` (optional) is a
+    ``jax.sharding.NamedSharding`` applied to the padded waveform for
+    multi-chip data parallelism (see buzzdetect_tpu.parallel).
+    """
+
+    # pad a ragged chunk into a cached length if the waste stays under this
+    MAX_PAD_WASTE = 2.0
+
+    def __init__(self, arrays: dict, framehop_prop: float = 1.0,
+                 compute_dtype=jnp.float32, device=None, sharding=None):
+        self.cfg = FrontendConfig().with_framehop(framehop_prop)
+        self.compute_dtype = compute_dtype
+        self.device = device
+        self.sharding = sharding
+
+        yam = {k.split('/', 1)[1]: np.asarray(v, np.float32)
+               for k, v in arrays.items() if k.startswith('yamnet/')}
+        head = {k: np.asarray(v, np.float32)
+                for k, v in arrays.items() if k.startswith('head/')}
+        if not yam:
+            raise ValueError('bundle missing yamnet/ parameters')
+        # head is optional: an embedder-only bundle still supports embed()
+        self.params = {'yamnet': yam, 'head': head} if head else {'yamnet': yam}
+        self._params_device = None
+        self._compiled_lengths = []
+
+    # --- device residency -------------------------------------------------
+    def _device_params(self):
+        if self._params_device is None:
+            put = (partial(jax.device_put, device=self.device)
+                   if self.device is not None else jax.device_put)
+            self._params_device = jax.tree.map(put, self.params)
+        return self._params_device
+
+    # --- shape bucketing ----------------------------------------------------
+    def _target_length(self, n_samples: int) -> int:
+        need = padded_length(n_samples, self.cfg)
+        fits = [L for L in self._compiled_lengths
+                if L >= need and L <= need * self.MAX_PAD_WASTE]
+        if fits:
+            return min(fits)
+        self._compiled_lengths.append(need)
+        self._compiled_lengths.sort()
+        return need
+
+    def _pad_to(self, samples: np.ndarray, target: int):
+        if len(samples) == target:
+            return samples
+        out = np.zeros(target, dtype=np.float32)
+        out[:len(samples)] = samples
+        return out
+
+    # --- public API ------------------------------------------------------------
+    def predict(self, samples: np.ndarray) -> np.ndarray:
+        """16 kHz mono float32 samples -> (n_patches, n_classes) activations."""
+        if 'head' not in self.params:
+            raise ValueError('this bundle has no classifier head; use embed()')
+        samples = np.asarray(samples, dtype=np.float32)
+        n_valid = num_patches(len(samples), self.cfg)
+        target = self._target_length(len(samples))
+        wav = self._pad_to(samples, target)
+        if self.sharding is not None:
+            wav = jax.device_put(wav, self.sharding)
+        out = _classify_padded(self._device_params(), wav, self.cfg,
+                               self.compute_dtype)
+        return np.asarray(out)[:n_valid]
+
+    def predict_async(self, samples: np.ndarray):
+        """Dispatch without blocking; returns (device_array, n_valid).
+
+        JAX dispatch is asynchronous — the returned array materializes on
+        first host access, letting the pipeline overlap host decode with
+        device compute (the TPU version of the reference's bounded
+        stream->infer queue overlap).
+        """
+        samples = np.asarray(samples, dtype=np.float32)
+        n_valid = num_patches(len(samples), self.cfg)
+        wav = self._pad_to(samples, self._target_length(len(samples)))
+        if self.sharding is not None:
+            wav = jax.device_put(wav, self.sharding)
+        out = _classify_padded(self._device_params(), wav, self.cfg,
+                               self.compute_dtype)
+        return out, n_valid
+
+    def embed(self, samples: np.ndarray) -> np.ndarray:
+        """16 kHz mono samples -> (n_patches, 1024) embeddings."""
+        samples = np.asarray(samples, dtype=np.float32)
+        n_valid = num_patches(len(samples), self.cfg)
+        wav = self._pad_to(samples, self._target_length(len(samples)))
+        out = _embed_padded(self._device_params(), wav, self.cfg,
+                            self.compute_dtype)
+        return np.asarray(out)[:n_valid]
+
+    def warmup(self, chunk_samples: int):
+        """Pre-compile for the nominal chunk length (avoids first-chunk stall)."""
+        self.predict(np.zeros(chunk_samples, np.float32))

@@ -1,0 +1,171 @@
+"""Weight conversion: external checkpoint formats -> this framework's bundles.
+
+A *bundle* is a single ``model.npz`` holding flat-named float arrays (the
+embedder's raw conv/BN params under ``yamnet/...``, the head under
+``head/...``, optional evaluation metrics under ``metrics_*``) plus a JSON
+``config_model.json`` with classes and formatting metadata.
+
+Sources understood:
+* the reference classifier head — a TF SavedModel variables checkpoint
+  (Dense 1024x13 kernel + bias), read with ``tf.train.load_checkpoint``
+  (reference `models/model_general_v3/variables`);
+* the public AudioSet YAMNet release ``yamnet.h5`` (Keras-2 layer layout,
+  URL recorded at reference `embedders/yamnet/BUILD.py:11`), read with h5py —
+  the snapshot mounted here lacks the blob, so conversion falls back to
+  deterministic seeded initialization with the same shapes.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from buzzdetect_tpu.models import yamnet as yamnet_lib
+from buzzdetect_tpu.models.heads import init_head
+
+
+# --- head: TF SavedModel variables checkpoint -------------------------------
+
+def head_from_savedmodel_checkpoint(prefix: str):
+    """Extract Dense kernel/bias from a Keras SavedModel variables checkpoint.
+
+    ``prefix`` is the checkpoint prefix, e.g. ``<model_dir>/variables/variables``.
+    """
+    import tensorflow as tf
+    reader = tf.train.load_checkpoint(prefix)
+    kernel = reader.get_tensor(
+        'layer_with_weights-0/kernel/.ATTRIBUTES/VARIABLE_VALUE')
+    bias = reader.get_tensor(
+        'layer_with_weights-0/bias/.ATTRIBUTES/VARIABLE_VALUE')
+    return {
+        'head/kernel': np.asarray(kernel, np.float32),
+        'head/bias': np.asarray(bias, np.float32),
+    }
+
+
+# --- embedder: Keras-2 yamnet.h5 ---------------------------------------------
+
+def _h5_find(group, names):
+    """Depth-first search an h5 group for the first dataset whose name ends
+    with any of ``names`` (Keras nests weights unpredictably across versions)."""
+    import h5py
+    hits = {}
+
+    def visit(path, obj):
+        if isinstance(obj, h5py.Dataset):
+            for n in names:
+                if path.endswith(n) and n not in hits:
+                    hits[n] = np.asarray(obj)
+    group.visititems(visit)
+    return hits
+
+
+def yamnet_from_keras_h5(path: str):
+    """Read the public yamnet.h5 into this framework's raw parameter layout.
+
+    Depthwise kernels convert from Keras HWCM (3,3,C,1) to lax HWIO (3,3,1,C).
+    """
+    import h5py
+    params = {}
+    with h5py.File(path, 'r') as f:
+        root = f['model_weights'] if 'model_weights' in f else f
+        for key, kind, _stride, shape in yamnet_lib._conv_shapes():
+            layer = key.split('/')[0]          # layerN
+            conv = key.split('/')[1]           # conv|depthwise_conv|pointwise_conv
+            conv_group = root[f'{layer}/{conv}'] if f'{layer}/{conv}' in root else root[layer]
+            want_kernel = ('depthwise_kernel:0' if kind == 'depthwise'
+                           else 'kernel:0')
+            hits = _h5_find(conv_group, [want_kernel])
+            kernel = hits[want_kernel]
+            if kind == 'depthwise':
+                kernel = np.transpose(kernel, (0, 1, 3, 2))  # HWCM -> HWIO
+            assert kernel.shape == shape, (key, kernel.shape, shape)
+            params[f'{key}/kernel'] = kernel.astype(np.float32)
+
+            bn_name = f'{layer}/{conv}_bn'
+            bn_group = root[bn_name] if bn_name in root else root[layer]
+            bn = _h5_find(bn_group,
+                          ['beta:0', 'moving_mean:0', 'moving_variance:0'])
+            ch = shape[3] if kind != 'depthwise' else shape[3]
+            params[f'{key}/bn_beta'] = bn['beta:0'].astype(np.float32).reshape(ch)
+            params[f'{key}/bn_mean'] = bn['moving_mean:0'].astype(np.float32).reshape(ch)
+            params[f'{key}/bn_var'] = bn['moving_variance:0'].astype(np.float32).reshape(ch)
+    return params
+
+
+# --- bundle IO ----------------------------------------------------------------
+
+def save_bundle(dir_model: str, arrays: dict, config: dict):
+    os.makedirs(dir_model, exist_ok=True)
+    np.savez(os.path.join(dir_model, 'model.npz'), **arrays)
+    with open(os.path.join(dir_model, 'config_model.json'), 'w') as f:
+        json.dump(config, f, indent=2)
+
+
+def load_bundle(dir_model: str):
+    with np.load(os.path.join(dir_model, 'model.npz')) as z:
+        arrays = {k: z[k] for k in z.files}
+    with open(os.path.join(dir_model, 'config_model.json')) as f:
+        config = json.load(f)
+    return arrays, config
+
+
+def metrics_from_csv(path: str):
+    """Pack a threshold/precision/sensitivity/fpr CSV into bundle arrays."""
+    data = np.genfromtxt(path, delimiter=',', names=True)
+    return {f'metrics_{n}': np.asarray(data[n], np.float64)
+            for n in data.dtype.names}
+
+
+# --- end-to-end builder ---------------------------------------------------------
+
+def build_model_bundle(dir_out: str,
+                       classes: list,
+                       yamnet_h5: str = None,
+                       head_checkpoint_prefix: str = None,
+                       metrics_csv: str = None,
+                       embeddername: str = 'yamnet',
+                       digits_results: int = 2,
+                       seed: int = 0,
+                       provenance: str = ''):
+    """Assemble a complete inference bundle for a model directory.
+
+    Any missing source falls back to deterministic seeded initialization (the
+    graph is then structurally complete but untrained — documented in the
+    bundle's provenance).
+    """
+    notes = []
+    if yamnet_h5 and os.path.exists(yamnet_h5):
+        raw = yamnet_from_keras_h5(yamnet_h5)
+        notes.append(f'yamnet weights from {yamnet_h5}')
+    else:
+        raw = yamnet_lib.init_raw_params(seed=seed)
+        notes.append('yamnet weights: deterministic seeded init '
+                     '(pretrained blob not available in this environment)')
+    folded = yamnet_lib.fold_batchnorm(raw)
+
+    if head_checkpoint_prefix and os.path.exists(
+            head_checkpoint_prefix + '.index'):
+        head = head_from_savedmodel_checkpoint(head_checkpoint_prefix)
+        notes.append(f'head weights from {head_checkpoint_prefix}')
+    else:
+        head = init_head(yamnet_lib.N_EMBEDDINGS, len(classes), seed=seed)
+        notes.append('head weights: deterministic seeded init')
+
+    arrays = {}
+    arrays.update({f'yamnet_raw/{k}': v for k, v in raw.items()})
+    arrays.update({f'yamnet/{k}': v for k, v in folded.items()})
+    arrays.update(head)
+    if metrics_csv and os.path.exists(metrics_csv):
+        arrays.update(metrics_from_csv(metrics_csv))
+        notes.append(f'metrics from {metrics_csv}')
+
+    config = {
+        'classes': list(classes),
+        'embeddername': embeddername,
+        'digits_results': digits_results,
+        'n_embeddings': yamnet_lib.N_EMBEDDINGS,
+        'provenance': (provenance + ' | ' if provenance else '') + '; '.join(notes),
+    }
+    save_bundle(dir_out, arrays, config)
+    return arrays, config

@@ -1,0 +1,220 @@
+"""Model and embedder plugin system.
+
+Contract parity with the reference's plugin loaders
+(`src/inference/models.py:12-79`, `src/inference/embedding.py:8-79`): a model
+is a directory ``models/<name>/`` and an embedder a directory
+``embedders/<name>/``; a ``model.py`` / ``embedder.py`` in the directory is
+imported and its Base subclass instantiated, so users can drop in custom
+models without touching the framework. Additionally (superset), a model
+directory containing a ``model.npz`` bundle needs *no* Python plugin — the
+built-in :class:`BundleModel` runs it as one fused XLA graph.
+"""
+
+import importlib.util
+import json
+import os
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.models.classifier import ChunkClassifier
+
+
+class BaseEmbedder:
+    """Embedder contract: class attrs + ``initialize()`` + ``embed(samples)``.
+
+    Attributes (parity with reference `src/inference/embedding.py:10-17`):
+    ``embeddername, framelength_s, samplerate, n_embeddings, digits_time``.
+    ``framehop_s`` derives from ``framelength_s * framehop_prop``.
+    """
+
+    embeddername: str = None
+    framelength_s: float = None
+    digits_time: int = None
+    samplerate: int = None
+    n_embeddings: int = None
+    dtype_in = 'float32'
+
+    def __init__(self, framehop_prop: float = 1.0):
+        self.framehop_prop = framehop_prop
+        self.framehop_s = self.framelength_s * framehop_prop
+
+    def initialize(self):
+        raise NotImplementedError
+
+    def embed(self, samples):
+        raise NotImplementedError
+
+
+class BaseModel:
+    """Model contract: metadata at construction, weights on ``initialize()``,
+    scores from ``predict(samples)`` (parity: `src/inference/models.py:12-37`)."""
+
+    modelname: str = None
+    embeddername: str = None
+    digits_results: int = 2
+
+    def __init__(self, dir_model: str, framehop_prop: float = 1.0):
+        self.dir_model = dir_model
+        self.framehop_prop = framehop_prop
+        path_config = os.path.join(dir_model, 'config_model.json')
+        with open(path_config) as f:
+            self.config = json.load(f)
+        self.embedder = load_embedder(
+            self.config.get('embeddername', self.embeddername), framehop_prop)
+
+    def initialize(self):
+        raise NotImplementedError
+
+    def predict(self, samples):
+        raise NotImplementedError
+
+
+class EmbedderYamnet(BaseEmbedder):
+    """Native JAX YAMNet embedder (frontend + MobileNet, one jit graph).
+
+    Supersedes both reference embedders: arbitrary ``framehop_prop`` is a
+    graph parameter, covering `embedders/yamnet/embedder.py` (arbitrary hop,
+    slow) and `embedders/yamnet_k2/embedder.py` (fast but only hop 1.0/0.5)
+    with a single fast path.
+    """
+
+    embeddername = 'yamnet'
+    framelength_s = 0.96
+    digits_time = 2
+    samplerate = 16000
+    n_embeddings = 1024
+
+    def __init__(self, framehop_prop: float = 1.0, arrays: dict = None):
+        super().__init__(framehop_prop)
+        self._arrays = arrays
+        self._classifier = None
+
+    def initialize(self):
+        if self._classifier is not None:
+            return
+        arrays = self._arrays
+        if arrays is None:
+            # standalone use: weights from the default embedder bundle
+            path = os.path.join(cfg.resolve_dir(cfg.DIR_EMBEDDERS), 'yamnet',
+                                'embedder.npz')
+            import numpy as np
+            with np.load(path) as z:
+                arrays = {k: z[k] for k in z.files}
+        self._classifier = ChunkClassifier(arrays,
+                                           framehop_prop=self.framehop_prop)
+
+    def embed(self, samples):
+        return self._classifier.embed(samples)
+
+
+# 'yamnet_k2' resolves to the same native embedder: reference model configs
+# name it (`models/model_general_v3/config_model.json`), and its only reason
+# to exist — a faster restricted-framehop SavedModel — is moot here.
+BUILTIN_EMBEDDERS = {
+    'yamnet': EmbedderYamnet,
+    'yamnet_k2': EmbedderYamnet,
+}
+
+
+class BundleModel(BaseModel):
+    """Built-in model runner for ``model.npz`` bundles: the whole
+    waveform->scores path is one fused jit graph via :class:`ChunkClassifier`."""
+
+    def __init__(self, dir_model: str, framehop_prop: float = 1.0,
+                 compute_dtype=None, sharding=None):
+        self.dir_model = dir_model
+        self.framehop_prop = framehop_prop
+        self.modelname = os.path.basename(dir_model.rstrip('/'))
+        with open(os.path.join(dir_model, 'config_model.json')) as f:
+            self.config = json.load(f)
+        self.embeddername = self.config.get('embeddername', 'yamnet')
+        self.digits_results = self.config.get('digits_results', 2)
+        self._compute_dtype = compute_dtype
+        self._sharding = sharding
+        self.classifier = None
+
+        # embedder metadata without loading weights twice: the bundle IS the
+        # embedder; expose the contract attrs the pipeline needs
+        self.embedder = EmbedderYamnet(framehop_prop)
+
+    def initialize(self):
+        if self.classifier is not None:
+            return
+        import jax.numpy as jnp
+        import numpy as np
+        with np.load(os.path.join(self.dir_model, 'model.npz')) as z:
+            arrays = {k: z[k] for k in z.files}
+        dtype = self._compute_dtype or jnp.float32
+        self.classifier = ChunkClassifier(arrays,
+                                          framehop_prop=self.framehop_prop,
+                                          compute_dtype=dtype,
+                                          sharding=self._sharding)
+        self.embedder._classifier = self.classifier
+
+    def predict(self, samples):
+        return self.classifier.predict(samples)
+
+    def predict_async(self, samples):
+        return self.classifier.predict_async(samples)
+
+    def warmup(self, chunk_samples: int):
+        self.classifier.warmup(chunk_samples)
+
+
+def _import_plugin(path_py: str, base_class):
+    """Import a plugin module and instantiate its unique Base subclass."""
+    name = f'buzzdetect_plugin_{abs(hash(path_py))}'
+    spec = importlib.util.spec_from_file_location(name, path_py)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    subclasses = [obj for obj in vars(module).values()
+                  if isinstance(obj, type) and issubclass(obj, base_class)
+                  and obj is not base_class]
+    if len(subclasses) != 1:
+        raise ValueError(f'{path_py} must define exactly one '
+                         f'{base_class.__name__} subclass '
+                         f'(found {len(subclasses)})')
+    return subclasses[0]
+
+
+def load_embedder(embeddername: str, framehop_prop: float = 1.0) -> BaseEmbedder:
+    """Resolve an embedder: ``embedders/<name>/embedder.py`` plugin first,
+    then the built-in registry."""
+    dir_emb = os.path.join(cfg.resolve_dir(cfg.DIR_EMBEDDERS), embeddername)
+    path_py = os.path.join(dir_emb, 'embedder.py')
+    if os.path.exists(path_py):
+        klass = _import_plugin(path_py, BaseEmbedder)
+        return klass(framehop_prop=framehop_prop)
+    if embeddername in BUILTIN_EMBEDDERS:
+        return BUILTIN_EMBEDDERS[embeddername](framehop_prop=framehop_prop)
+    raise FileNotFoundError(
+        f'no embedder named "{embeddername}" (no plugin at {path_py}, not a '
+        f'built-in)')
+
+
+def load_model(modelname: str, framehop_prop: float = 1.0,
+               initialize: bool = False, compute_dtype=None,
+               sharding=None) -> BaseModel:
+    """Resolve a model by directory name.
+
+    ``models/<name>/model.npz`` -> built-in BundleModel (fused XLA graph);
+    otherwise ``models/<name>/model.py`` -> user plugin class.
+    ``initialize=False`` loads metadata only (config, embedder attrs) — used
+    by the orchestrator for chunk-length math before workers spin up.
+    """
+    dir_model = os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), modelname)
+    if not os.path.isdir(dir_model):
+        raise FileNotFoundError(f'no model directory: {dir_model}')
+
+    if os.path.exists(os.path.join(dir_model, 'model.npz')):
+        model = BundleModel(dir_model, framehop_prop,
+                            compute_dtype=compute_dtype, sharding=sharding)
+    elif os.path.exists(os.path.join(dir_model, 'model.py')):
+        klass = _import_plugin(os.path.join(dir_model, 'model.py'), BaseModel)
+        model = klass(dir_model, framehop_prop)
+    else:
+        raise FileNotFoundError(
+            f'model "{modelname}" has neither model.npz nor model.py')
+
+    if initialize:
+        model.initialize()
+    return model

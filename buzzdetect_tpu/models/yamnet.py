@@ -108,6 +108,12 @@ def fold_batchnorm(raw: dict) -> dict:
 
 def _conv2d(x, kernel, stride, *, depthwise=False):
     groups = kernel.shape[3] if depthwise else 1
+    # Explicit precision: JAX f32 convs otherwise run the MXU in its
+    # bf16-operand mode, which costs ~3 decimal digits and violates the 1e-3
+    # score-parity budget. When the caller opts into bfloat16 compute the
+    # operands are already bf16 and HIGHEST adds nothing, so pick per dtype.
+    precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     return jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
@@ -115,6 +121,7 @@ def _conv2d(x, kernel, stride, *, depthwise=False):
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 

@@ -1,0 +1,214 @@
+"""Native decode-stage tests: exact PCM decode, provable seek accuracy,
+downmix, resample, truncated files, and the reference mp3 fixture.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu.audio import (build_track, get_duration, driver_map,
+                                  UnsupportedFormat, NativeDriver)
+from tests.audio_fixtures import (pcm_pattern, pattern_position, write_wav,
+                                  make_tone)
+
+REF_MP3 = '/root/reference/audio_in/testbuzz.mp3'
+
+
+@pytest.fixture(scope='module')
+def pattern_wav(tmp_path_factory):
+    d = tmp_path_factory.mktemp('audio')
+    path = str(d / 'pattern.wav')
+    write_wav(path, pcm_pattern(0, 16000 * 10), 16000)
+    return path
+
+
+def test_wav_exact_decode(pattern_wav):
+    t = build_track(pattern_wav, target_rate=16000)
+    assert t.samplerate == 16000
+    assert t.frames == 160000
+    x = t.read(160000)
+    np.testing.assert_array_equal(x, pcm_pattern(0, 160000))
+    # EOF: further reads are empty
+    assert len(t.read(100)) == 0
+    t.close()
+
+
+@pytest.mark.parametrize('target', [12345, 0, 159000, 80000, 79999, 1])
+def test_wav_seek_sample_accurate(pattern_wav, target):
+    t = build_track(pattern_wav, target_rate=16000)
+    # scramble position first
+    t.read(777)
+    t.seek(target)
+    assert t.tell() == target
+    got = t.read(64)
+    np.testing.assert_array_equal(got, pcm_pattern(target, 64))
+    t.close()
+
+
+def test_wav_random_seek_storm(pattern_wav):
+    """The experiment the reference documents but doesn't ship: many random
+    seeks, every landing position verified from sample values."""
+    rng = np.random.default_rng(0)
+    t = build_track(pattern_wav, target_rate=16000)
+    for target in rng.integers(0, 159000, size=50):
+        t.seek(int(target))
+        got = t.read(2)
+        assert pattern_position(got) % 65536 == int(target) % 65536
+    t.close()
+
+
+def test_stereo_downmix(tmp_path):
+    x = make_tone(2.0, 16000)
+    stereo = np.stack([x, x], axis=1)
+    path = str(tmp_path / 'stereo.wav')
+    write_wav(path, stereo, 16000)
+    t = build_track(path, target_rate=16000)
+    assert t.channels == 1          # output is downmixed
+    assert t.source_channels == 2
+    got = t.read(32000)
+    # L==R so the mono mix equals the signal (16-bit quantization noise only)
+    assert np.abs(got - x).max() < 2e-4
+    t.close()
+
+
+def test_resample_44k_to_16k(tmp_path):
+    x = make_tone(2.0, 44100, freq=440.0)
+    path = str(tmp_path / 'hi.wav')
+    write_wav(path, x, 44100)
+    t = build_track(path, target_rate=16000)
+    assert t.samplerate == 16000
+    got = t.read(64000)
+    assert abs(len(got) - 32000) <= 32
+    # 440 Hz tone survives resampling: dominant FFT bin near 440
+    spec = np.abs(np.fft.rfft(got[:16384] * np.hanning(16384)))
+    peak_hz = spec.argmax() * 16000 / 16384
+    assert abs(peak_hz - 440) < 5
+    t.close()
+
+
+def test_native_rate_passthrough(tmp_path):
+    x = make_tone(1.0, 22050)
+    path = str(tmp_path / 'n.wav')
+    write_wav(path, x, 22050)
+    t = build_track(path, target_rate=0)   # 0 = native
+    assert t.samplerate == 22050
+    t.close()
+
+
+def test_truncated_wav_decodes_available_payload(tmp_path, pattern_wav):
+    """A byte-truncated WAV decodes whatever payload exists, without raising;
+    the duration estimate reflects the actual payload."""
+    path = str(tmp_path / 'trunc.wav')
+    with open(pattern_wav, 'rb') as f:
+        blob = f.read()
+    with open(path, 'wb') as f:
+        f.write(blob[:len(blob) // 2])
+    t = build_track(path, target_rate=16000)
+    got = t.read(200000)
+    assert len(got) == pytest.approx(80000, abs=100)
+    np.testing.assert_array_equal(got[:1000], pcm_pattern(0, 1000))
+    t.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MP3), reason='fixture not mounted')
+def test_mp3_header_overestimate_gives_short_read():
+    """The reference fixture's mp3 header promises ~6.55 s but the payload
+    holds ~6.49 s: reading `frames` samples must return fewer — the exact
+    signal the pipeline's bad-read handling keys on."""
+    t = build_track(REF_MP3, target_rate=16000)
+    got = t.read(t.frames)
+    assert 0 < len(got) < t.frames
+    t.close()
+
+
+def test_unsupported_format(tmp_path):
+    with pytest.raises(UnsupportedFormat):
+        build_track(str(tmp_path / 'x.xyz'))
+
+
+def test_driver_map_covers_reference_formats():
+    # every format family the reference supports must be covered
+    for ext in ['wav', 'flac', 'ogg', 'mp3', 'aiff', 'mp4', 'wma', 'mts']:
+        assert ext in driver_map, ext
+
+
+@pytest.mark.parametrize('codec,ext', [
+    ('aac', 'm4a'),        # mp4 family: pts-exact w/ corrupt-first-frame preroll
+    ('wmav2', 'wma'),      # asf family: pts drifts -> reopen-count strategy
+    ('ac3', 'mts'),        # ac3: decoder never resyncs -> reopen-count
+    ('libmp3lame', 'mp3'),
+    ('flac', 'flac'),
+    ('pcm_s16le', 'wav'),
+])
+def test_codec_seek_matches_linear_decode(tmp_path, codec, ext):
+    """The invariant the reference drivers document from manual experiments
+    (`src/stream/drivers/mp4.py:36-38`: '200 random backward-seek targets, 0
+    real mismatches'): any seek+read must reproduce the fresh-open linear
+    decode exactly (tiny float tolerance for AAC's nondeterministic MDCT)."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    path = str(tmp_path / f'fx.{ext}')
+    encode_fixture(path, codec, 48000, 1, 4.0)
+
+    t = build_track(path, target_rate=0)
+    linear = t.read(48000 * 5)
+    assert len(linear) > 3.5 * 48000
+
+    rng = np.random.default_rng(7)
+    # AAC MDCT reconstruction is float-nondeterministic at ~3e-5 near the
+    # encoder-delay region; everything else must be bit-exact
+    tol = 1e-4 if codec == 'aac' else 0.0
+    for target in rng.integers(0, len(linear) - 4096, size=15):
+        t.seek(int(target))
+        got = t.read(4096)
+        assert len(got) == 4096
+        assert np.abs(got - linear[target:target + 4096]).max() <= tol, target
+    t.close()
+
+
+def test_stereo_seek_after_downmix(tmp_path):
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    path = str(tmp_path / 'st.m4a')
+    encode_fixture(path, 'aac', 44100, 2, 3.0)
+    t = build_track(path, target_rate=16000)
+    linear = t.read(16000 * 4)
+    t.seek(16000)
+    got = t.read(8000)
+    assert np.abs(got - linear[16000:24000]).max() < 1e-3
+    t.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MP3), reason='fixture not mounted')
+def test_reference_mp3_fixture():
+    t = build_track(REF_MP3, target_rate=16000)
+    assert t.samplerate == 16000
+    assert t.codec.startswith('mp3')
+    dur = get_duration(t)
+    assert 5.0 < dur < 8.0
+    x = t.read(16000)
+    assert len(x) == 16000
+    assert np.sqrt((x ** 2).mean()) > 1e-4   # real audio, not silence
+
+    # seek-back consistency: re-reading a region matches the contiguous read
+    t.seek(8000)
+    y = t.read(8000)
+    assert np.abs(y - x[8000:]).max() < 5e-3  # resampler warmup tolerance
+    t.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MP3), reason='fixture not mounted')
+def test_mp3_copy_decodes_from_writable_dir(tmp_path):
+    # guards against the decoder relying on anything but the file contents
+    path = str(tmp_path / 'buzz.mp3')
+    shutil.copy(REF_MP3, path)
+    t = build_track(path, target_rate=16000)
+    total = 0
+    while True:
+        b = t.read(65536)
+        total += len(b)
+        if len(b) < 65536:
+            break
+    # header overestimates (recorder died); actual payload is ~6.49 s
+    assert total / 16000 == pytest.approx(6.49, abs=0.1)
+    t.close()

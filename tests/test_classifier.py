@@ -1,0 +1,143 @@
+"""End-to-end classifier tests: bundle loading, registry resolution, shape
+bucketing, and full-pipeline score parity vs a TF composition of the same
+weights (the BASELINE.md 1e-3 contract, waveform in -> scores out).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu.models import yamnet as yam
+from buzzdetect_tpu.models.classifier import ChunkClassifier
+from buzzdetect_tpu.models.convert import build_model_bundle
+from buzzdetect_tpu.models.heads import init_head
+from buzzdetect_tpu.models.registry import load_model, load_embedder, BundleModel
+
+RNG = np.random.default_rng(1)
+
+
+@pytest.fixture(scope='module')
+def bundle_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('models') / 'testmodel'
+    build_model_bundle(str(d), classes=['a', 'ins_buzz', 'c'], seed=5)
+    return str(d)
+
+
+@pytest.fixture(scope='module')
+def arrays(bundle_dir):
+    with np.load(os.path.join(bundle_dir, 'model.npz')) as z:
+        return {k: z[k] for k in z.files}
+
+
+def test_bundle_config(bundle_dir):
+    with open(os.path.join(bundle_dir, 'config_model.json')) as f:
+        config = json.load(f)
+    assert config['classes'] == ['a', 'ins_buzz', 'c']
+    assert config['n_embeddings'] == 1024
+    assert 'seeded init' in config['provenance']
+
+
+def test_classifier_shapes_and_bucketing(arrays):
+    clf = ChunkClassifier(arrays, framehop_prop=1.0)
+    wav = (RNG.standard_normal(int(4.8 * 16000)) * 0.1).astype(np.float32)
+    out = clf.predict(wav)
+    assert out.shape == (5, 3)
+
+    # a shorter chunk must reuse the compiled length (pad-and-mask)
+    out2 = clf.predict(wav[:int(3.9 * 16000)])
+    assert out2.shape == (5, 3) or out2.shape[0] == 5  # 3.9s -> 5 patches (pad rule)
+    assert len(clf._compiled_lengths) == 1
+
+    # padding must not change the scores of patches fully inside the audio
+    # (the final patch sees zero-padding instead of the next chunk's samples —
+    # reference chunking behaves identically)
+    out3 = clf.predict(wav[:int(2.88 * 16000)])
+    assert out3.shape == (3, 3)
+    np.testing.assert_allclose(out3[:2], out[:2], atol=1e-4)
+
+
+def test_registry_loads_bundle(bundle_dir, monkeypatch):
+    from buzzdetect_tpu import config as cfg
+    monkeypatch.setattr(cfg, 'DIR_MODELS', os.path.dirname(bundle_dir))
+    model = load_model('testmodel', framehop_prop=1.0, initialize=True)
+    assert isinstance(model, BundleModel)
+    assert model.config['classes'][1] == 'ins_buzz'
+    assert model.embedder.framelength_s == 0.96
+    assert model.embedder.framehop_s == 0.96
+    # 1.0 s pads to one patch plus one hop (the reference pad rule) -> 2 patches
+    out = model.predict(np.zeros(16000, np.float32))
+    assert out.shape == (2, 3)
+
+
+def test_registry_python_plugin(tmp_path, monkeypatch):
+    """Drop-in model.py plugin directory, as in the reference plugin system."""
+    from buzzdetect_tpu import config as cfg
+    d = tmp_path / 'models' / 'plugmodel'
+    d.mkdir(parents=True)
+    (d / 'config_model.json').write_text(json.dumps(
+        {'classes': ['x', 'y'], 'embeddername': 'yamnet', 'digits_results': 2}))
+    (d / 'model.py').write_text(
+        'import numpy as np\n'
+        'from buzzdetect_tpu.models.registry import BaseModel\n\n'
+        'class PlugModel(BaseModel):\n'
+        '    modelname = "plugmodel"\n'
+        '    def initialize(self):\n'
+        '        pass\n'
+        '    def predict(self, samples):\n'
+        '        return np.zeros((1, 2))\n')
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+    model = load_model('plugmodel', initialize=True)
+    assert model.predict(None).shape == (1, 2)
+
+
+def test_embedder_aliases():
+    e1 = load_embedder('yamnet', 0.5)
+    e2 = load_embedder('yamnet_k2', 0.5)
+    assert type(e1) is type(e2)
+    assert e1.framehop_s == pytest.approx(0.48)
+    with pytest.raises(FileNotFoundError):
+        load_embedder('nope')
+
+
+def test_full_pipeline_parity_vs_tf(arrays):
+    """waveform -> scores: JAX fused graph vs TF composition of identical
+    weights (tf.signal frontend + Keras CNN + dense head), atol 1e-3."""
+    tf = pytest.importorskip('tensorflow')
+    from tests.test_yamnet import _build_keras_yamnet
+    from buzzdetect_tpu.ops.frontend import FrontendConfig, pad_waveform
+
+    cfg_fe = FrontendConfig().with_framehop(1.0)
+    wav = (RNG.standard_normal(int(2.1 * 16000)) * 0.2).astype(np.float32)
+
+    clf = ChunkClassifier(arrays, framehop_prop=1.0)
+    ours = clf.predict(wav)
+
+    # TF oracle
+    raw = {k.split('/', 1)[1]: v for k, v in arrays.items()
+           if k.startswith('yamnet_raw/')}
+    keras_model = _build_keras_yamnet(raw)
+    padded = np.asarray(pad_waveform(wav, cfg_fe))
+    stft = tf.signal.stft(tf.constant(padded, tf.float32), 400, 160, 512)
+    mel = tf.signal.linear_to_mel_weight_matrix(64, 257, 16000, 125.0, 7500.0)
+    log_mel = tf.math.log(tf.matmul(tf.abs(stft), mel) + 0.001)
+    patches = tf.signal.frame(log_mel, 96, 96, axis=0)[..., None]
+    emb = keras_model(patches, training=False).numpy()
+    theirs = emb @ arrays['head/kernel'] + arrays['head/bias']
+
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=1e-3)
+
+
+def test_head_import_from_reference_checkpoint():
+    """The trained head weights must round-trip from the reference SavedModel."""
+    pytest.importorskip('tensorflow')
+    prefix = '/root/reference/models/model_general_v3/variables/variables'
+    if not os.path.exists(prefix + '.index'):
+        pytest.skip('reference checkpoint not mounted')
+    from buzzdetect_tpu.models.convert import head_from_savedmodel_checkpoint
+    head = head_from_savedmodel_checkpoint(prefix)
+    assert head['head/kernel'].shape == (1024, 13)
+    assert head['head/bias'].shape == (13,)
+    assert np.abs(head['head/kernel']).max() > 0  # real trained values
