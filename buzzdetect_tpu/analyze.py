@@ -1,0 +1,301 @@
+"""The orchestrator: the ``analyze()`` API and ``Analyzer`` class.
+
+API parity with the reference orchestrator (`src/analyze.py:26-492`): same
+kwargs, same defaults, same behaviors — chunklength rounded to whole frames,
+threshold calibration from requested precision, manifest compatibility check,
+ident-conflict and already-complete filtering, worker thread lifecycle, and
+the end-of-run wall-time report.
+"""
+
+import os
+import threading
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.audio import driver_map
+from buzzdetect_tpu.manifest import build_manifest, check_or_write_manifest
+from buzzdetect_tpu.models.registry import load_model
+from buzzdetect_tpu.runtime.assignments import AssignFile, AssignLog
+from buzzdetect_tpu.runtime.coordination import Coordinator, ExitSignal
+from buzzdetect_tpu.runtime.inferer import WorkerInferer
+from buzzdetect_tpu.runtime.logger import WorkerLogger
+from buzzdetect_tpu.runtime.streamer import WorkerStreamer
+from buzzdetect_tpu.runtime.writer import WorkerWriter
+from buzzdetect_tpu.utils import Timer, search_dir
+from buzzdetect_tpu.write.thresholds import calculate_threshold
+
+
+def run_worker(workerclass, **kwargs):
+    worker = workerclass(**kwargs)
+    worker()
+
+
+class Analyzer:
+    """Audio-analysis orchestrator: wires the model, the coordinator, and the
+    worker threads together and runs one analysis to completion."""
+
+    def __init__(self,
+                 modelname: str,
+                 classes_out='all',
+                 precision: float = None,
+                 framehop_prop: float = 1,
+                 chunklength: float = 200,
+                 dir_audio: str = cfg.DIR_AUDIO,
+                 dir_out: str = None,
+                 verbosity_print: str = 'INFO',
+                 verbosity_log: str = 'DEBUG',
+                 log_progress: bool = False,
+                 coordinator: Coordinator = None,
+                 compute_dtype=None):
+        self.modelname = modelname
+        self.framehop_prop = framehop_prop
+        self.dir_audio = dir_audio
+        self.verbosity_print = verbosity_print
+        self.verbosity_log = verbosity_log
+        self.log_progress = log_progress
+        self.coordinator = coordinator or Coordinator()
+
+        self.model = load_model(modelname, framehop_prop=framehop_prop,
+                                initialize=False, compute_dtype=compute_dtype)
+
+        self.precision = precision
+        self.chunklength = self._setup_chunklength(chunklength)
+        self.classes_out = self._setup_classes_out(classes_out)
+        self.threshold = self._setup_threshold(precision)
+
+        self.timer_total = Timer()
+
+        self.dir_out = dir_out if dir_out is not None else os.path.join(
+            cfg.resolve_dir(cfg.DIR_MODELS), modelname, cfg.SUBDIR_OUTPUT)
+
+        self.thread_logger = None
+        self.thread_writer = None
+        self.threads_streamers = []
+        self.threads_analyzers = []
+
+    # --- setup -----------------------------------------------------------
+    def _setup_chunklength(self, chunklength):
+        """Round to a whole number of frames so frames tile seamlessly across
+        chunk boundaries at framehop 1 (reference `src/analyze.py:102-111`)."""
+        fl = self.model.embedder.framelength_s
+        chunklength = round(chunklength / fl) * fl
+        chunklength = round(chunklength, self.model.embedder.digits_time)
+        return max(chunklength, fl)
+
+    def _setup_classes_out(self, classes_out):
+        if classes_out == 'all':
+            return list(self.model.config['classes'])
+        return classes_out
+
+    def _setup_threshold(self, precision):
+        if precision is None:
+            return None
+        return calculate_threshold(self.modelname, precision)
+
+    # --- worker lifecycle ---------------------------------------------------
+    def _launch_logger(self):
+        path_log = os.path.join(
+            self.dir_out,
+            f"{self.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}.log")
+        os.makedirs(os.path.dirname(path_log), exist_ok=True)
+        self.thread_logger = threading.Thread(
+            target=run_worker, name='logger',
+            kwargs=dict(workerclass=WorkerLogger, path_log=path_log,
+                        verbosity_print=self.verbosity_print,
+                        verbosity_log=self.verbosity_log,
+                        log_progress=self.log_progress,
+                        coordinator=self.coordinator))
+        self.thread_logger.start()
+
+        if self.framehop_prop > 1:
+            from buzzdetect_tpu.validation import FRAMEHOP_WARNING
+            self.coordinator.q_log.put(
+                AssignLog(message=FRAMEHOP_WARNING, level_str='WARNING'))
+
+    def _log_startup(self):
+        self.coordinator.q_log.put(AssignLog(message=(
+            f'Model: {self.modelname}\n'
+            f'Frame hop: {self.framehop_prop}\n'
+            f'Threshold: {self.threshold}\n'
+            f'Output classes: {", ".join(self.classes_out)}\n'
+            f'Input directory: {self.dir_audio}\n'
+            f'Output directory: {self.dir_out}\n'
+            f'Analyzers: {self.coordinator.analyzers_total}\n'
+            f'Chunk length: {self.chunklength}s\n'
+            f'Streamers: {self.coordinator.streamers_total}\n'
+            f'Queue depth: {self.coordinator.queue_depth}\n'),
+            level_str='INFO'))
+
+    def _launch_streamers(self):
+        for s in range(self.coordinator.streamers_total):
+            t = threading.Thread(
+                target=run_worker, name=f'streamer_{s}',
+                kwargs=dict(workerclass=WorkerStreamer, id_streamer=s,
+                            model=self.model, chunklength=self.chunklength,
+                            coordinator=self.coordinator))
+            self.threads_streamers.append(t)
+            t.start()
+
+    def _launch_analyzers(self):
+        for a in range(self.coordinator.analyzers_total):
+            t = threading.Thread(
+                target=run_worker, name=f'analyzer_{a}',
+                kwargs=dict(workerclass=WorkerInferer, id_analyzer=a,
+                            model=self.model, coordinator=self.coordinator))
+            self.threads_analyzers.append(t)
+            t.start()
+
+    def _launch_writer(self):
+        self.thread_writer = threading.Thread(
+            target=run_worker, name='writer',
+            kwargs=dict(workerclass=WorkerWriter,
+                        classes_out=self.classes_out,
+                        threshold=self.threshold,
+                        classes=self.model.config['classes'],
+                        framehop_s=self.model.embedder.framehop_s,
+                        digits_time=self.model.embedder.digits_time,
+                        dir_audio=self.dir_audio, dir_out=self.dir_out,
+                        digits_results=self.model.config.get(
+                            'digits_results', 2),
+                        coordinator=self.coordinator))
+        self.thread_writer.start()
+
+    # --- assignment / guard logic ---------------------------------------------
+    def _check_manifest(self):
+        manifest = build_manifest(modelname=self.modelname,
+                                  framehop_prop=self.framehop_prop,
+                                  precision=self.precision,
+                                  classes_out=self.classes_out)
+        ok, msg = check_or_write_manifest(self.dir_out, manifest)
+        if not ok:
+            self.coordinator.exit_analysis(ExitSignal(
+                message=msg, level='ERROR', end_reason='manifest mismatch'))
+        return ok
+
+    def queue_assignments(self):
+        assignments = [
+            AssignFile(path_audio=p, dir_audio=self.dir_audio,
+                       dir_results=self.dir_out)
+            for p in search_dir(self.dir_audio, list(driver_map.keys()))
+        ]
+        if not assignments:
+            self.coordinator.exit_analysis(ExitSignal(
+                message=(f'Exiting analysis: no compatible audio files found '
+                         f'in raw directory {self.dir_audio}.\naudio format '
+                         f'must be one of: \n{", ".join(driver_map.keys())}'),
+                level='WARNING', end_reason='no files'))
+            return False
+
+        # files whose idents collide (same name, different extension) would
+        # interleave rows in one result file; drop them with a warning
+        idents = [a.ident for a in assignments]
+        conflicting = {i for i in idents if idents.count(i) > 1}
+        for ident in sorted(conflicting):
+            paths = [a.shortpath_audio for a in assignments if a.ident == ident]
+            self.coordinator.q_log.put(AssignLog(
+                message=(f'The following files have conflicting names and '
+                         f'will be skipped:\n{", ".join(paths)}\nThese files '
+                         f'must be renamed before they can be analyzed.'),
+                level_str='WARNING'))
+
+        unfinished = [a for a in assignments
+                      if a.ident not in conflicting
+                      and not os.path.exists(a.path_results_complete)]
+        if not unfinished:
+            self.coordinator.exit_analysis(ExitSignal(
+                message=(f'All files in {self.dir_audio} are fully analyzed; '
+                         f'exiting analysis'),
+                level='INFO', end_reason='fully analyzed'))
+            return False
+
+        for a_file in unfinished:
+            self.coordinator.q_stream.put(a_file)
+        return True
+
+    # --- run ------------------------------------------------------------------
+    def run(self):
+        self._log_startup()
+        self._launch_logger()
+
+        def shutdown_logger():
+            self.coordinator.q_log.put(
+                AssignLog(message='', level_str='INFO', terminate=True))
+            self.thread_logger.join()
+
+        if not self._check_manifest() or not self.queue_assignments():
+            shutdown_logger()
+            return
+
+        for _ in range(self.coordinator.streamers_total):
+            self.coordinator.q_stream.put('exit')
+
+        self._launch_writer()
+        self._launch_streamers()
+        self._launch_analyzers()
+
+        self.coordinator.wait_for_exit(
+            threads_streamers=self.threads_streamers,
+            threads_analyzers=self.threads_analyzers,
+            thread_writer=self.thread_writer)
+
+        self.timer_total.stop()
+        if self.coordinator.end_reason == 'completed':
+            self.coordinator.q_log.put(AssignLog(
+                message=(f'\nAll files analyzed and cleaned.\nTotal analysis '
+                         f'time: {self.timer_total.get_total():,}s'),
+                level_str='INFO'))
+        shutdown_logger()
+
+
+def analyze(modelname: str,
+            classes_out='all',
+            precision: float = None,
+            framehop_prop: float = 1,
+            chunklength: float = 200,
+            analyzers_cpu: int = 1,
+            analyzers_gpu: int = 0,
+            n_streamers: int = None,
+            stream_buffer_depth: int = None,
+            dir_audio: str = cfg.DIR_AUDIO,
+            dir_out: str = None,
+            verbosity_print: str = 'PROGRESS',
+            verbosity_log: str = 'DEBUG',
+            log_progress: bool = False,
+            q_gui=None,
+            event_stopanalysis=None,
+            compute_dtype=None):
+    """Analyze audio files with a buzz-detection model (kwarg-compatible with
+    the reference `analyze()`, `src/analyze.py:387-404`).
+
+    Parameters
+    ----------
+    modelname : name of the model directory under ``models/``.
+    classes_out : 'all' or a list of class names to output (activations mode).
+    precision : if set, output thresholded 0/1 ``ins_buzz`` detections at the
+        threshold achieving this precision on the model's metrics table.
+    framehop_prop : frame stride as a proportion of the 0.96 s frame
+        (1 = contiguous; 0.5 = half-overlapping; any positive value works).
+    chunklength : seconds of audio per device batch (rounded to whole frames).
+    analyzers_cpu / analyzers_gpu : number of inference dispatch threads
+        (names kept for API parity; on TPU their sum is what matters).
+    n_streamers : decode threads (default: sized from CPU count).
+    stream_buffer_depth : bounded prefetch ring depth (default: streamers*2).
+    dir_audio / dir_out : input tree and output directory.
+    verbosity_print / verbosity_log / log_progress : logging controls.
+    q_gui / event_stopanalysis : GUI integration hooks.
+    compute_dtype : optional jax dtype for the CNN (e.g. jnp.bfloat16 for
+        throughput; default float32 holds the 1e-3 parity budget).
+    """
+    coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
+                              analyzers_gpu=analyzers_gpu,
+                              streamers_total=n_streamers,
+                              depth=stream_buffer_depth,
+                              q_gui=q_gui,
+                              event_analysisdone=event_stopanalysis)
+    analyzer = Analyzer(modelname=modelname, classes_out=classes_out,
+                        precision=precision, framehop_prop=framehop_prop,
+                        chunklength=chunklength, dir_audio=dir_audio,
+                        dir_out=dir_out, verbosity_print=verbosity_print,
+                        verbosity_log=verbosity_log, log_progress=log_progress,
+                        coordinator=coordinator, compute_dtype=compute_dtype)
+    analyzer.run()
+    return analyzer

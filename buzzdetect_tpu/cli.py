@@ -1,0 +1,164 @@
+"""Command-line front-end.
+
+Flag parity with the reference CLI (`buzzdetect_cli.py:67-174`), including the
+interactive manifest-reconciliation prompt on resume conflicts.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.loglevels import loglevels
+from buzzdetect_tpu.manifest import build_manifest, read_manifest, diff_manifests
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ('yes', 'true', 't', 'y', '1'):
+        return True
+    if v.lower() in ('no', 'false', 'f', 'n', '0'):
+        return False
+    raise argparse.ArgumentTypeError('Boolean value expected.')
+
+
+def _resolve_dir_out(dir_out, modelname):
+    if dir_out is not None:
+        return dir_out
+    return os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), modelname,
+                        cfg.SUBDIR_OUTPUT)
+
+
+def _resolve_classes_out(modelname, classes_out):
+    if classes_out != 'all':
+        return classes_out
+    path = os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), modelname,
+                        'config_model.json')
+    with open(path) as f:
+        return json.load(f)['classes']
+
+
+def reconcile_with_manifest(modelname, dir_out, classes_out, precision,
+                            framehop_prop, assume_yes=False):
+    """If the output folder holds results from different settings, list the
+    conflicts and offer to adopt the existing settings (exit on decline)."""
+    existing = read_manifest(_resolve_dir_out(dir_out, modelname))
+    if existing is None:
+        return modelname, classes_out, precision, framehop_prop
+
+    resolved = (_resolve_classes_out(modelname, classes_out)
+                if precision is None else classes_out)
+    candidate = build_manifest(modelname, framehop_prop, precision, resolved)
+    conflicts = diff_manifests(existing, candidate)
+    if not conflicts:
+        return modelname, classes_out, precision, framehop_prop
+
+    print('The output folder already contains results from different settings:')
+    for c in conflicts:
+        print(f'  - {c}')
+
+    if assume_yes:
+        resp = 'y'
+    else:
+        resp = input('\nAdopt the existing settings and continue? [y/N]: ')
+        resp = resp.strip().lower()
+    if resp not in ('y', 'yes'):
+        print('Exiting without analyzing.')
+        sys.exit(0)
+
+    if existing['output_mode'] == 'detections':
+        return (existing['modelname'], 'all', existing['precision'],
+                existing['framehop_prop'])
+    return (existing['modelname'], existing['classes_out'], None,
+            existing['framehop_prop'])
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog='buzzdetect',
+        description='Analyze audio files using buzz detection machine '
+                    'learning models for bioacoustics (TPU-native)',
+    )
+    parser.add_argument('--modelname', required=True, type=str,
+                        help='Name of the model directory under models/')
+    parser.add_argument('--classes_out', required=False, default='all',
+                        type=str, nargs='*',
+                        help='Class names to output ("all" for every class); '
+                             'outputs raw activations')
+    parser.add_argument('--precision', required=False, default=None, type=float,
+                        help='Requested precision for binary buzz detections; '
+                             'mutually exclusive with activation output')
+    parser.add_argument('--framehop_prop', required=False, default=1,
+                        type=float,
+                        help='Frame stride as proportion of frame length '
+                             '(1 = contiguous, 0.5 = half-overlap)')
+    parser.add_argument('--chunklength', required=False, default=200,
+                        type=float, help='Audio chunk length in seconds')
+    parser.add_argument('--analyzers_cpu', required=False, default=1, type=int,
+                        help='Number of parallel inference dispatch threads')
+    parser.add_argument('--analyzers_gpu', required=False, default=0, type=int,
+                        help='Additional inference dispatch threads (parity '
+                             'flag; on TPU the sum is what matters)')
+    parser.add_argument('--n_streamers', required=False, default=None, type=int,
+                        help='Number of parallel audio decode threads')
+    parser.add_argument('--stream_buffer_depth', required=False, default=None,
+                        type=int, help='Chunks held in the prefetch ring')
+    parser.add_argument('--dir_audio', required=False, default='./audio_in',
+                        type=str, help='Directory containing audio to analyze')
+    parser.add_argument('--dir_out', required=False, default=None, type=str,
+                        help='Output directory (default: model output subdir)')
+    parser.add_argument('--verbosity_print', required=False, default='PROGRESS',
+                        type=str, choices=list(loglevels))
+    parser.add_argument('--verbosity_log', required=False, default='DEBUG',
+                        type=str, choices=list(loglevels))
+    parser.add_argument('--log_progress', required=False, default=False,
+                        type=str2bool,
+                        help='Write PROGRESS lines to the log file')
+    parser.add_argument('--bf16', action='store_true',
+                        help='Run the CNN in bfloat16 for throughput '
+                             '(scores may deviate beyond 1e-3)')
+    parser.add_argument('--yes', action='store_true',
+                        help='Answer yes to interactive prompts (resume '
+                             'reconciliation)')
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    classes_out = args.classes_out
+    if isinstance(classes_out, list) and classes_out == ['all']:
+        classes_out = 'all'
+
+    modelname, classes_out, precision, framehop_prop = reconcile_with_manifest(
+        modelname=args.modelname, dir_out=args.dir_out,
+        classes_out=classes_out, precision=args.precision,
+        framehop_prop=args.framehop_prop, assume_yes=args.yes)
+
+    compute_dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+        compute_dtype = jnp.bfloat16
+
+    from buzzdetect_tpu.analyze import analyze
+    analyze(modelname=modelname,
+            classes_out=classes_out,
+            precision=precision,
+            framehop_prop=framehop_prop,
+            chunklength=args.chunklength,
+            analyzers_cpu=args.analyzers_cpu,
+            analyzers_gpu=args.analyzers_gpu,
+            n_streamers=args.n_streamers,
+            stream_buffer_depth=args.stream_buffer_depth,
+            dir_audio=args.dir_audio,
+            dir_out=args.dir_out,
+            verbosity_print=args.verbosity_print,
+            verbosity_log=args.verbosity_log,
+            log_progress=args.log_progress,
+            compute_dtype=compute_dtype)
+
+
+if __name__ == '__main__':
+    main()

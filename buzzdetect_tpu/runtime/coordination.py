@@ -1,0 +1,190 @@
+"""Pipeline coordinator: queues, per-file completion tracking, exit protocol.
+
+Architecture parity with the reference coordinator
+(`src/pipeline/coordination.py:26-196`), which is a sound design worth
+keeping: the coordinator is the *single owner* of exit. Workers never poll a
+flag; they block on queue getters and stop when they receive an EXIT
+sentinel. On teardown (normal or early) the coordinator "poisons" each queue
+with one sentinel per consumer so every blocked `get()` wakes exactly once.
+
+Completion detection is exact: a per-file tracker records chunks in flight;
+the writer finalizes a file when its last chunk lands AND its stream is done.
+
+TPU adaptations: the bounded q_analyze is the host-side prefetch ring in
+front of the device (its depth bounds host RAM at roughly
+depth x chunklength x 4 bytes); worker sizing defaults reflect one XLA
+device fed by many GIL-free decode threads.
+"""
+
+import os
+import queue
+import threading
+
+from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignLog
+
+EXIT = 'exit'
+
+
+class ExitSignal:
+    def __init__(self, message, level, end_reason):
+        self.message = message
+        self.level = level
+        self.end_reason = end_reason
+
+
+class StreamTracker:
+    __slots__ = ('chunks_streamed', 'stream_in_progress')
+
+    def __init__(self):
+        self.chunks_streamed = []
+        self.stream_in_progress = True
+
+
+class Coordinator:
+    def __init__(self,
+                 analyzers_cpu: int = 1,
+                 analyzers_gpu: int = 0,
+                 streamers_total: int = None,
+                 depth: int = None,
+                 q_gui=None,
+                 event_analysisdone=None,
+                 q_earlyexit=None):
+        self.analyzers_cpu = analyzers_cpu
+        self.analyzers_gpu = analyzers_gpu
+        self.analyzers_total = analyzers_cpu + analyzers_gpu
+        self.streamers_total = (self._default_streamers()
+                                if streamers_total is None else streamers_total)
+        self.queue_depth = (self.streamers_total * 2
+                            if depth is None else depth)
+        self.q_gui = q_gui
+
+        self.assigned_chunks = {}
+        self._lock = threading.Lock()
+        self._exit_lock = threading.Lock()
+
+        self.q_log = queue.Queue()
+        self.q_stream = queue.Queue()
+        self.q_analyze = queue.Queue(maxsize=self.queue_depth)
+        self.q_write = queue.Queue()
+
+        self.streamers_done = threading.Event()
+        self.analyzers_done = threading.Event()
+        self.writer_done = threading.Event()
+
+        # external-stop hooks (multiprocessing primitives when run under a GUI)
+        self.event_exitanalysis = (event_analysisdone
+                                   if event_analysisdone is not None
+                                   else threading.Event())
+        self.q_earlyexit = q_earlyexit if q_earlyexit is not None else queue.Queue()
+
+        self.end_reason = None
+
+    def _default_streamers(self):
+        # decode must outrun the device: GIL-free native decode scales with
+        # cores, so default to a healthy pool per inferer
+        n_cpu = os.cpu_count() or 4
+        return max(2, min(4 * self.analyzers_total, n_cpu))
+
+    def log(self, msg, level_str):
+        self.q_log.put(AssignLog(message=f'coordinator: {msg}',
+                                 level_str=level_str))
+
+    # --- worker-facing queue API ------------------------------------------
+    def get_stream(self):
+        return self.q_stream.get()
+
+    def put_analyze(self, a_chunk: AssignChunk):
+        with self._lock:
+            tracker = self.assigned_chunks.setdefault(a_chunk.file.ident,
+                                                      StreamTracker())
+            tracker.chunks_streamed.append(a_chunk.chunk)
+            if a_chunk.last_chunk:
+                tracker.stream_in_progress = False
+
+        # bounded queue: block with a timeout so an exit request can't
+        # deadlock a streamer against a full queue
+        while True:
+            if self.event_exitanalysis.is_set():
+                return
+            try:
+                self.q_analyze.put(a_chunk, timeout=1)
+                return
+            except queue.Full:
+                continue
+
+    def get_analyze(self):
+        return self.q_analyze.get()
+
+    def put_write(self, a_chunk: AssignChunk):
+        self.q_write.put(a_chunk)
+
+    def get_write(self):
+        a_chunk = self.q_write.get()
+        if a_chunk == EXIT:
+            return EXIT
+        with self._lock:
+            tracker = self.assigned_chunks[a_chunk.file.ident]
+            tracker.chunks_streamed.remove(a_chunk.chunk)
+            fully_analyzed = (not tracker.chunks_streamed
+                              and not tracker.stream_in_progress)
+        return a_chunk, fully_analyzed
+
+    def mark_stream_finished(self, ident: str):
+        """Called by a streamer that ends a file without a final chunk
+        (e.g. exit mid-file), so completion tracking stays consistent."""
+        with self._lock:
+            tracker = self.assigned_chunks.setdefault(ident, StreamTracker())
+            tracker.stream_in_progress = False
+
+    # --- exit protocol -----------------------------------------------------
+    def _poison(self, q, n):
+        for _ in range(n):
+            q.put(EXIT)
+
+    def exit_analysis(self, exit_signal: ExitSignal):
+        """First caller wins; sets the exit event every worker checks."""
+        with self._exit_lock:
+            if self.end_reason is not None:
+                return
+            self.q_log.put(AssignLog(message=exit_signal.message,
+                                     level_str=exit_signal.level))
+            self.end_reason = exit_signal.end_reason
+            self.event_exitanalysis.set()
+
+    def wait_for_exit(self, threads_streamers, threads_analyzers,
+                      thread_writer):
+        def watch_workers():
+            for t in threads_streamers:
+                t.join()
+            self.log('streamers done', 'DEBUG')
+            self.streamers_done.set()
+            self._poison(self.q_analyze, self.analyzers_total)
+
+            for t in threads_analyzers:
+                t.join()
+            self.log('analyzers done', 'DEBUG')
+            self.analyzers_done.set()
+            self._poison(self.q_write, 1)
+
+            thread_writer.join()
+            self.log('writer done', 'DEBUG')
+            self.writer_done.set()
+
+            self.exit_analysis(ExitSignal(message='Analysis complete',
+                                          level='INFO',
+                                          end_reason='completed'))
+
+        def watch_earlyexit():
+            exit_message = self.q_earlyexit.get()
+            if exit_message == EXIT:
+                return  # internal release on normal completion
+            self.exit_analysis(ExitSignal(message=str(exit_message),
+                                          level='WARNING',
+                                          end_reason='interrupted'))
+            self._poison(self.q_stream, self.streamers_total)
+            self._poison(self.q_analyze, self.analyzers_total)
+            self._poison(self.q_write, 1)
+
+        threading.Thread(target=watch_workers, daemon=True).start()
+        threading.Thread(target=watch_earlyexit, daemon=True).start()
+        self.event_exitanalysis.wait()

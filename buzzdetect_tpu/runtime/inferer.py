@@ -1,0 +1,83 @@
+"""Inferer worker: chunk samples -> device dispatch -> results.
+
+Parity with the reference inferer (`src/inference/worker.py:9-92`): per-chunk
+analysis-rate PROGRESS reports (rate = audio-seconds per wall-second — the
+benchmark metric) and queue-starvation "BUFFER BOTTLENECK" reports that tell
+users to add streamers.
+
+TPU redesign: predictions dispatch asynchronously (JAX async dispatch) and the
+un-materialized device array rides the queue to the writer, so the device
+computes chunk N while this thread dequeues and dispatches chunk N+1 and the
+writer formats chunk N-1 — a three-stage pipeline without a scheduler.
+"""
+
+from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignLog
+from buzzdetect_tpu.utils import Timer
+
+
+class WorkerInferer:
+    def __init__(self, id_analyzer, model, coordinator, processor='TPU'):
+        self.id_analyzer = id_analyzer
+        self.processor = processor
+        self.model = model
+        self.coordinator = coordinator
+        self.timer_analysis = Timer()
+        self.timer_bottleneck = Timer()
+
+    def __call__(self):
+        self.run()
+
+    def log(self, msg, level_str):
+        self.coordinator.q_log.put(AssignLog(
+            message=f'analyzer {self.id_analyzer}: {msg}', level_str=level_str))
+
+    def report_rate(self, a_chunk: AssignChunk):
+        chunk_duration = a_chunk.chunk[1] - a_chunk.chunk[0]
+        self.timer_analysis.stop()
+        wall = max(self.timer_analysis.get_total(5), 1e-6)
+        digits = self.model.embedder.digits_time
+        self.log(f'analyzed {a_chunk.file.shortpath_audio}, chunk '
+                 f'({a_chunk.chunk[0]:.{digits}f}, {a_chunk.chunk[1]:.{digits}f}) '
+                 f'in {wall:.2f}s (rate: {chunk_duration / wall:.1f})',
+                 'PROGRESS')
+        self.timer_analysis.restart()
+
+    def report_bottleneck(self):
+        self.log(f'BUFFER BOTTLENECK: analyzer {self.id_analyzer} received '
+                 f'assignment after {round(self.timer_bottleneck.get_total(), 1)}s',
+                 'DEBUG')
+
+    def process_chunk(self, a_chunk: AssignChunk):
+        if hasattr(self.model, 'predict_async'):
+            a_chunk.results, a_chunk.n_valid = self.model.predict_async(
+                a_chunk.samples)
+        else:  # python-plugin models: synchronous predict
+            a_chunk.results = self.model.predict(a_chunk.samples)
+        a_chunk.samples = None  # release decode buffer early
+        self.coordinator.put_write(a_chunk)
+        self.report_rate(a_chunk)
+
+    def run(self):
+        self.log('launching', 'INFO')
+        self.model.initialize()
+        self.log(f'processing on {self.processor}', 'INFO')
+
+        self.timer_bottleneck.restart()
+        while True:
+            a_chunk = self.coordinator.get_analyze()
+            if a_chunk == 'exit':
+                break
+            self.timer_bottleneck.stop()
+            if self.timer_bottleneck.get_total() > 0.01:
+                self.report_bottleneck()
+            try:
+                self.process_chunk(a_chunk)
+            except Exception as e:
+                self.log(f'error analyzing {a_chunk.file.shortpath_audio} '
+                         f'chunk {a_chunk.chunk}: {e}', 'ERROR')
+                # keep the tracker consistent: hand the chunk to the writer
+                # with empty results so completion detection still fires
+                a_chunk.results = None
+                self.coordinator.put_write(a_chunk)
+            self.timer_bottleneck.restart()
+        self.log('terminating', 'DEBUG')

@@ -1,0 +1,151 @@
+"""Streamer worker: file -> resumable chunk list -> decoded sample buffers.
+
+Behavioral parity with the reference streamer (`src/stream/worker.py:20-165`):
+resume-gap computation from partial CSVs, skip-finished / skip-tiny files,
+self-heal of uncleaned completed partials, truncated-audio handling with the
+BAD_READ_ALLOWANCE severity split, opportunistic mid-file exit.
+
+TPU-era difference: the native decode stage returns mono float32 at the model
+rate directly (downmix+resample fused into decode, off the GIL), so the hot
+loop here is just read -> enqueue. Chunk positions are in model-rate samples.
+"""
+
+import os
+
+import numpy as np
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.audio import build_track, get_duration
+from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignFile, AssignLog
+from buzzdetect_tpu.write.coverage import (coverage_from_csv, get_gaps,
+                                           smooth_gaps, gaps_to_chunklist)
+
+
+class WorkerStreamer:
+    def __init__(self, id_streamer, model, chunklength, coordinator):
+        self.id_streamer = id_streamer
+        self.model = model
+        self.coordinator = coordinator
+        self.chunklength = chunklength
+        self.framelength_s = model.embedder.framelength_s
+        self.resample_rate = model.embedder.samplerate
+
+    def __call__(self):
+        self.run()
+
+    def log(self, msg, level_str):
+        self.coordinator.q_log.put(AssignLog(
+            message=f'streamer {self.id_streamer}: {msg}', level_str=level_str))
+
+    def handle_bad_read(self, a_file: AssignFile):
+        """Truncated/corrupt audio mid-read: classify severity by how much of
+        the file is lost (recorders dying at file end are routine)."""
+        final_second = a_file.track.tell() / a_file.track.samplerate
+        msg = (f'Unreadable audio at {round(final_second, 1)}s out of '
+               f'{round(a_file.duration_audio, 1)}s for {a_file.shortpath_audio}.')
+        if 1 - (final_second / a_file.duration_audio) > cfg.BAD_READ_ALLOWANCE:
+            level = 'WARNING'
+            msg += '\nAborting early due to corrupt audio data.'
+        else:
+            level = 'DEBUG'
+            msg += '\nBad audio is near file end, results should be mostly unaffected.'
+        self.log(msg, level)
+
+    def _chunk_file(self, a_file: AssignFile):
+        """Open the track and compute the (resume-aware) chunk list."""
+        if os.path.exists(a_file.path_results_complete):
+            self.log(f'Skipping {a_file.shortpath_audio}; already analyzed',
+                     'DEBUG')
+            a_file.chunklist = []
+            return
+
+        if os.path.getsize(a_file.path_audio) < cfg.FILE_SIZE_MINIMUM:
+            self.log(f'Skipping {a_file.shortpath_audio}; below minimum '
+                     f'analyzeable size', 'DEBUG')
+            a_file.chunklist = []
+            return
+
+        a_file.track = build_track(a_file.path_audio,
+                                   target_rate=self.resample_rate)
+        a_file.duration_audio = get_duration(a_file.track)
+
+        if not os.path.exists(a_file.path_results_partial):
+            gaps = [(0.0, a_file.duration_audio)]
+        else:
+            coverage = coverage_from_csv(a_file.path_results_partial,
+                                         self.framelength_s)
+            gaps = get_gaps((0, a_file.duration_audio), coverage)
+            gaps = smooth_gaps(gaps, (0, a_file.duration_audio),
+                               framelength=self.framelength_s,
+                               gap_tolerance=self.framelength_s / 4)
+            if not gaps:
+                # finished but never finalized (e.g. killed mid-cleanup):
+                # self-heal by finalizing now
+                self.log(f'Discovered non-cleaned file at '
+                         f'{a_file.shortpath_audio}; cleaning results', 'DEBUG')
+                from buzzdetect_tpu.runtime.writer import finalize_partial
+                finalize_partial(a_file.path_results_partial,
+                                 a_file.path_results_complete)
+                a_file.chunklist = []
+                return
+
+        a_file.chunklist = gaps_to_chunklist(gaps, self.chunklength)
+
+    def queue_chunk(self, a_file: AssignFile, chunk, force_last=False) -> bool:
+        """Decode one chunk and enqueue it. Returns False to stop the file."""
+        rate = a_file.track.samplerate
+        sample_from = int(chunk[0] * rate)
+        sample_to = int(chunk[1] * rate)
+        read_size = sample_to - sample_from
+
+        a_file.track.seek(sample_from)
+        samples = a_file.track.read(read_size, dtype=np.float32)
+
+        if len(samples) < read_size:
+            self.handle_bad_read(a_file)
+            chunk = (chunk[0], round(chunk[0] + len(samples) / rate, 1))
+            continue_file = False
+            if len(samples) == 0:
+                return False
+        else:
+            continue_file = True
+
+        a_chunk = AssignChunk(file=a_file, chunk=chunk, samples=samples,
+                              last_chunk=force_last or not continue_file)
+        self.coordinator.put_analyze(a_chunk)
+        return continue_file
+
+    def stream_to_queue(self, a_file: AssignFile):
+        try:
+            self._chunk_file(a_file)
+            if not a_file.chunklist:
+                # nothing to do: make sure the tracker can't dangle
+                self.coordinator.mark_stream_finished(a_file.ident)
+                return
+            last_index = len(a_file.chunklist) - 1
+            for i, chunk in enumerate(a_file.chunklist):
+                # decode can be slow; bail opportunistically on exit
+                if self.coordinator.event_exitanalysis.is_set():
+                    self.coordinator.mark_stream_finished(a_file.ident)
+                    return
+                if not self.queue_chunk(a_file, chunk,
+                                        force_last=(i == last_index)):
+                    self.coordinator.mark_stream_finished(a_file.ident)
+                    break
+        except Exception as e:  # corrupt containers must not kill the worker
+            self.log(f'error streaming {a_file.shortpath_audio}: {e}', 'ERROR')
+            self.coordinator.mark_stream_finished(a_file.ident)
+        finally:
+            if a_file.track is not None:
+                a_file.track.close()
+                a_file.track = None
+
+    def run(self):
+        self.log('launching', 'INFO')
+        while True:
+            a_file = self.coordinator.get_stream()
+            if a_file == 'exit':
+                break
+            self.log(f'buffering {a_file.shortpath_audio}', 'INFO')
+            self.stream_to_queue(a_file)
+        self.log('terminating', 'INFO')

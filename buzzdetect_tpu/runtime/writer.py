@@ -1,0 +1,94 @@
+"""Writer worker: results -> partial CSV appends -> finalized result files.
+
+This is the checkpoint authority (parity: reference `src/write/worker.py:10-100`):
+each chunk's rows append to ``<ident>_buzzpart.csv`` (header only on create) —
+that append IS the unit of resumable progress — and when a file's last chunk
+lands the partial is read back, sorted by start time, written to
+``<ident>_buzzdetect.csv`` and the partial removed.
+"""
+
+import csv
+import os
+
+import numpy as np
+
+from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignLog
+from buzzdetect_tpu.write.formatting import format_activations, format_detections
+
+
+def finalize_partial(path_partial: str, path_complete: str):
+    """Sort a partial result CSV by start time and promote it to complete."""
+    with open(path_partial, 'r', newline='') as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        rows = [r for r in reader if r]
+    idx = header.index('start')
+    rows.sort(key=lambda r: float(r[idx]))
+    with open(path_complete, 'w', newline='') as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    os.remove(path_partial)
+
+
+class WorkerWriter:
+    def __init__(self, classes_out, threshold, classes, framehop_s,
+                 digits_time, dir_audio, dir_out, digits_results, coordinator):
+        self.coordinator = coordinator
+        self.digits_time = digits_time
+
+        if threshold is None:
+            def format_func(results, time_start):
+                return format_activations(
+                    results=results, classes=classes, framehop_s=framehop_s,
+                    digits_time=digits_time, time_start=time_start,
+                    classes_keep=classes_out, digits_results=digits_results)
+        else:
+            def format_func(results, time_start):
+                return format_detections(
+                    results, threshold, classes, framehop_s, digits_time,
+                    time_start)
+        self.format = format_func
+
+    def __call__(self):
+        self.run()
+
+    def log(self, msg, level_str):
+        self.coordinator.q_log.put(AssignLog(message=f'writer: {msg}',
+                                             level_str=level_str))
+
+    def write_results(self, a_chunk: AssignChunk, fully_analyzed: bool):
+        if a_chunk.results is not None:
+            # materializing here is what syncs with the device — by this
+            # point the inferer has already dispatched the next chunk
+            results = np.asarray(a_chunk.results)
+            if a_chunk.n_valid is not None:
+                results = results[:a_chunk.n_valid]
+            table = self.format(results=results, time_start=a_chunk.chunk[0])
+
+            path_partial = a_chunk.file.path_results_partial
+            os.makedirs(os.path.dirname(path_partial) or '.', exist_ok=True)
+            file_exists = os.path.exists(path_partial)
+            with open(path_partial, 'a', newline='') as f:
+                f.write(table.render_csv(self.digits_time,
+                                         include_header=not file_exists))
+
+        if fully_analyzed and os.path.exists(a_chunk.file.path_results_partial):
+            finalize_partial(a_chunk.file.path_results_partial,
+                             a_chunk.file.path_results_complete)
+            self.log(f'finalized {a_chunk.file.shortpath_results_complete}',
+                     'DEBUG')
+
+    def run(self):
+        self.log('launching', 'INFO')
+        while True:
+            item = self.coordinator.get_write()
+            if item == 'exit':
+                break
+            a_chunk, fully_analyzed = item
+            try:
+                self.write_results(a_chunk, fully_analyzed)
+            except Exception as e:
+                self.log(f'error writing {a_chunk.file.shortpath_audio}: {e}',
+                         'ERROR')
+        self.log('terminating', 'DEBUG')

