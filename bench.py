@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark: realtime factor (audio-seconds analyzed per wall-second) on one
+chip — the reference's own runtime metric (rate logs at reference
+`src/inference/worker.py:54-65`), against the BASELINE.json north star of
+100x realtime per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Method: stream N full-length chunks of synthetic audio through the flagship
+model's fused classify graph exactly as the pipeline's inferer does (async
+dispatch, materialize on collection). Decode is benchmarked separately via
+--mode pipeline (full CLI path over generated WAV files).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_REALTIME = 100.0  # north star: >=100x realtime per v5e chip
+
+
+def bench_device(chunklength: float, n_chunks: int, framehop: float,
+                 bf16: bool):
+    import numpy as np
+    import jax
+    from buzzdetect_tpu.models.registry import load_model
+
+    compute_dtype = None
+    if bf16:
+        import jax.numpy as jnp
+        compute_dtype = jnp.bfloat16
+
+    model = load_model('model_general_v3', framehop_prop=framehop,
+                       initialize=True, compute_dtype=compute_dtype)
+    fl = model.embedder.framelength_s
+    chunklength = round(chunklength / fl) * fl
+    n_samples = int(chunklength * 16000)
+
+    rng = np.random.default_rng(0)
+    chunks = [rng.standard_normal(n_samples).astype(np.float32) * 0.1
+              for _ in range(min(n_chunks, 4))]
+
+    # compile + warm
+    out, n_valid = model.predict_async(chunks[0])
+    np.asarray(out)
+
+    t0 = time.perf_counter()
+    futures = []
+    for i in range(n_chunks):
+        out, n_valid = model.predict_async(chunks[i % len(chunks)])
+        futures.append(out)
+    for f in futures:
+        f.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    audio_seconds = chunklength * n_chunks
+    return audio_seconds / wall
+
+
+def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float):
+    """Full path: WAV decode -> pipeline -> CSV (host + device)."""
+    import tempfile
+    import numpy as np
+    from buzzdetect_tpu.analyze import analyze
+    from tests.audio_fixtures import write_wav  # noqa: deliberate reuse
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        dir_audio = os.path.join(td, 'audio')
+        os.makedirs(dir_audio)
+        n = int(seconds_per_file * 16000)
+        for i in range(n_files):
+            write_wav(os.path.join(dir_audio, f'f{i}.wav'),
+                      (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)
+        dir_out = os.path.join(td, 'out')
+        t0 = time.perf_counter()
+        analyze(modelname='model_general_v3', dir_audio=dir_audio,
+                dir_out=dir_out, chunklength=chunklength,
+                verbosity_print='ERROR')
+        wall = time.perf_counter() - t0
+    return n_files * seconds_per_file / wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--mode', choices=['device', 'pipeline'], default='device')
+    ap.add_argument('--chunklength', type=float, default=200.0)
+    ap.add_argument('--chunks', type=int, default=20)
+    ap.add_argument('--framehop', type=float, default=1.0)
+    ap.add_argument('--bf16', action='store_true')
+    ap.add_argument('--files', type=int, default=4)
+    ap.add_argument('--seconds-per-file', type=float, default=300.0)
+    args = ap.parse_args()
+
+    if args.mode == 'device':
+        value = bench_device(args.chunklength, args.chunks, args.framehop,
+                             args.bf16)
+        metric = 'realtime_factor_device'
+    else:
+        value = bench_pipeline(args.chunklength, args.files,
+                               args.seconds_per_file)
+        metric = 'realtime_factor_pipeline'
+
+    print(json.dumps({
+        'metric': metric,
+        'value': round(value, 2),
+        'unit': 'audio-seconds per wall-second per chip',
+        'vs_baseline': round(value / BASELINE_REALTIME, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

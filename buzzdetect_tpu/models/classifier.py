@@ -27,11 +27,42 @@ from buzzdetect_tpu.models import yamnet as yamnet_lib
 from buzzdetect_tpu.models.heads import apply_head
 
 
-@partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first-compile of the fused graph can
+    take tens of seconds on TPU; cache it across processes."""
+    import os
+    if jax.config.jax_compilation_cache_dir is None:
+        cache = os.environ.get(
+            'BUZZDETECT_XLA_CACHE',
+            os.path.join(os.path.expanduser('~'), '.cache',
+                         'buzzdetect_tpu', 'xla'))
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update('jax_compilation_cache_dir', cache)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        except Exception:
+            pass  # cache is an optimization, never a requirement
+
+
+_enable_compilation_cache()
+
+
+@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh'))
 def _classify_padded(params, waveform, cfg: FrontendConfig,
-                     compute_dtype=jnp.float32):
-    """Already-padded 1-D waveform -> (n_patches, n_classes) activations."""
+                     compute_dtype=jnp.float32, mesh=None):
+    """Already-padded 1-D waveform -> (n_patches, n_classes) activations.
+
+    With a mesh, the patch axis is sharded over 'data' (pure data
+    parallelism: patches are independent, so the conv stack partitions with
+    zero collectives; XLA only all-gathers the small activation rows at the
+    output). The cheap frontend stays replicated — sharding the raw waveform
+    would force halo exchanges across the overlapping STFT frames.
+    """
     patches = log_mel_patches(waveform, cfg)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        patches = jax.lax.with_sharding_constraint(
+            patches, NamedSharding(mesh, P('data', None, None)))
     embeddings = yamnet_lib.embed(params['yamnet'], patches,
                                   compute_dtype=compute_dtype)
     return apply_head(params['head'], embeddings)
@@ -58,11 +89,13 @@ class ChunkClassifier:
     MAX_PAD_WASTE = 2.0
 
     def __init__(self, arrays: dict, framehop_prop: float = 1.0,
-                 compute_dtype=jnp.float32, device=None, sharding=None):
+                 compute_dtype=jnp.float32, device=None, sharding=None,
+                 mesh=None):
         self.cfg = FrontendConfig().with_framehop(framehop_prop)
         self.compute_dtype = compute_dtype
         self.device = device
         self.sharding = sharding
+        self.mesh = mesh
 
         yam = {k.split('/', 1)[1]: np.asarray(v, np.float32)
                for k, v in arrays.items() if k.startswith('yamnet/')}
@@ -113,7 +146,7 @@ class ChunkClassifier:
         if self.sharding is not None:
             wav = jax.device_put(wav, self.sharding)
         out = _classify_padded(self._device_params(), wav, self.cfg,
-                               self.compute_dtype)
+                               self.compute_dtype, self.mesh)
         return np.asarray(out)[:n_valid]
 
     def predict_async(self, samples: np.ndarray):
@@ -130,7 +163,7 @@ class ChunkClassifier:
         if self.sharding is not None:
             wav = jax.device_put(wav, self.sharding)
         out = _classify_padded(self._device_params(), wav, self.cfg,
-                               self.compute_dtype)
+                               self.compute_dtype, self.mesh)
         return out, n_valid
 
     def embed(self, samples: np.ndarray) -> np.ndarray:

@@ -120,7 +120,7 @@ class BundleModel(BaseModel):
     waveform->scores path is one fused jit graph via :class:`ChunkClassifier`."""
 
     def __init__(self, dir_model: str, framehop_prop: float = 1.0,
-                 compute_dtype=None, sharding=None):
+                 compute_dtype=None, sharding=None, mesh=None):
         self.dir_model = dir_model
         self.framehop_prop = framehop_prop
         self.modelname = os.path.basename(dir_model.rstrip('/'))
@@ -130,6 +130,7 @@ class BundleModel(BaseModel):
         self.digits_results = self.config.get('digits_results', 2)
         self._compute_dtype = compute_dtype
         self._sharding = sharding
+        self._mesh = mesh
         self.classifier = None
 
         # embedder metadata without loading weights twice: the bundle IS the
@@ -147,7 +148,8 @@ class BundleModel(BaseModel):
         self.classifier = ChunkClassifier(arrays,
                                           framehop_prop=self.framehop_prop,
                                           compute_dtype=dtype,
-                                          sharding=self._sharding)
+                                          sharding=self._sharding,
+                                          mesh=self._mesh)
         self.embedder._classifier = self.classifier
 
     def predict(self, samples):
@@ -193,7 +195,7 @@ def load_embedder(embeddername: str, framehop_prop: float = 1.0) -> BaseEmbedder
 
 def load_model(modelname: str, framehop_prop: float = 1.0,
                initialize: bool = False, compute_dtype=None,
-               sharding=None) -> BaseModel:
+               sharding=None, mesh=None) -> BaseModel:
     """Resolve a model by directory name.
 
     ``models/<name>/model.npz`` -> built-in BundleModel (fused XLA graph);
@@ -207,7 +209,8 @@ def load_model(modelname: str, framehop_prop: float = 1.0,
 
     if os.path.exists(os.path.join(dir_model, 'model.npz')):
         model = BundleModel(dir_model, framehop_prop,
-                            compute_dtype=compute_dtype, sharding=sharding)
+                            compute_dtype=compute_dtype, sharding=sharding,
+                            mesh=mesh)
     elif os.path.exists(os.path.join(dir_model, 'model.py')):
         klass = _import_plugin(os.path.join(dir_model, 'model.py'), BaseModel)
         model = klass(dir_model, framehop_prop)

@@ -1,0 +1,2 @@
+from buzzdetect_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, data_sharding, replicated_sharding, shard_files)

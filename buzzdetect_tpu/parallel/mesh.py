@@ -1,0 +1,65 @@
+"""Device mesh and sharding helpers for multi-chip / multi-host scale-out.
+
+Design (SURVEY.md §2c): inference is pure data parallelism —
+* within a host, a chunk's patches shard across local chips on the 'data'
+  mesh axis (XLA partitions the conv stack; no collectives needed until the
+  head, and even there the batch axis stays sharded);
+* across hosts, *files* shard by a stable hash — combined with the
+  filesystem-based resume protocol (partial CSVs + manifest), hosts are
+  coordination-free, exactly like the reference's one-streamer-one-file
+  design scaled out (`src/analyze.py:179-194`).
+
+The model is ~3 M params: weights are replicated (tensor parallelism would
+be pure overhead at this size); the classifier's sharding hooks accept any
+NamedSharding, so a larger embedder could shard conv channels over ICI
+without touching the pipeline.
+"""
+
+import hashlib
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int = None, axis: str = 'data',
+              devices=None) -> Mesh:
+    """A 1-D data-parallel mesh over local (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = 'data',
+                  sharded_dim: int = 0) -> NamedSharding:
+    """Shard dimension ``sharded_dim`` of an ndim-array over the data axis."""
+    spec = [None] * ndim
+    spec[sharded_dim] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_files(paths, host_id: int = None, n_hosts: int = None):
+    """Deterministically assign files to this host (multi-host DP).
+
+    Stable across runs and independent of listing order, so interrupted
+    multi-host jobs resume with the same assignment. Hosts need no
+    communication: completion state lives in the shared output directory.
+    """
+    if host_id is None:
+        host_id = jax.process_index()
+    if n_hosts is None:
+        n_hosts = jax.process_count()
+    if n_hosts <= 1:
+        return list(paths)
+    mine = []
+    for p in paths:
+        digest = hashlib.sha1(str(p).encode()).digest()
+        if int.from_bytes(digest[:4], 'big') % n_hosts == host_id:
+            mine.append(p)
+    return mine

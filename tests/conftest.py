@@ -14,3 +14,10 @@ if 'xla_force_host_platform_device_count' not in _flags:
 # keep TF (used as the golden-parity oracle) quiet and off any accelerator
 os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '2')
 os.environ.setdefault('CUDA_VISIBLE_DEVICES', '')
+
+# the image preloads an 'axon' TPU platform that overrides the JAX_PLATFORMS
+# env var; pin the config explicitly so tests really run on the CPU mesh
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert len(jax.devices()) >= 8, 'virtual CPU device mesh not active'
