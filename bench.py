@@ -62,7 +62,12 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
 
 
 def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float):
-    """Full path: WAV decode -> pipeline -> CSV (host + device)."""
+    """Full path: WAV decode -> pipeline -> CSV (host + device).
+
+    A warmup pass first runs one file through analyze() so backend
+    initialization and XLA compilation (one-time costs, cached) stay out of
+    the steady-state measurement.
+    """
     import tempfile
     import numpy as np
     from buzzdetect_tpu.analyze import analyze
@@ -70,9 +75,17 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float):
 
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as td:
+        warm_audio = os.path.join(td, 'warm')
+        os.makedirs(warm_audio)
+        n = int(seconds_per_file * 16000)
+        write_wav(os.path.join(warm_audio, 'w.wav'),
+                  (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)
+        analyze(modelname='model_general_v3', dir_audio=warm_audio,
+                dir_out=os.path.join(td, 'warm_out'),
+                chunklength=chunklength, verbosity_print='ERROR')
+
         dir_audio = os.path.join(td, 'audio')
         os.makedirs(dir_audio)
-        n = int(seconds_per_file * 16000)
         for i in range(n_files):
             write_wav(os.path.join(dir_audio, f'f{i}.wav'),
                       (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)

@@ -1,0 +1,127 @@
+"""Settings window: validated form -> launch analysis.
+
+Parity: reference `src/gui/settings.py:16-531` — defaults from the analyze()
+signature / guisettings.json cache, inline validation, advanced-settings
+section, and manifest-driven locking of schema fields when the output folder
+already holds results.
+"""
+
+import tkinter as tk
+from tkinter import ttk
+
+from buzzdetect_tpu.gui import config as gui_cfg
+from buzzdetect_tpu.gui.viewmodel import (SettingsModel, BASIC_FIELDS,
+                                          ADVANCED_FIELDS)
+from buzzdetect_tpu.gui.widgets import (TextEntry, FilePathEntry,
+                                        CheckBoxEntry, DropDownEntry)
+from buzzdetect_tpu.loglevels import loglevels
+from buzzdetect_tpu.validation import validate_map
+
+
+class AnalysisSettings(tk.Tk):
+    def __init__(self, model: SettingsModel = None):
+        super().__init__()
+        self.title('buzzdetect — settings')
+        self.model = model or SettingsModel()
+        self.entries = {}
+
+        container = ttk.Frame(self)
+        container.pack(fill='both', expand=True, padx=12, pady=12)
+
+        ttk.Label(container, text='Analysis settings',
+                  font=(gui_cfg.FONT_FAMILY, gui_cfg.FONT_SIZE_TITLE)
+                  ).pack(anchor='w')
+
+        self._build_fields(container, BASIC_FIELDS)
+
+        self.advanced_open = tk.BooleanVar(value=False)
+        ttk.Checkbutton(container, text='Advanced settings',
+                        variable=self.advanced_open,
+                        command=self._toggle_advanced).pack(anchor='w',
+                                                            pady=(8, 0))
+        self.advanced_frame = ttk.Frame(container)
+        self._build_fields(self.advanced_frame, ADVANCED_FIELDS)
+
+        self.launch_button = ttk.Button(container, text='Analyze',
+                                        command=self.launch)
+        self.launch_button.pack(anchor='e', pady=8)
+
+        self._load_values()
+        self._apply_lock()
+
+    def _widget_for(self, name, parent):
+        validator = validate_map.get(name)
+        if name in ('dir_audio', 'dir_out'):
+            return FilePathEntry(parent, name, validator, self._on_change)
+        if name in ('verbosity_print', 'verbosity_log'):
+            return DropDownEntry(parent, name, list(loglevels), validator,
+                                 self._on_change)
+        if name == 'log_progress':
+            return CheckBoxEntry(parent, name, None, self._on_change)
+        return TextEntry(parent, name, validator, self._on_change)
+
+    def _build_fields(self, parent, names):
+        for name in names:
+            w = self._widget_for(name, parent)
+            w.pack(fill='x', pady=2)
+            self.entries[name] = w
+
+    def _toggle_advanced(self):
+        if self.advanced_open.get():
+            self.advanced_frame.pack(fill='x')
+        else:
+            self.advanced_frame.pack_forget()
+
+    def _load_values(self):
+        for name, w in self.entries.items():
+            value = self.model.values.get(name)
+            if isinstance(value, list):
+                value = ' '.join(value)
+            w.set(value)
+
+    def _apply_lock(self):
+        """Disable schema-determining controls when the output folder's
+        manifest pins them (the resume-compatibility lock)."""
+        locked = self.model.apply_manifest_lock()
+        for name in locked:
+            if name in self.entries:
+                self.entries[name].set(self.model.values[name]
+                                       if not isinstance(
+                                           self.model.values[name], list)
+                                       else ' '.join(self.model.values[name]))
+                self.entries[name].set_enabled(False)
+
+    def _on_change(self):
+        self._pull_values()
+        self._apply_lock()
+
+    def _pull_values(self):
+        for name, w in self.entries.items():
+            raw = w.get()
+            default = self.model.values.get(name)
+            if raw == '' and name in ('dir_out', 'precision', 'n_streamers',
+                                      'stream_buffer_depth'):
+                self.model.values[name] = None
+                continue
+            if isinstance(default, bool):
+                self.model.values[name] = bool(raw)
+            elif isinstance(default, int) and not isinstance(default, bool):
+                try:
+                    self.model.values[name] = int(raw)
+                except (TypeError, ValueError):
+                    self.model.values[name] = raw
+            elif isinstance(default, float):
+                try:
+                    self.model.values[name] = float(raw)
+                except (TypeError, ValueError):
+                    self.model.values[name] = raw
+            else:
+                self.model.values[name] = raw
+
+    def launch(self):
+        self._pull_values()
+        if not all(w.validate() for w in self.entries.values()):
+            return
+        self.model.save_cache()
+        from buzzdetect_tpu.gui.analysis import AnalysisWindow
+        AnalysisWindow(self, self.model.analyze_kwargs())

@@ -1,0 +1,123 @@
+"""GUI view-model: settings state, defaults, validation and cache — all the
+GUI logic that doesn't touch a toolkit, so it runs (and tests) headless.
+
+Behavior parity with the reference settings window logic
+(`src/gui/settings.py:16-285`): defaults introspected from ``analyze()``'s
+signature, overridden by a ``guisettings.json`` cache; per-field validation
+through ``validate_map``; and manifest-driven *locking* of schema-determining
+fields when the chosen output folder already holds results.
+"""
+
+import inspect
+import json
+import os
+
+from buzzdetect_tpu.gui import config as gui_cfg
+from buzzdetect_tpu.manifest import read_manifest, KEYS_LOCKED
+from buzzdetect_tpu.validation import validate_map, ArgValid
+
+# fields shown in the basic settings form, in display order
+BASIC_FIELDS = ('modelname', 'dir_audio', 'dir_out', 'classes_out',
+                'precision', 'framehop_prop')
+ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
+                   'n_streamers', 'stream_buffer_depth', 'verbosity_print',
+                   'verbosity_log', 'log_progress')
+
+
+def analysis_defaults():
+    """Default settings straight from the analyze() signature (single source
+    of truth — the GUI can never drift from the API)."""
+    from buzzdetect_tpu.analyze import analyze
+    sig = inspect.signature(analyze)
+    defaults = {}
+    for name, p in sig.parameters.items():
+        if p.default is not inspect.Parameter.empty:
+            defaults[name] = p.default
+    defaults.setdefault('modelname', '')
+    return defaults
+
+
+class SettingsModel:
+    """State + validation + persistence for the settings form."""
+
+    def __init__(self, path_cache: str = None):
+        self.path_cache = path_cache or gui_cfg.FNAME_GUISETTINGS
+        self.values = analysis_defaults()
+        self.load_cache()
+
+    # --- persistence ------------------------------------------------------
+    def load_cache(self):
+        if os.path.exists(self.path_cache):
+            try:
+                with open(self.path_cache) as f:
+                    cached = json.load(f)
+                self.values.update({k: v for k, v in cached.items()
+                                    if k in self.values})
+            except (json.JSONDecodeError, OSError):
+                pass  # a corrupt cache must never block the GUI
+
+    def save_cache(self):
+        serializable = {k: v for k, v in self.values.items()
+                        if isinstance(v, (str, int, float, bool, list,
+                                          type(None)))}
+        with open(self.path_cache, 'w') as f:
+            json.dump(serializable, f, indent=2)
+
+    # --- validation -------------------------------------------------------
+    def validate_field(self, name) -> ArgValid:
+        validator = validate_map.get(name)
+        if validator is None:
+            return ArgValid(True, None)
+        value = self.values.get(name)
+        if name == 'dir_out' and value is None:
+            return ArgValid(True, None)
+        return validator(value)
+
+    def validate_all(self):
+        """{field: ArgValid} for every known field."""
+        return {name: self.validate_field(name)
+                for name in (*BASIC_FIELDS, *ADVANCED_FIELDS)
+                if name in validate_map}
+
+    def ready(self) -> bool:
+        return all(v.valid for v in self.validate_all().values())
+
+    # --- manifest locking -----------------------------------------------------
+    def resolved_dir_out(self):
+        from buzzdetect_tpu import config as cfg
+        if self.values.get('dir_out'):
+            return self.values['dir_out']
+        model = self.values.get('modelname') or cfg.DEFAULT_MODEL
+        return os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), model,
+                            cfg.SUBDIR_OUTPUT)
+
+    def locked_fields(self):
+        """Schema-determining fields that must not change because the output
+        folder already holds results; returns {} when unconstrained."""
+        manifest = read_manifest(self.resolved_dir_out())
+        if manifest is None:
+            return {}
+        locked = {}
+        for key in KEYS_LOCKED:
+            if key in manifest and key != 'output_mode':
+                locked[key] = manifest[key]
+        return locked
+
+    def apply_manifest_lock(self):
+        """Adopt locked values from the existing manifest into the form."""
+        locked = self.locked_fields()
+        for key, value in locked.items():
+            if value is not None and key in self.values:
+                self.values[key] = value
+        return locked
+
+    # --- launch -----------------------------------------------------------------
+    def analyze_kwargs(self):
+        """The kwargs dict to hand to analyze()."""
+        kwargs = dict(self.values)
+        if isinstance(kwargs.get('classes_out'), str) \
+                and kwargs['classes_out'] != 'all':
+            kwargs['classes_out'] = [s for s in
+                                     kwargs['classes_out'].replace(',', ' ')
+                                     .split() if s]
+        return kwargs

@@ -58,6 +58,11 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
     output). The cheap frontend stays replicated — sharding the raw waveform
     would force halo exchanges across the overlapping STFT frames.
     """
+    if waveform.dtype == jnp.int16:
+        # int16 wire format: audio is 16-bit at the source, so shipping
+        # int16 and scaling on device halves host->HBM traffic (the
+        # pipeline's actual bottleneck) at -96 dB quantization noise
+        waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
     patches = log_mel_patches(waveform, cfg)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -71,6 +76,8 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
 @partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
 def _embed_padded(params, waveform, cfg: FrontendConfig,
                   compute_dtype=jnp.float32):
+    if waveform.dtype == jnp.int16:
+        waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
     patches = log_mel_patches(waveform, cfg)
     return yamnet_lib.embed(params['yamnet'], patches,
                             compute_dtype=compute_dtype)
@@ -90,9 +97,12 @@ class ChunkClassifier:
 
     def __init__(self, arrays: dict, framehop_prop: float = 1.0,
                  compute_dtype=jnp.float32, device=None, sharding=None,
-                 mesh=None):
+                 mesh=None, transfer_dtype='float32'):
         self.cfg = FrontendConfig().with_framehop(framehop_prop)
         self.compute_dtype = compute_dtype
+        self.transfer_dtype = np.dtype(transfer_dtype)
+        if self.transfer_dtype not in (np.dtype('float32'), np.dtype('int16')):
+            raise ValueError('transfer_dtype must be float32 or int16')
         self.device = device
         self.sharding = sharding
         self.mesh = mesh
@@ -128,9 +138,16 @@ class ChunkClassifier:
         return need
 
     def _pad_to(self, samples: np.ndarray, target: int):
+        """Pad to the compiled length, converting to the wire dtype."""
+        if self.transfer_dtype == np.dtype('int16'):
+            if samples.dtype != np.int16:
+                samples = (np.clip(samples, -1.0, 1.0) * 32767.0
+                           ).round().astype(np.int16)
+        elif samples.dtype != np.float32:
+            samples = samples.astype(np.float32)
         if len(samples) == target:
             return samples
-        out = np.zeros(target, dtype=np.float32)
+        out = np.zeros(target, dtype=samples.dtype)
         out[:len(samples)] = samples
         return out
 
@@ -139,7 +156,7 @@ class ChunkClassifier:
         """16 kHz mono float32 samples -> (n_patches, n_classes) activations."""
         if 'head' not in self.params:
             raise ValueError('this bundle has no classifier head; use embed()')
-        samples = np.asarray(samples, dtype=np.float32)
+        samples = np.asarray(samples)
         n_valid = num_patches(len(samples), self.cfg)
         target = self._target_length(len(samples))
         wav = self._pad_to(samples, target)
@@ -157,7 +174,7 @@ class ChunkClassifier:
         device compute (the TPU version of the reference's bounded
         stream->infer queue overlap).
         """
-        samples = np.asarray(samples, dtype=np.float32)
+        samples = np.asarray(samples)
         n_valid = num_patches(len(samples), self.cfg)
         wav = self._pad_to(samples, self._target_length(len(samples)))
         if self.sharding is not None:
@@ -168,7 +185,7 @@ class ChunkClassifier:
 
     def embed(self, samples: np.ndarray) -> np.ndarray:
         """16 kHz mono samples -> (n_patches, 1024) embeddings."""
-        samples = np.asarray(samples, dtype=np.float32)
+        samples = np.asarray(samples)
         n_valid = num_patches(len(samples), self.cfg)
         wav = self._pad_to(samples, self._target_length(len(samples)))
         out = _embed_padded(self._device_params(), wav, self.cfg,

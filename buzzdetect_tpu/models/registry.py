@@ -93,10 +93,15 @@ class EmbedderYamnet(BaseEmbedder):
             return
         arrays = self._arrays
         if arrays is None:
-            # standalone use: weights from the default embedder bundle
+            # standalone use: a dedicated embedder bundle if installed,
+            # otherwise the default model's bundle (it carries the same
+            # yamnet weights; the head is simply ignored by embed())
+            import numpy as np
             path = os.path.join(cfg.resolve_dir(cfg.DIR_EMBEDDERS), 'yamnet',
                                 'embedder.npz')
-            import numpy as np
+            if not os.path.exists(path):
+                path = os.path.join(cfg.resolve_dir(cfg.DIR_MODELS),
+                                    cfg.DEFAULT_MODEL, 'model.npz')
             with np.load(path) as z:
                 arrays = {k: z[k] for k in z.files}
         self._classifier = ChunkClassifier(arrays,
@@ -120,7 +125,8 @@ class BundleModel(BaseModel):
     waveform->scores path is one fused jit graph via :class:`ChunkClassifier`."""
 
     def __init__(self, dir_model: str, framehop_prop: float = 1.0,
-                 compute_dtype=None, sharding=None, mesh=None):
+                 compute_dtype=None, sharding=None, mesh=None,
+                 transfer_dtype='int16'):
         self.dir_model = dir_model
         self.framehop_prop = framehop_prop
         self.modelname = os.path.basename(dir_model.rstrip('/'))
@@ -131,6 +137,11 @@ class BundleModel(BaseModel):
         self._compute_dtype = compute_dtype
         self._sharding = sharding
         self._mesh = mesh
+        # int16 wire format by default: source audio is 16-bit PCM, so this
+        # is (near-)lossless and halves host->device traffic — the streaming
+        # pipeline's bottleneck
+        self._transfer_dtype = self.config.get('transfer_dtype',
+                                               transfer_dtype)
         self.classifier = None
 
         # embedder metadata without loading weights twice: the bundle IS the
@@ -149,7 +160,8 @@ class BundleModel(BaseModel):
                                           framehop_prop=self.framehop_prop,
                                           compute_dtype=dtype,
                                           sharding=self._sharding,
-                                          mesh=self._mesh)
+                                          mesh=self._mesh,
+                                          transfer_dtype=self._transfer_dtype)
         self.embedder._classifier = self.classifier
 
     def predict(self, samples):
@@ -195,7 +207,8 @@ def load_embedder(embeddername: str, framehop_prop: float = 1.0) -> BaseEmbedder
 
 def load_model(modelname: str, framehop_prop: float = 1.0,
                initialize: bool = False, compute_dtype=None,
-               sharding=None, mesh=None) -> BaseModel:
+               sharding=None, mesh=None,
+               transfer_dtype='int16') -> BaseModel:
     """Resolve a model by directory name.
 
     ``models/<name>/model.npz`` -> built-in BundleModel (fused XLA graph);
@@ -210,7 +223,7 @@ def load_model(modelname: str, framehop_prop: float = 1.0,
     if os.path.exists(os.path.join(dir_model, 'model.npz')):
         model = BundleModel(dir_model, framehop_prop,
                             compute_dtype=compute_dtype, sharding=sharding,
-                            mesh=mesh)
+                            mesh=mesh, transfer_dtype=transfer_dtype)
     elif os.path.exists(os.path.join(dir_model, 'model.py')):
         klass = _import_plugin(os.path.join(dir_model, 'model.py'), BaseModel)
         model = klass(dir_model, framehop_prop)

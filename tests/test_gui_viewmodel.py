@@ -1,0 +1,93 @@
+"""Headless tests for the GUI view-model (settings defaults, cache,
+validation wiring, manifest locking)."""
+
+import json
+import os
+
+import pytest
+
+from buzzdetect_tpu.gui.viewmodel import (SettingsModel, analysis_defaults,
+                                          BASIC_FIELDS, ADVANCED_FIELDS)
+
+
+def test_defaults_track_analyze_signature():
+    d = analysis_defaults()
+    assert d['chunklength'] == 200
+    assert d['framehop_prop'] == 1
+    assert d['verbosity_print'] == 'PROGRESS'
+    assert d['classes_out'] == 'all'
+    # every form field exists in the defaults
+    for f in (*BASIC_FIELDS, *ADVANCED_FIELDS):
+        assert f in d, f
+
+
+def test_cache_roundtrip(tmp_path):
+    path = str(tmp_path / 'guisettings.json')
+    m = SettingsModel(path_cache=path)
+    m.values['chunklength'] = 60.0
+    m.values['modelname'] = 'model_general_v3'
+    m.save_cache()
+
+    m2 = SettingsModel(path_cache=path)
+    assert m2.values['chunklength'] == 60.0
+    assert m2.values['modelname'] == 'model_general_v3'
+
+
+def test_corrupt_cache_ignored(tmp_path):
+    path = str(tmp_path / 'guisettings.json')
+    with open(path, 'w') as f:
+        f.write('{not json')
+    m = SettingsModel(path_cache=path)
+    assert m.values['chunklength'] == 200  # defaults survived
+
+
+def test_validation_wiring(tmp_path):
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['modelname'] = 'no_such_model_xyz'
+    results = m.validate_all()
+    assert not results['modelname'].valid
+    m.values['precision'] = 2.0
+    assert not m.validate_field('precision').valid
+    assert not m.ready()
+
+
+def test_manifest_locking(tmp_path):
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    dir_out = str(tmp_path / 'out')
+    write_manifest(dir_out,
+                   build_manifest('lockedmodel', 0.5, None, ['a', 'b']))
+
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['dir_out'] = dir_out
+    locked = m.apply_manifest_lock()
+    assert locked['modelname'] == 'lockedmodel'
+    assert m.values['modelname'] == 'lockedmodel'
+    assert m.values['framehop_prop'] == 0.5
+    assert sorted(m.values['classes_out']) == ['a', 'b']
+
+
+def test_no_manifest_no_lock(tmp_path):
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['dir_out'] = str(tmp_path / 'fresh')
+    assert m.apply_manifest_lock() == {}
+
+
+def test_analyze_kwargs_classes_parsing(tmp_path):
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['classes_out'] = 'ins_buzz, human'
+    kwargs = m.analyze_kwargs()
+    assert kwargs['classes_out'] == ['ins_buzz', 'human']
+    m.values['classes_out'] = 'all'
+    assert m.analyze_kwargs()['classes_out'] == 'all'
+
+
+@pytest.mark.skipif(not os.environ.get('DISPLAY'),
+                    reason='no X display for tk widgets')
+def test_widgets_construct():
+    import tkinter as tk
+    from buzzdetect_tpu.gui.widgets import TextEntry
+    root = tk.Tk()
+    w = TextEntry(root, 'test')
+    w.set('abc')
+    assert w.get() == 'abc'
+    root.destroy()
