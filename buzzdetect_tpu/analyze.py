@@ -239,9 +239,14 @@ class Analyzer:
 
         self.timer_total.stop()
         if self.coordinator.end_reason == 'completed':
+            wall = self.timer_total.get_total()
+            audio_s = self.coordinator.audio_seconds_done
+            rate = audio_s / wall if wall > 0 else 0.0
             self.coordinator.q_log.put(AssignLog(
                 message=(f'\nAll files analyzed and cleaned.\nTotal analysis '
-                         f'time: {self.timer_total.get_total():,}s'),
+                         f'time: {wall:,}s'
+                         f' ({audio_s:,.0f} audio-seconds, overall rate '
+                         f'{rate:,.1f}x realtime)'),
                 level_str='INFO'))
         shutdown_logger()
 

@@ -78,6 +78,8 @@ class Coordinator:
         self.q_earlyexit = q_earlyexit if q_earlyexit is not None else queue.Queue()
 
         self.end_reason = None
+        # aggregate progress (audio-seconds landed in result files)
+        self.audio_seconds_done = 0.0
 
     def _default_streamers(self):
         # decode must outrun the device: GIL-free native decode scales with
@@ -128,6 +130,10 @@ class Coordinator:
             fully_analyzed = (not tracker.chunks_streamed
                               and not tracker.stream_in_progress)
         return a_chunk, fully_analyzed
+
+    def record_written(self, seconds: float):
+        with self._lock:
+            self.audio_seconds_done += seconds
 
     def mark_stream_finished(self, ident: str):
         """Called by a streamer that ends a file without a final chunk

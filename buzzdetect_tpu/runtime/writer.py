@@ -36,6 +36,9 @@ class WorkerWriter:
                  digits_time, dir_audio, dir_out, digits_results, coordinator):
         self.coordinator = coordinator
         self.digits_time = digits_time
+        # aggregate throughput accounting (audio-seconds actually landed)
+        self.audio_seconds_written = 0.0
+        self.chunks_written = 0
 
         if threshold is None:
             def format_func(results, time_start):
@@ -72,6 +75,10 @@ class WorkerWriter:
             with open(path_partial, 'a', newline='') as f:
                 f.write(table.render_csv(self.digits_time,
                                          include_header=not file_exists))
+            seconds = a_chunk.chunk[1] - a_chunk.chunk[0]
+            self.audio_seconds_written += seconds
+            self.chunks_written += 1
+            self.coordinator.record_written(seconds)
 
         if fully_analyzed and os.path.exists(a_chunk.file.path_results_partial):
             finalize_partial(a_chunk.file.path_results_partial,
@@ -91,4 +98,6 @@ class WorkerWriter:
             except Exception as e:
                 self.log(f'error writing {a_chunk.file.shortpath_audio}: {e}',
                          'ERROR')
+        self.log(f'wrote {self.chunks_written} chunks, '
+                 f'{self.audio_seconds_written:,.0f} audio-seconds', 'DEBUG')
         self.log('terminating', 'DEBUG')

@@ -1,0 +1,82 @@
+"""Corpus embedding extraction: audio directory -> per-file embeddings.npz.
+
+Head training (the reference ecosystem's offline step) needs 1024-d YAMNet
+embeddings for every frame of a labeled corpus. This reuses the streaming
+decode stage and the fused embed graph; output is one compressed npz per
+file with the frame-start grid, ready for ``train_head``.
+"""
+
+import os
+
+import numpy as np
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.audio import build_track, get_duration
+from buzzdetect_tpu.utils import build_ident, search_dir
+from buzzdetect_tpu.write.coverage import gaps_to_chunklist
+
+SUFFIX_EMBEDDINGS = '_embeddings.npz'
+
+
+def embed_file(classifier, path_audio: str, chunklength: float = 200.0):
+    """One audio file -> (starts, embeddings) at the classifier's framehop."""
+    cfg_fe = classifier.cfg
+    framehop_s = cfg_fe.patch_hop_seconds
+    track = build_track(path_audio, target_rate=cfg_fe.sample_rate)
+    try:
+        duration = get_duration(track)
+        chunks = gaps_to_chunklist([(0.0, duration)], chunklength)
+        all_emb, all_starts = [], []
+        for t0, t1 in chunks:
+            rate = track.samplerate
+            track.seek(int(t0 * rate))
+            samples = track.read(int((t1 - t0) * rate))
+            if len(samples) == 0:
+                break
+            emb = classifier.embed(samples)
+            all_emb.append(emb)
+            all_starts.append(t0 + np.arange(len(emb)) * framehop_s)
+            if len(samples) < int((t1 - t0) * rate):
+                break  # truncated audio
+        if not all_emb:
+            return np.zeros(0), np.zeros((0, 1024), np.float32)
+        return (np.concatenate(all_starts),
+                np.concatenate(all_emb).astype(np.float32))
+    finally:
+        track.close()
+
+
+def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
+                    framehop_prop: float = 1.0, chunklength: float = 200.0,
+                    log=print):
+    """Embed every supported audio file under ``dir_audio``.
+
+    Writes ``<ident>_embeddings.npz`` (keys: starts, embeddings) under
+    ``dir_out`` and returns the list of written paths. Already-embedded
+    files are skipped (same resumability contract as analysis).
+    """
+    from buzzdetect_tpu.audio import driver_map
+    from buzzdetect_tpu.models.registry import load_model
+
+    model = load_model(modelname or cfg.DEFAULT_MODEL,
+                       framehop_prop=framehop_prop, initialize=True)
+    classifier = model.classifier
+
+    written = []
+    for path in search_dir(dir_audio, list(driver_map.keys())):
+        ident = build_ident(path, dir_audio)
+        path_out = os.path.join(dir_out, ident + SUFFIX_EMBEDDINGS)
+        if os.path.exists(path_out):
+            continue
+        os.makedirs(os.path.dirname(path_out) or '.', exist_ok=True)
+        starts, embeddings = embed_file(classifier, path, chunklength)
+        np.savez_compressed(path_out, starts=starts.astype(np.float32),
+                            embeddings=embeddings)
+        written.append(path_out)
+        log(f'embedded {ident}: {len(embeddings)} frames')
+    return written
+
+
+def load_embeddings(path_npz: str):
+    with np.load(path_npz) as z:
+        return z['starts'], z['embeddings']

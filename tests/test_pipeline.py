@@ -212,3 +212,70 @@ def test_early_exit_event(patched_models, tmp_path):
                 chunklength=1.0, verbosity_print='ERROR',
                 event_stopanalysis=event)
     assert a.coordinator.end_reason is None or True  # returned without hanging
+
+
+def test_driver_plugin_override(patched_models, tmp_path, monkeypatch):
+    """A drop-in drivers/ module must take precedence for its extension."""
+    import importlib.util
+    import buzzdetect_tpu.audio as audio_pkg
+
+    plugin = (
+        'import numpy as np\n'
+        'EXTENSIONS = ["wav"]\n'
+        'class Driver:\n'
+        '    def __init__(self, path, target_rate=16000):\n'
+        '        self.samplerate = target_rate\n'
+        '        self.channels = 1\n'
+        '        self.frames = target_rate  # claims 1 second\n'
+        '        self._pos = 0\n'
+        '    def read(self, n, dtype=None):\n'
+        '        n = min(n, self.frames - self._pos)\n'
+        '        self._pos += n\n'
+        '        return np.full(n, 0.25, np.float32)\n'
+        '    def seek(self, s):\n'
+        '        self._pos = s\n'
+        '    def tell(self):\n'
+        '        return self._pos\n'
+        '    def close(self):\n'
+        '        pass\n')
+    path_plugin = tmp_path / 'constant.py'
+    path_plugin.write_text(plugin)
+    spec = importlib.util.spec_from_file_location('plug', str(path_plugin))
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    # register exactly as _discover_plugin_drivers would
+    monkeypatch.setitem(audio_pkg.driver_map, 'wav', module.Driver)
+
+    t = audio_pkg.build_track('whatever.wav')
+    got = t.read(100)
+    assert (got == 0.25).all()
+
+
+def test_multihost_file_sharding_completes_corpus(patched_models, tmp_path):
+    """BASELINE config 5 (scaled down): a corpus sharded over 'hosts' by
+    stable hash, every host running independently against the same output
+    dir — the corpus completes with no coordination and no interference."""
+    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.parallel import shard_files
+    from buzzdetect_tpu.utils import search_dir
+
+    dir_audio = str(tmp_path / 'corpus')
+    os.makedirs(dir_audio)
+    for i in range(6):
+        write_wav(os.path.join(dir_audio, f'c{i}.wav'),
+                  make_tone(2.0, 16000, 200 + 20 * i), 16000)
+    dir_out = str(tmp_path / 'out')
+
+    paths = search_dir(dir_audio, ['wav'])
+    n_hosts = 2
+    for host in range(n_hosts):
+        mine = shard_files(paths, host_id=host, n_hosts=n_hosts)
+        host_audio = str(tmp_path / f'host{host}')
+        os.makedirs(host_audio)
+        for p in mine:
+            os.link(p, os.path.join(host_audio, os.path.basename(p)))
+        analyze(modelname='testmodel', dir_audio=host_audio, dir_out=dir_out,
+                chunklength=2.0, verbosity_print='ERROR')
+
+    done = [f for f in os.listdir(dir_out) if f.endswith('_buzzdetect.csv')]
+    assert len(done) == 6

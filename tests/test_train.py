@@ -109,3 +109,35 @@ def test_trim_directory_roundtrip(tmp_path):
     np.testing.assert_allclose(got_starts, starts, atol=0.01)
     np.testing.assert_allclose(cols['activation_ins_buzz'], acts[:, 0],
                                atol=0.051)
+
+
+def test_embed_directory_roundtrip(tmp_path, monkeypatch):
+    """Corpus embedding extraction: correct frame grid, resumable skips."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from buzzdetect_tpu.train.embed_corpus import (embed_directory,
+                                                   load_embeddings)
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'em'), classes=['a', 'b'], seed=1)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'x.wav', make_tone(3.0, 16000), 16000)
+
+    out = tmp_path / 'emb'
+    written = embed_directory(str(dir_audio), str(out), modelname='em',
+                              log=lambda *_: None)
+    assert len(written) == 1
+    starts, emb = load_embeddings(written[0])
+    assert emb.shape[1] == 1024
+    assert len(starts) == len(emb)
+    assert starts[0] == 0.0
+    import numpy as np
+    np.testing.assert_allclose(np.diff(starts), 0.96, atol=1e-6)
+
+    # second call skips (resumable)
+    assert embed_directory(str(dir_audio), str(out), modelname='em',
+                           log=lambda *_: None) == []
