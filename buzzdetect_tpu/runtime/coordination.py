@@ -65,7 +65,13 @@ class Coordinator:
         self.q_log = queue.Queue()
         self.q_stream = queue.Queue()
         self.q_analyze = queue.Queue(maxsize=self.queue_depth)
-        self.q_write = queue.Queue()
+        # q_write is ALSO bounded: results on it are un-materialized device
+        # futures, so its depth is the device-side in-flight window. Unbounded,
+        # the inferer dispatches the whole backlog and the queued host->device
+        # uploads delay the first result's download for minutes (observed on
+        # bandwidth-limited links); bounded, dispatch stays a few chunks ahead
+        # of the writer — full overlap, no flooding, prompt checkpoints.
+        self.q_write = queue.Queue(maxsize=max(4, 4 * self.analyzers_total))
 
         self.streamers_done = threading.Event()
         self.analyzers_done = threading.Event()

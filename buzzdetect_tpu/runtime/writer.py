@@ -17,11 +17,25 @@ from buzzdetect_tpu.write.formatting import format_activations, format_detection
 
 
 def finalize_partial(path_partial: str, path_complete: str):
-    """Sort a partial result CSV by start time and promote it to complete."""
+    """Sort a partial result CSV by start time and promote it to complete.
+
+    Torn rows (a SIGKILL can interrupt an append mid-line) are dropped — the
+    resume logic never counted them as covered, so a complete replacement row
+    exists by the time finalization runs.
+    """
     with open(path_partial, 'r', newline='') as f:
         reader = csv.reader(f)
         header = next(reader)
-        rows = [r for r in reader if r]
+        n_cols = len(header)
+        rows = []
+        for r in reader:
+            if len(r) != n_cols:
+                continue
+            try:
+                [float(c) for c in r]
+            except ValueError:
+                continue
+            rows.append(r)
     idx = header.index('start')
     rows.sort(key=lambda r: float(r[idx]))
     with open(path_complete, 'w', newline='') as f:

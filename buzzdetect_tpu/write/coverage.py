@@ -103,6 +103,8 @@ def coverage_from_csv(path: str, framelength: float):
     """Read a (partial) result CSV and return merged covered intervals.
 
     Only the ``start`` column matters; every row attests one analyzed frame.
+    A SIGKILL mid-append can tear the final line — unparseable trailing rows
+    are dropped (that frame simply gets re-analyzed), never fatal.
     """
     import csv
     starts = []
@@ -112,9 +114,20 @@ def coverage_from_csv(path: str, framelength: float):
         if header is None:
             return []
         idx = header.index('start')
+        n_cols = len(header)
         for row in reader:
-            if row:
-                starts.append(float(row[idx]))
+            if not row:
+                continue
+            # a row only attests coverage if it is COMPLETE: right column
+            # count and every cell parseable (a torn row may still have a
+            # readable start cell)
+            if len(row) != n_cols:
+                continue
+            try:
+                values = [float(c) for c in row]
+            except ValueError:
+                continue
+            starts.append(values[idx])
     if not starts:
         return []
     return melt_coverage(np.array(starts), framelength=framelength)

@@ -116,3 +116,31 @@ def test_roundtrip_resume_cycle(tmp_path):
     assert chunks[0][1] == pytest.approx(192.0, abs=0.01)
     assert chunks[1][0] == pytest.approx(288.0, abs=0.01)
     assert chunks[1][1] == pytest.approx(300.0, abs=0.01)
+
+
+def test_coverage_tolerates_torn_tail(tmp_path):
+    """A SIGKILL mid-append can leave a torn final line; coverage parsing
+    must skip it, not crash the resume."""
+    path = tmp_path / 'x_buzzpart.csv'
+    with open(path, 'w') as f:
+        f.write('start,activation_ins_buzz\n')
+        f.write('0.0,0.5\n')
+        f.write('0.96,0.5\n')
+        f.write('1.92')  # torn mid-row: start parseable, columns missing
+    cov = coverage_from_csv(str(path), FL)
+    # the torn frame at 1.92 must NOT count as covered
+    assert cov == [(0.0, pytest.approx(1.92))]
+
+
+def test_finalize_drops_torn_rows(tmp_path):
+    from buzzdetect_tpu.runtime.writer import finalize_partial
+    partial = tmp_path / 'x_buzzpart.csv'
+    complete = tmp_path / 'x_buzzdetect.csv'
+    with open(partial, 'w') as f:
+        f.write('start,activation_ins_buzz\n')
+        f.write('0.96,0.5\n')
+        f.write('1.92')  # torn mid-row
+        f.write('\n0.0,0.7\n')
+    finalize_partial(str(partial), str(complete))
+    lines = open(complete).read().strip().split('\n')
+    assert lines == ['start,activation_ins_buzz', '0.0,0.7', '0.96,0.5']
