@@ -45,13 +45,15 @@ class Analyzer:
                  verbosity_log: str = 'DEBUG',
                  log_progress: bool = False,
                  coordinator: Coordinator = None,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 profile_dir: str = None):
         self.modelname = modelname
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
         self.verbosity_print = verbosity_print
         self.verbosity_log = verbosity_log
         self.log_progress = log_progress
+        self.profile_dir = profile_dir
         self.coordinator = coordinator or Coordinator()
 
         self.model = load_model(modelname, framehop_prop=framehop_prop,
@@ -213,6 +215,16 @@ class Analyzer:
 
     # --- run ------------------------------------------------------------------
     def run(self):
+        if self.profile_dir:
+            # capture an XLA/JAX profiler trace of the whole run (view with
+            # tensorboard or xprof) — the deep-profiling capability the
+            # reference's hand-rolled timers don't offer
+            import jax
+            with jax.profiler.trace(self.profile_dir):
+                return self._run()
+        return self._run()
+
+    def _run(self):
         self._log_startup()
         self._launch_logger()
 
@@ -267,7 +279,8 @@ def analyze(modelname: str,
             log_progress: bool = False,
             q_gui=None,
             event_stopanalysis=None,
-            compute_dtype=None):
+            compute_dtype=None,
+            profile_dir: str = None):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -301,6 +314,7 @@ def analyze(modelname: str,
                         chunklength=chunklength, dir_audio=dir_audio,
                         dir_out=dir_out, verbosity_print=verbosity_print,
                         verbosity_log=verbosity_log, log_progress=log_progress,
-                        coordinator=coordinator, compute_dtype=compute_dtype)
+                        coordinator=coordinator, compute_dtype=compute_dtype,
+                        profile_dir=profile_dir)
     analyzer.run()
     return analyzer

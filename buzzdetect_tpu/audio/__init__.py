@@ -11,7 +11,7 @@ import importlib.util
 import os
 
 from buzzdetect_tpu.audio.driver import AudioDriver
-from buzzdetect_tpu.audio.ffi import NativeStream, DecodeError
+from buzzdetect_tpu.audio.ffi import NativeStream, DecodeError  # noqa: F401 (DecodeError re-exported)
 
 
 class UnsupportedFormat(ValueError):

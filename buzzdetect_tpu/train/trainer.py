@@ -14,7 +14,6 @@ that capability TPU-first:
 * BatchNorm statistics updated functionally (embed_train).
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
