@@ -1,0 +1,94 @@
+"""CLI tests: argument surface and manifest reconciliation."""
+
+import json
+import os
+
+import pytest
+
+from buzzdetect_tpu.cli import build_parser, reconcile_with_manifest, str2bool
+from buzzdetect_tpu.manifest import build_manifest, write_manifest
+
+
+def test_parser_surface_matches_reference_flags():
+    parser = build_parser()
+    args = parser.parse_args(['--modelname', 'm'])
+    # reference defaults (buzzdetect_cli.py:77-139)
+    assert args.classes_out == 'all'
+    assert args.precision is None
+    assert args.framehop_prop == 1
+    assert args.chunklength == 200
+    assert args.analyzers_cpu == 1
+    assert args.analyzers_gpu == 0
+    assert args.n_streamers is None
+    assert args.stream_buffer_depth is None
+    assert args.dir_audio == './audio_in'
+    assert args.dir_out is None
+    assert args.verbosity_print == 'PROGRESS'
+    assert args.verbosity_log == 'DEBUG'
+    assert args.log_progress is False
+
+
+def test_parser_classes_list():
+    args = build_parser().parse_args(
+        ['--modelname', 'm', '--classes_out', 'ins_buzz', 'human'])
+    assert args.classes_out == ['ins_buzz', 'human']
+
+
+def test_str2bool():
+    assert str2bool('yes') and str2bool('TRUE') and str2bool('1')
+    assert not str2bool('no') and not str2bool('f')
+    with pytest.raises(Exception):
+        str2bool('maybe')
+
+
+def test_reconcile_no_manifest(tmp_path):
+    out = reconcile_with_manifest('m', str(tmp_path), 'all', None, 1.0)
+    assert out == ('m', 'all', None, 1.0)
+
+
+def test_reconcile_matching_manifest(tmp_path, monkeypatch):
+    from buzzdetect_tpu import config as cfg
+    dir_model = tmp_path / 'models' / 'm'
+    dir_model.mkdir(parents=True)
+    (dir_model / 'config_model.json').write_text(
+        json.dumps({'classes': ['a', 'b']}))
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+
+    dir_out = str(tmp_path / 'out')
+    write_manifest(dir_out, build_manifest('m', 1.0, None, ['a', 'b']))
+    out = reconcile_with_manifest('m', dir_out, 'all', None, 1.0)
+    assert out == ('m', 'all', None, 1.0)
+
+
+def test_reconcile_conflict_adopts_with_yes(tmp_path, monkeypatch, capsys):
+    from buzzdetect_tpu import config as cfg
+    dir_model = tmp_path / 'models' / 'm'
+    dir_model.mkdir(parents=True)
+    (dir_model / 'config_model.json').write_text(
+        json.dumps({'classes': ['a', 'b']}))
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+
+    dir_out = str(tmp_path / 'out')
+    write_manifest(dir_out, build_manifest('m', 0.5, None, ['a']))
+    modelname, classes_out, precision, framehop = reconcile_with_manifest(
+        'm', dir_out, 'all', None, 1.0, assume_yes=True)
+    # adopted the folder's settings
+    assert framehop == 0.5
+    assert classes_out == ['a']
+    out = capsys.readouterr().out
+    assert 'different settings' in out
+
+
+def test_reconcile_conflict_decline_exits(tmp_path, monkeypatch):
+    from buzzdetect_tpu import config as cfg
+    dir_model = tmp_path / 'models' / 'm'
+    dir_model.mkdir(parents=True)
+    (dir_model / 'config_model.json').write_text(
+        json.dumps({'classes': ['a']}))
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+    monkeypatch.setattr('builtins.input', lambda *_: 'n')
+
+    dir_out = str(tmp_path / 'out')
+    write_manifest(dir_out, build_manifest('m', 0.5, None, ['a']))
+    with pytest.raises(SystemExit):
+        reconcile_with_manifest('m', dir_out, 'all', None, 1.0)

@@ -279,3 +279,44 @@ def test_multihost_file_sharding_completes_corpus(patched_models, tmp_path):
 
     done = [f for f in os.listdir(dir_out) if f.endswith('_buzzdetect.csv')]
     assert len(done) == 6
+
+
+def test_multiple_analyzer_threads(patched_models, tmp_path):
+    """analyzers>1: concurrent dispatch threads must not corrupt results or
+    completion tracking."""
+    from buzzdetect_tpu.analyze import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    for i in range(4):
+        write_wav(os.path.join(dir_audio, f'm{i}.wav'),
+                  make_tone(5.0, 16000, 150 + 40 * i), 16000)
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+                chunklength=1.0, analyzers_cpu=3, n_streamers=3,
+                verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'completed'
+    done = [f for f in os.listdir(dir_out) if f.endswith('_buzzdetect.csv')]
+    assert len(done) == 4
+    # each file's rows are the full contiguous frame grid, exactly once
+    header, rows = _read_csv(os.path.join(dir_out, 'm0_buzzdetect.csv'))
+    starts = [float(r[0]) for r in rows]
+    assert starts == sorted(starts)
+    assert len(starts) == len(set(starts))  # no duplicated frames
+
+
+def test_corrupt_container_isolated(patched_models, tmp_path):
+    """A garbage file with an audio extension must not kill the run; other
+    files still complete."""
+    from buzzdetect_tpu.analyze import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    write_wav(os.path.join(dir_audio, 'good.wav'), make_tone(2.0, 16000),
+              16000)
+    with open(os.path.join(dir_audio, 'garbage.wav'), 'wb') as f:
+        f.write(os.urandom(20000))  # big enough to pass the size gate
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+                chunklength=2.0, verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'completed'
+    assert os.path.exists(os.path.join(dir_out, 'good_buzzdetect.csv'))
+    assert not os.path.exists(os.path.join(dir_out, 'garbage_buzzdetect.csv'))
