@@ -46,7 +46,8 @@ class Analyzer:
                  log_progress: bool = False,
                  coordinator: Coordinator = None,
                  compute_dtype=None,
-                 profile_dir: str = None):
+                 profile_dir: str = None,
+                 mesh=None):
         self.modelname = modelname
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
@@ -57,7 +58,8 @@ class Analyzer:
         self.coordinator = coordinator or Coordinator()
 
         self.model = load_model(modelname, framehop_prop=framehop_prop,
-                                initialize=False, compute_dtype=compute_dtype)
+                                initialize=False, compute_dtype=compute_dtype,
+                                mesh=mesh)
 
         self.precision = precision
         self.chunklength = self._setup_chunklength(chunklength)
@@ -280,7 +282,8 @@ def analyze(modelname: str,
             q_gui=None,
             event_stopanalysis=None,
             compute_dtype=None,
-            profile_dir: str = None):
+            profile_dir: str = None,
+            mesh=None):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -302,6 +305,9 @@ def analyze(modelname: str,
     q_gui / event_stopanalysis : GUI integration hooks.
     compute_dtype : optional jax dtype for the CNN (e.g. jnp.bfloat16 for
         throughput; default float32 holds the 1e-3 parity budget).
+    profile_dir : if set, capture a JAX/XLA profiler trace of the run there.
+    mesh : optional jax.sharding.Mesh with a 'data' axis — each chunk's
+        patches shard across the mesh's chips (multi-chip data parallelism).
     """
     coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
                               analyzers_gpu=analyzers_gpu,
@@ -315,6 +321,6 @@ def analyze(modelname: str,
                         dir_out=dir_out, verbosity_print=verbosity_print,
                         verbosity_log=verbosity_log, log_progress=log_progress,
                         coordinator=coordinator, compute_dtype=compute_dtype,
-                        profile_dir=profile_dir)
+                        profile_dir=profile_dir, mesh=mesh)
     analyzer.run()
     return analyzer

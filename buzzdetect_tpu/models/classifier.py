@@ -27,6 +27,22 @@ from buzzdetect_tpu.models import yamnet as yamnet_lib
 from buzzdetect_tpu.models.heads import apply_head
 
 
+def _honor_platform_env():
+    """Make JAX_PLATFORMS authoritative: some preinstalled platform plugins
+    prepend themselves to the platform list, silently overriding the user's
+    env var. If the env names a platform and no backend is up yet, pin it."""
+    import os
+    want = os.environ.get('JAX_PLATFORMS', '').strip()
+    if want and (jax.config.jax_platforms or '') != want:
+        try:
+            jax.config.update('jax_platforms', want)
+        except Exception:
+            pass  # backend already initialized; leave it be
+
+
+_honor_platform_env()
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: first-compile of the fused graph can
     take tens of seconds on TPU; cache it across processes."""
@@ -177,8 +193,10 @@ class ChunkClassifier:
         samples = np.asarray(samples)
         n_valid = num_patches(len(samples), self.cfg)
         wav = self._pad_to(samples, self._target_length(len(samples)))
-        if self.sharding is not None:
-            wav = jax.device_put(wav, self.sharding)
+        # explicit async device_put: the transfer enters the stream now and
+        # overlaps with earlier chunks' compute/downloads; the jit call then
+        # only dispatches
+        wav = jax.device_put(wav, self.sharding)
         out = _classify_padded(self._device_params(), wav, self.cfg,
                                self.compute_dtype, self.mesh)
         return out, n_valid

@@ -111,3 +111,33 @@ def test_full_train_step_runs_and_learns():
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_analyze_with_mesh(tmp_path, monkeypatch):
+    """Top-level multi-chip inference: analyze(mesh=...) shards each chunk's
+    patch axis across the 8 virtual devices; results match the unsharded run."""
+    import os
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from buzzdetect_tpu.parallel import make_mesh
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'pm'), classes=['a', 'ins_buzz'],
+                       seed=9)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 't.wav', make_tone(4.0, 16000), 16000)
+
+    analyze(modelname='pm', dir_audio=str(dir_audio),
+            dir_out=str(tmp_path / 'single'), chunklength=4.0,
+            verbosity_print='ERROR')
+    analyze(modelname='pm', dir_audio=str(dir_audio),
+            dir_out=str(tmp_path / 'meshed'), chunklength=4.0,
+            verbosity_print='ERROR', mesh=make_mesh(8))
+
+    a = open(tmp_path / 'single' / 't_buzzdetect.csv').read()
+    b = open(tmp_path / 'meshed' / 't_buzzdetect.csv').read()
+    assert a == b

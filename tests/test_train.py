@@ -141,3 +141,67 @@ def test_embed_directory_roundtrip(tmp_path, monkeypatch):
     # second call skips (resumable)
     assert embed_directory(str(dir_audio), str(out), modelname='em',
                            log=lambda *_: None) == []
+
+
+def test_annotations_to_frame_labels():
+    from buzzdetect_tpu.train.annotations import frames_to_labels
+    starts = np.arange(10) * 0.96
+    events = [(1.0, 2.5, 'bee'), (5.0, 5.05, 'human')]
+    labels = frames_to_labels(
+        starts, events, ['ins_buzz', 'human'],
+        translation={'bee': 'ins_buzz'}, overlap_prop=0.2)
+    # frames at 0.96 and 1.92 overlap [1.0, 2.5) by >= 0.192s
+    assert labels[1, 0] == 1 and labels[2, 0] == 1
+    assert labels[0, 0] == 0 and labels[3, 0] == 0
+    # a 50 ms event never reaches the 0.192 s overlap bar
+    assert labels[:, 1].sum() == 0
+
+
+def test_load_events(tmp_path):
+    from buzzdetect_tpu.train.annotations import load_events
+    p = tmp_path / 'ann.csv'
+    p.write_text('file,start,end,label\nrec1,0.5,2.0,bee\nrec1,4,5,car\n'
+                 'rec2,1,2,bee\n')
+    ev = load_events(str(p))
+    assert len(ev['rec1']) == 2
+    assert ev['rec2'] == [(1.0, 2.0, 'bee')]
+
+
+def test_train_model_tool_end_to_end(tmp_path, monkeypatch):
+    """The full offline loop: corpus + annotations -> trained bundle that
+    the analyzer can load and run."""
+    import subprocess, sys, json
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'base'), classes=['x'], seed=2)
+
+    dir_audio = tmp_path / 'corpus'
+    dir_audio.mkdir()
+    # two clips: a buzzy tone and noise
+    write_wav(dir_audio / 'buzzy.wav', make_tone(4.0, 16000, 220), 16000)
+    write_wav(dir_audio / 'quiet.wav',
+              (np.random.default_rng(1).standard_normal(4 * 16000) * 0.02
+               ).astype(np.float32), 16000)
+    ann = tmp_path / 'events.csv'
+    ann.write_text('ident,start,end,label\nbuzzy,0,4,ins_buzz\n')
+
+    env = dict(os.environ, BUZZDETECT_DIR_MODELS=str(dir_models),
+               JAX_PLATFORMS='cpu')
+    ret = subprocess.run(
+        [sys.executable, 'tools/train_model.py', '--name', 'trained',
+         '--dir-audio', str(dir_audio), '--annotations', str(ann),
+         '--classes', 'ins_buzz', 'ambient_background',
+         '--base-model', 'base', '--epochs', '5', '--holdout', '0'],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert ret.returncode == 0, ret.stdout + ret.stderr
+
+    # the produced bundle loads and predicts
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+    from buzzdetect_tpu.models.registry import load_model
+    model = load_model('trained', initialize=True)
+    out = model.predict(make_tone(2.0, 16000, 220))
+    assert out.shape[1] == 2

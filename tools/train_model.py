@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Train a new buzzdetect model end-to-end: labeled audio corpus -> bundle.
+
+The complete offline loop the reference ecosystem implies but never shipped:
+
+    1. embed the corpus (streaming decode -> fused embed graph);
+    2. turn event annotations into per-frame multi-hot labels
+       (overlap rule, label translation);
+    3. fine-tune a dense head (Adam + weighted BCE, optional DPxTP mesh);
+    4. evaluate on a held-out split -> threshold/precision/sensitivity/fpr;
+    5. write a ready-to-analyze model directory (model.npz +
+       config_model.json with bundled metrics).
+
+Usage:
+  python tools/train_model.py --name my_model \
+      --dir-audio ./corpus --annotations ./events.csv \
+      --classes ins_buzz ambient_noise human [--translation translation.csv]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--name', required=True)
+    ap.add_argument('--dir-audio', required=True)
+    ap.add_argument('--annotations', required=True,
+                    help='CSV: ident,start,end,label')
+    ap.add_argument('--classes', nargs='+', required=True)
+    ap.add_argument('--translation', default=None)
+    ap.add_argument('--base-model', default=None,
+                    help='model whose embedder weights to reuse '
+                         '(default: the default model)')
+    ap.add_argument('--framehop', type=float, default=1.0)
+    ap.add_argument('--overlap-prop', type=float, default=0.2)
+    ap.add_argument('--epochs', type=int, default=20)
+    ap.add_argument('--learning-rate', type=float, default=1e-3)
+    ap.add_argument('--holdout', type=float, default=0.2,
+                    help='fraction of files held out for evaluation')
+    ap.add_argument('--dir-work', default=None,
+                    help='where embeddings are cached (default: <out>/work)')
+    ap.add_argument('--out', default=None)
+    args = ap.parse_args()
+
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.convert import load_bundle, save_bundle
+    from buzzdetect_tpu.train.annotations import load_events, frames_to_labels
+    from buzzdetect_tpu.train.data import load_translation
+    from buzzdetect_tpu.train.embed_corpus import (embed_directory,
+                                                   load_embeddings,
+                                                   SUFFIX_EMBEDDINGS)
+    from buzzdetect_tpu.train.evaluate import threshold_sweep
+    from buzzdetect_tpu.train.trainer import train_head
+    from buzzdetect_tpu.utils import build_ident
+
+    out = args.out or os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), args.name)
+    dir_work = args.dir_work or os.path.join(out, 'work')
+    base = args.base_model or cfg.DEFAULT_MODEL
+
+    print(f'[1/5] embedding corpus {args.dir_audio} ...')
+    embed_directory(args.dir_audio, dir_work, modelname=base,
+                    framehop_prop=args.framehop)
+
+    print('[2/5] building frame labels ...')
+    events = load_events(args.annotations)
+    translation = load_translation(args.translation) if args.translation \
+        else None
+    framelength = 0.96
+
+    per_file = []
+    for root, _dirs, files in os.walk(dir_work):
+        for f in sorted(files):
+            if not f.endswith(SUFFIX_EMBEDDINGS):
+                continue
+            path = os.path.join(root, f)
+            ident = build_ident(path, dir_work)[:-len('_embeddings')]
+            starts, emb = load_embeddings(path)
+            labels = frames_to_labels(starts, events.get(ident, []),
+                                      args.classes, framelength=framelength,
+                                      overlap_prop=args.overlap_prop,
+                                      translation=translation)
+            per_file.append((ident, emb, labels))
+    if not per_file:
+        raise SystemExit('no embeddings produced — is the corpus empty?')
+
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(per_file))
+    n_hold = max(1, int(len(per_file) * args.holdout)) \
+        if len(per_file) > 1 else 0
+    hold_idx = set(order[:n_hold].tolist())
+    train_emb = np.concatenate([per_file[i][1] for i in range(len(per_file))
+                                if i not in hold_idx])
+    train_lab = np.concatenate([per_file[i][2] for i in range(len(per_file))
+                                if i not in hold_idx])
+    print(f'      {len(train_emb)} training frames, '
+          f'{int(train_lab.sum())} positive labels, '
+          f'{n_hold} held-out files')
+
+    print('[3/5] training head ...')
+    head, losses = train_head(train_emb, train_lab, epochs=args.epochs,
+                              batch_size=min(1024, len(train_emb)),
+                              learning_rate=args.learning_rate)
+    print(f'      loss {losses[0]:.4f} -> {losses[-1]:.4f}')
+
+    print('[4/5] evaluating ...')
+    metrics = None
+    if n_hold and 'ins_buzz' in args.classes:
+        hold_emb = np.concatenate([per_file[i][1] for i in hold_idx])
+        hold_lab = np.concatenate([per_file[i][2] for i in hold_idx])
+        ci = args.classes.index('ins_buzz')
+        scores = hold_emb @ head['head/kernel'] + head['head/bias']
+        metrics = threshold_sweep(scores[:, ci], hold_lab[:, ci])
+        print(f'      {len(metrics["threshold"])} threshold rows')
+
+    print('[5/5] writing bundle ...')
+    base_arrays, _cfg = load_bundle(
+        os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), base))
+    arrays = {k: v for k, v in base_arrays.items()
+              if k.startswith(('yamnet/', 'yamnet_raw/'))}
+    arrays.update(head)
+    if metrics is not None:
+        arrays.update({f'metrics_{k}': v for k, v in metrics.items()})
+    config = {
+        'classes': list(args.classes),
+        'embeddername': 'yamnet',
+        'digits_results': 2,
+        'n_embeddings': 1024,
+        'provenance': (f'trained by tools/train_model.py from '
+                       f'{args.annotations} over {args.dir_audio}; embedder '
+                       f'weights from {base}'),
+    }
+    save_bundle(out, arrays, config)
+    print(f'wrote {out} — analyze with: buzzdetect --modelname {args.name} ...')
+
+
+if __name__ == '__main__':
+    main()
