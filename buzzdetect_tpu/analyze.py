@@ -47,7 +47,8 @@ class Analyzer:
                  coordinator: Coordinator = None,
                  compute_dtype=None,
                  profile_dir: str = None,
-                 mesh=None):
+                 mesh=None,
+                 batch_chunks: int = 1):
         self.modelname = modelname
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
@@ -55,6 +56,7 @@ class Analyzer:
         self.verbosity_log = verbosity_log
         self.log_progress = log_progress
         self.profile_dir = profile_dir
+        self.batch_chunks = batch_chunks
         self.coordinator = coordinator or Coordinator()
 
         self.model = load_model(modelname, framehop_prop=framehop_prop,
@@ -144,7 +146,8 @@ class Analyzer:
             t = threading.Thread(
                 target=run_worker, name=f'analyzer_{a}',
                 kwargs=dict(workerclass=WorkerInferer, id_analyzer=a,
-                            model=self.model, coordinator=self.coordinator))
+                            model=self.model, coordinator=self.coordinator,
+                            batch_chunks=self.batch_chunks))
             self.threads_analyzers.append(t)
             t.start()
 
@@ -283,7 +286,8 @@ def analyze(modelname: str,
             event_stopanalysis=None,
             compute_dtype=None,
             profile_dir: str = None,
-            mesh=None):
+            mesh=None,
+            batch_chunks: int = 1):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -308,6 +312,9 @@ def analyze(modelname: str,
     profile_dir : if set, capture a JAX/XLA profiler trace of the run there.
     mesh : optional jax.sharding.Mesh with a 'data' axis — each chunk's
         patches shard across the mesh's chips (multi-chip data parallelism).
+    batch_chunks : stack up to this many ready chunks (possibly from
+        different files) into one device dispatch — larger MXU batches and
+        fewer round trips; 1 disables batching.
     """
     coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
                               analyzers_gpu=analyzers_gpu,
@@ -321,6 +328,7 @@ def analyze(modelname: str,
                         dir_out=dir_out, verbosity_print=verbosity_print,
                         verbosity_log=verbosity_log, log_progress=log_progress,
                         coordinator=coordinator, compute_dtype=compute_dtype,
-                        profile_dir=profile_dir, mesh=mesh)
+                        profile_dir=profile_dir, mesh=mesh,
+                        batch_chunks=batch_chunks)
     analyzer.run()
     return analyzer

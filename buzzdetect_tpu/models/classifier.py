@@ -89,6 +89,30 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
     return apply_head(params['head'], embeddings)
 
 
+@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh'))
+def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
+                           compute_dtype=jnp.float32, mesh=None):
+    """(B, L) padded waveforms -> (B, n_patches, n_classes).
+
+    Batching chunks from different files into one dispatch amortizes per-call
+    overhead and gives the MXU larger effective batches; with a mesh, the
+    flattened (B*n_patches) axis shards over 'data'.
+    """
+    if waveforms.dtype == jnp.int16:
+        waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
+    patches = log_mel_patches(waveforms, cfg)       # (B, P, 96, 64)
+    b, p = patches.shape[0], patches.shape[1]
+    flat = patches.reshape(b * p, *patches.shape[2:])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        flat = jax.lax.with_sharding_constraint(
+            flat, NamedSharding(mesh, P('data', None, None)))
+    embeddings = yamnet_lib.embed(params['yamnet'], flat,
+                                  compute_dtype=compute_dtype)
+    scores = apply_head(params['head'], embeddings)
+    return scores.reshape(b, p, -1)
+
+
 @partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
 def _embed_padded(params, waveform, cfg: FrontendConfig,
                   compute_dtype=jnp.float32):
@@ -200,6 +224,23 @@ class ChunkClassifier:
         out = _classify_padded(self._device_params(), wav, self.cfg,
                                self.compute_dtype, self.mesh)
         return out, n_valid
+
+    def predict_async_batch(self, samples_list):
+        """Dispatch several chunks as ONE device call.
+
+        All chunks pad to a common compiled length (the largest needed).
+        Returns (scores_device (B, P, C), [n_valid per chunk]).
+        """
+        if 'head' not in self.params:
+            raise ValueError('this bundle has no classifier head')
+        arrs = [np.asarray(s) for s in samples_list]
+        n_valids = [num_patches(len(a), self.cfg) for a in arrs]
+        target = self._target_length(max(len(a) for a in arrs))
+        batch = np.stack([self._pad_to(a, target) for a in arrs])
+        batch = jax.device_put(batch, self.sharding)
+        out = _classify_padded_batch(self._device_params(), batch, self.cfg,
+                                     self.compute_dtype, self.mesh)
+        return out, n_valids
 
     def embed(self, samples: np.ndarray) -> np.ndarray:
         """16 kHz mono samples -> (n_patches, 1024) embeddings."""

@@ -170,6 +170,9 @@ class BundleModel(BaseModel):
     def predict_async(self, samples):
         return self.classifier.predict_async(samples)
 
+    def predict_async_batch(self, samples_list):
+        return self.classifier.predict_async_batch(samples_list)
+
     def warmup(self, chunk_samples: int):
         self.classifier.warmup(chunk_samples)
 

@@ -16,11 +16,13 @@ from buzzdetect_tpu.utils import Timer
 
 
 class WorkerInferer:
-    def __init__(self, id_analyzer, model, coordinator, processor='TPU'):
+    def __init__(self, id_analyzer, model, coordinator, processor='TPU',
+                 batch_chunks: int = 1):
         self.id_analyzer = id_analyzer
         self.processor = processor
         self.model = model
         self.coordinator = coordinator
+        self.batch_chunks = max(1, batch_chunks)
         self.timer_analysis = Timer()
         self.timer_bottleneck = Timer()
 
@@ -57,11 +59,40 @@ class WorkerInferer:
         self.coordinator.put_write(a_chunk)
         self.report_rate(a_chunk)
 
+    def _drain_batch(self, first):
+        """Opportunistically pull up to batch_chunks-1 more ready chunks (no
+        blocking) so independent files share one device dispatch."""
+        import queue as queue_mod
+        batch = [first]
+        exit_seen = False
+        while len(batch) < self.batch_chunks:
+            try:
+                item = self.coordinator.q_analyze.get_nowait()
+            except queue_mod.Empty:
+                break
+            if item == 'exit':
+                exit_seen = True
+                break
+            batch.append(item)
+        return batch, exit_seen
+
+    def process_batch(self, batch):
+        out, n_valids = self.model.predict_async_batch(
+            [c.samples for c in batch])
+        for i, a_chunk in enumerate(batch):
+            a_chunk.results = out[i]
+            a_chunk.n_valid = n_valids[i]
+            a_chunk.samples = None
+            self.coordinator.put_write(a_chunk)
+            self.report_rate(a_chunk)
+
     def run(self):
         self.log('launching', 'INFO')
         self.model.initialize()
         self.log(f'processing on {self.processor}', 'INFO')
 
+        batching = (self.batch_chunks > 1
+                    and hasattr(self.model, 'predict_async_batch'))
         self.timer_bottleneck.restart()
         while True:
             a_chunk = self.coordinator.get_analyze()
@@ -70,14 +101,26 @@ class WorkerInferer:
             self.timer_bottleneck.stop()
             if self.timer_bottleneck.get_total() > 0.01:
                 self.report_bottleneck()
+            exit_seen = False
+            batch = [a_chunk]
             try:
-                self.process_chunk(a_chunk)
+                if batching:
+                    batch, exit_seen = self._drain_batch(a_chunk)
+                    if len(batch) == 1:
+                        self.process_chunk(batch[0])
+                    else:
+                        self.process_batch(batch)
+                else:
+                    self.process_chunk(a_chunk)
             except Exception as e:
                 self.log(f'error analyzing {a_chunk.file.shortpath_audio} '
                          f'chunk {a_chunk.chunk}: {e}', 'ERROR')
-                # keep the tracker consistent: hand the chunk to the writer
-                # with empty results so completion detection still fires
-                a_chunk.results = None
-                self.coordinator.put_write(a_chunk)
+                # keep the tracker consistent: EVERY chunk of the batch must
+                # reach the writer so completion detection still fires
+                for c in batch:
+                    if c.results is None:
+                        self.coordinator.put_write(c)
+            if exit_seen:
+                break
             self.timer_bottleneck.restart()
         self.log('terminating', 'DEBUG')

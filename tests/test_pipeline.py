@@ -320,3 +320,60 @@ def test_corrupt_container_isolated(patched_models, tmp_path):
     assert a.coordinator.end_reason == 'completed'
     assert os.path.exists(os.path.join(dir_out, 'good_buzzdetect.csv'))
     assert not os.path.exists(os.path.join(dir_out, 'garbage_buzzdetect.csv'))
+
+
+def test_framehop_half_end_to_end(patched_models, tmp_path):
+    """framehop 0.5 (the reference's yamnet_halfhop capability): twice the
+    rows, 0.48 s stride, clean finalize."""
+    from buzzdetect_tpu.analyze import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    write_wav(os.path.join(dir_audio, 'h.wav'), make_tone(4.0, 16000), 16000)
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+            chunklength=4.0, framehop_prop=0.5, verbosity_print='ERROR')
+    header, rows = _read_csv(os.path.join(dir_out, 'h_buzzdetect.csv'))
+    starts = [float(r[0]) for r in rows]
+    assert starts[:3] == [0.0, 0.48, 0.96]
+    deltas = [round(b - a, 2) for a, b in zip(starts, starts[1:])]
+    # 0.48 stride within chunks; a chunk boundary loses the straddling
+    # overlapped frame (chunks are independent — reference behaves the same)
+    assert set(deltas) <= {0.48, 0.96}
+    assert deltas.count(0.48) >= len(deltas) - 1
+
+
+def test_framehop_arbitrary_end_to_end(patched_models, tmp_path):
+    """Arbitrary framehop (superset of the reference's {1.0, 0.5} limit)."""
+    from buzzdetect_tpu.analyze import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    write_wav(os.path.join(dir_audio, 'q.wav'), make_tone(4.0, 16000), 16000)
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+            chunklength=4.0, framehop_prop=0.25, verbosity_print='ERROR')
+    header, rows = _read_csv(os.path.join(dir_out, 'q_buzzdetect.csv'))
+    starts = [float(r[0]) for r in rows]
+    assert starts[:3] == [0.0, 0.24, 0.48]
+
+
+def test_batched_dispatch_matches_unbatched(patched_models, tmp_path):
+    """batch_chunks>1 stacks chunks from different files into one device
+    call; results must equal the unbatched run exactly."""
+    from buzzdetect_tpu.analyze import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    for i in range(4):
+        write_wav(os.path.join(dir_audio, f'b{i}.wav'),
+                  make_tone(3.0, 16000, 180 + 30 * i), 16000)
+
+    analyze(modelname='testmodel', dir_audio=dir_audio,
+            dir_out=str(tmp_path / 'plain'), chunklength=3.0,
+            verbosity_print='ERROR')
+    analyze(modelname='testmodel', dir_audio=dir_audio,
+            dir_out=str(tmp_path / 'batched'), chunklength=3.0,
+            batch_chunks=4, n_streamers=4, verbosity_print='ERROR')
+
+    for i in range(4):
+        a = open(os.path.join(tmp_path, 'plain', f'b{i}_buzzdetect.csv')).read()
+        b = open(os.path.join(tmp_path, 'batched', f'b{i}_buzzdetect.csv')).read()
+        assert a == b, f'file b{i} differs'
