@@ -194,10 +194,15 @@ class Analyzer:
 
         # files whose idents collide (same name, different extension) would
         # interleave rows in one result file; drop them with a warning
-        idents = [a.ident for a in assignments]
-        conflicting = {i for i in idents if idents.count(i) > 1}
+        from collections import Counter, defaultdict
+        counts = Counter(a.ident for a in assignments)
+        conflicting = {i for i, c in counts.items() if c > 1}
+        by_ident = defaultdict(list)
+        for a in assignments:
+            if a.ident in conflicting:
+                by_ident[a.ident].append(a.shortpath_audio)
         for ident in sorted(conflicting):
-            paths = [a.shortpath_audio for a in assignments if a.ident == ident]
+            paths = by_ident[ident]
             self.coordinator.q_log.put(AssignLog(
                 message=(f'The following files have conflicting names and '
                          f'will be skipped:\n{", ".join(paths)}\nThese files '

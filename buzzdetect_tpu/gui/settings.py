@@ -96,27 +96,28 @@ class AnalysisSettings(tk.Tk):
         self._apply_lock()
 
     def _pull_values(self):
+        from buzzdetect_tpu.gui.viewmodel import field_types
+        types = field_types()
         for name, w in self.entries.items():
             raw = w.get()
-            default = self.model.values.get(name)
             if raw == '' and name in ('dir_out', 'precision', 'n_streamers',
                                       'stream_buffer_depth'):
                 self.model.values[name] = None
                 continue
-            if isinstance(default, bool):
-                self.model.values[name] = bool(raw)
-            elif isinstance(default, int) and not isinstance(default, bool):
-                try:
-                    self.model.values[name] = int(raw)
-                except (TypeError, ValueError):
-                    self.model.values[name] = raw
-            elif isinstance(default, float):
-                try:
+            # coerce by the analyze() parameter ANNOTATION (framehop_prop and
+            # chunklength default to int literals but are float parameters)
+            want = types.get(name)
+            try:
+                if want is bool:
+                    self.model.values[name] = bool(raw)
+                elif want is float:
                     self.model.values[name] = float(raw)
-                except (TypeError, ValueError):
+                elif want is int:
+                    self.model.values[name] = int(float(raw))
+                else:
                     self.model.values[name] = raw
-            else:
-                self.model.values[name] = raw
+            except (TypeError, ValueError):
+                self.model.values[name] = raw  # validator reports it
 
     def launch(self):
         self._pull_values()

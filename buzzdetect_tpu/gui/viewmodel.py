@@ -37,6 +37,23 @@ def analysis_defaults():
     return defaults
 
 
+def field_types():
+    """Field -> declared type from analyze()'s annotations (falls back to the
+    default's type). Coercion must follow the ANNOTATION: framehop_prop and
+    chunklength default to int literals but are float parameters."""
+    from buzzdetect_tpu.analyze import analyze
+    sig = inspect.signature(analyze)
+    types = {}
+    for name, p in sig.parameters.items():
+        if p.annotation is not inspect.Parameter.empty \
+                and isinstance(p.annotation, type):
+            types[name] = p.annotation
+        elif p.default is not inspect.Parameter.empty \
+                and p.default is not None:
+            types[name] = type(p.default)
+    return types
+
+
 class SettingsModel:
     """State + validation + persistence for the settings form."""
 
@@ -113,8 +130,14 @@ class SettingsModel:
 
     # --- launch -----------------------------------------------------------------
     def analyze_kwargs(self):
-        """The kwargs dict to hand to analyze()."""
-        kwargs = dict(self.values)
+        """The kwargs dict to hand to analyze().
+
+        Restricted to the form fields: the defaults snapshot also contains
+        process-integration parameters (q_gui, event_stopanalysis, ...) that
+        the launcher supplies itself — passing them through would collide.
+        """
+        fields = set(BASIC_FIELDS) | set(ADVANCED_FIELDS)
+        kwargs = {k: v for k, v in self.values.items() if k in fields}
         if isinstance(kwargs.get('classes_out'), str) \
                 and kwargs['classes_out'] != 'all':
             kwargs['classes_out'] = [s for s in

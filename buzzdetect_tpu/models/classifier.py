@@ -15,6 +15,7 @@ the only difference. In steady state every full chunk reuses one compiled
 program and ragged tails pad up into it.
 """
 
+import threading
 from functools import partial
 
 import jax
@@ -22,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from buzzdetect_tpu.ops.frontend import (
-    FrontendConfig, padded_length, num_patches, log_mel_patches)
+    FrontendConfig, padded_length, num_patches, log_mel_patches,
+    log_mel_spectrogram, patches_from_log_mel)
 from buzzdetect_tpu.models import yamnet as yamnet_lib
 from buzzdetect_tpu.models.heads import apply_head
 
@@ -63,9 +65,20 @@ def _enable_compilation_cache():
 _enable_compilation_cache()
 
 
-@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh'))
+def _frontend_patches(waveform, cfg, frontend: str):
+    """waveform -> log-mel patches via the selected frontend implementation:
+    'xla' (default) or 'pallas' (the fused kernel in ops/pallas_frontend)."""
+    if frontend == 'pallas':
+        from buzzdetect_tpu.ops.pallas_frontend import log_mel_spectrogram_pallas
+        return patches_from_log_mel(
+            log_mel_spectrogram_pallas(waveform, cfg), cfg)
+    return log_mel_patches(waveform, cfg)
+
+
+@partial(jax.jit,
+         static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend'))
 def _classify_padded(params, waveform, cfg: FrontendConfig,
-                     compute_dtype=jnp.float32, mesh=None):
+                     compute_dtype=jnp.float32, mesh=None, frontend='xla'):
     """Already-padded 1-D waveform -> (n_patches, n_classes) activations.
 
     With a mesh, the patch axis is sharded over 'data' (pure data
@@ -79,7 +92,7 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
         # int16 and scaling on device halves host->HBM traffic (the
         # pipeline's actual bottleneck) at -96 dB quantization noise
         waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
-    patches = log_mel_patches(waveform, cfg)
+    patches = _frontend_patches(waveform, cfg, frontend)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         patches = jax.lax.with_sharding_constraint(
@@ -137,9 +150,14 @@ class ChunkClassifier:
 
     def __init__(self, arrays: dict, framehop_prop: float = 1.0,
                  compute_dtype=jnp.float32, device=None, sharding=None,
-                 mesh=None, transfer_dtype='float32'):
+                 mesh=None, transfer_dtype='float32', frontend='xla'):
         self.cfg = FrontendConfig().with_framehop(framehop_prop)
         self.compute_dtype = compute_dtype
+        if frontend not in ('xla', 'pallas'):
+            raise ValueError("frontend must be 'xla' or 'pallas'")
+        # 'pallas' selects the fused kernel (ops/pallas_frontend.py) for the
+        # single-chunk path; the batch path always uses the XLA frontend
+        self.frontend = frontend
         self.transfer_dtype = np.dtype(transfer_dtype)
         if self.transfer_dtype not in (np.dtype('float32'), np.dtype('int16')):
             raise ValueError('transfer_dtype must be float32 or int16')
@@ -157,25 +175,30 @@ class ChunkClassifier:
         self.params = {'yamnet': yam, 'head': head} if head else {'yamnet': yam}
         self._params_device = None
         self._compiled_lengths = []
+        # predict may be called from several dispatch threads; guard the
+        # mutable caches (device params, compiled-length list)
+        self._cache_lock = threading.Lock()
 
     # --- device residency -------------------------------------------------
     def _device_params(self):
-        if self._params_device is None:
-            put = (partial(jax.device_put, device=self.device)
-                   if self.device is not None else jax.device_put)
-            self._params_device = jax.tree.map(put, self.params)
-        return self._params_device
+        with self._cache_lock:
+            if self._params_device is None:
+                put = (partial(jax.device_put, device=self.device)
+                       if self.device is not None else jax.device_put)
+                self._params_device = jax.tree.map(put, self.params)
+            return self._params_device
 
     # --- shape bucketing ----------------------------------------------------
     def _target_length(self, n_samples: int) -> int:
         need = padded_length(n_samples, self.cfg)
-        fits = [L for L in self._compiled_lengths
-                if L >= need and L <= need * self.MAX_PAD_WASTE]
-        if fits:
-            return min(fits)
-        self._compiled_lengths.append(need)
-        self._compiled_lengths.sort()
-        return need
+        with self._cache_lock:
+            fits = [L for L in self._compiled_lengths
+                    if L >= need and L <= need * self.MAX_PAD_WASTE]
+            if fits:
+                return min(fits)
+            self._compiled_lengths.append(need)
+            self._compiled_lengths.sort()
+            return need
 
     def _pad_to(self, samples: np.ndarray, target: int):
         """Pad to the compiled length, converting to the wire dtype."""
@@ -203,7 +226,7 @@ class ChunkClassifier:
         if self.sharding is not None:
             wav = jax.device_put(wav, self.sharding)
         out = _classify_padded(self._device_params(), wav, self.cfg,
-                               self.compute_dtype, self.mesh)
+                               self.compute_dtype, self.mesh, self.frontend)
         return np.asarray(out)[:n_valid]
 
     def predict_async(self, samples: np.ndarray):
@@ -222,7 +245,7 @@ class ChunkClassifier:
         # only dispatches
         wav = jax.device_put(wav, self.sharding)
         out = _classify_padded(self._device_params(), wav, self.cfg,
-                               self.compute_dtype, self.mesh)
+                               self.compute_dtype, self.mesh, self.frontend)
         return out, n_valid
 
     def predict_async_batch(self, samples_list):

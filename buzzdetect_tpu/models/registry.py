@@ -13,6 +13,7 @@ built-in :class:`BundleModel` runs it as one fused XLA graph.
 import importlib.util
 import json
 import os
+import threading
 
 from buzzdetect_tpu import config as cfg
 from buzzdetect_tpu.models.classifier import ChunkClassifier
@@ -143,26 +144,29 @@ class BundleModel(BaseModel):
         self._transfer_dtype = self.config.get('transfer_dtype',
                                                transfer_dtype)
         self.classifier = None
+        # one model instance is shared by every inferer thread; initialize()
+        # must build the classifier exactly once
+        self._init_lock = threading.Lock()
 
         # embedder metadata without loading weights twice: the bundle IS the
         # embedder; expose the contract attrs the pipeline needs
         self.embedder = EmbedderYamnet(framehop_prop)
 
     def initialize(self):
-        if self.classifier is not None:
-            return
-        import jax.numpy as jnp
-        import numpy as np
-        with np.load(os.path.join(self.dir_model, 'model.npz')) as z:
-            arrays = {k: z[k] for k in z.files}
-        dtype = self._compute_dtype or jnp.float32
-        self.classifier = ChunkClassifier(arrays,
-                                          framehop_prop=self.framehop_prop,
-                                          compute_dtype=dtype,
-                                          sharding=self._sharding,
-                                          mesh=self._mesh,
-                                          transfer_dtype=self._transfer_dtype)
-        self.embedder._classifier = self.classifier
+        with self._init_lock:
+            if self.classifier is not None:
+                return
+            import jax.numpy as jnp
+            import numpy as np
+            with np.load(os.path.join(self.dir_model, 'model.npz')) as z:
+                arrays = {k: z[k] for k in z.files}
+            dtype = self._compute_dtype or jnp.float32
+            classifier = ChunkClassifier(
+                arrays, framehop_prop=self.framehop_prop,
+                compute_dtype=dtype, sharding=self._sharding,
+                mesh=self._mesh, transfer_dtype=self._transfer_dtype)
+            self.embedder._classifier = classifier
+            self.classifier = classifier
 
     def predict(self, samples):
         return self.classifier.predict(samples)

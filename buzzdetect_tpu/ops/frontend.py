@@ -179,16 +179,22 @@ def log_mel_spectrogram(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarr
     return jnp.log(mel_spec + cfg.log_offset)
 
 
+def patches_from_log_mel(log_mel: jnp.ndarray,
+                         cfg: FrontendConfig) -> jnp.ndarray:
+    """(..., n_stft_frames, mel_bands) -> (..., n_patches, patch_frames,
+    mel_bands): overlapping patch framing, drop-remainder."""
+    idx = _frame_indices(log_mel.shape[-2], cfg.patch_frames,
+                         cfg.patch_hop_frames)
+    return log_mel[..., idx, :]
+
+
 def log_mel_patches(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """1-D waveform -> (n_patches, patch_frames, mel_bands) log-mel patches.
 
     The input must already be padded (see :func:`pad_waveform`); only complete
     patches are emitted (drop-remainder, as in `features.py:63-79`).
     """
-    log_mel = log_mel_spectrogram(waveform, cfg)
-    idx = _frame_indices(log_mel.shape[-2], cfg.patch_frames,
-                         cfg.patch_hop_frames)
-    return log_mel[..., idx, :]                      # (..., n_patches, 96, 64)
+    return patches_from_log_mel(log_mel_spectrogram(waveform, cfg), cfg)
 
 
 @partial(jax.jit, static_argnames=('cfg',))

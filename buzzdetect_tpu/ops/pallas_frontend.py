@@ -11,9 +11,10 @@ HBM block by block. Compared to the XLA frontend (ops/frontend.py) this:
 * fuses the magnitude and log elementwise stages into the matmul pipeline.
 
 Numerics match ops/frontend.py to float32 rounding (tests/test_pallas.py).
-The kernel is selectable via FrontendConfig-level dispatch in the classifier
-(`use_pallas`); the XLA path remains the default until Pallas wins on the
-target topology.
+Select it with ``ChunkClassifier(..., frontend='pallas')``; the XLA path
+remains the default (the model is transfer-bound on current hardware, and
+this environment's remote Mosaic compile service is unreliable — the kernel
+is validated in interpreter mode).
 """
 
 from functools import partial, lru_cache

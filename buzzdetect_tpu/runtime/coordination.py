@@ -124,7 +124,16 @@ class Coordinator:
         return self.q_analyze.get()
 
     def put_write(self, a_chunk: AssignChunk):
-        self.q_write.put(a_chunk)
+        # bounded queue: during an interrupted shutdown the writer may have
+        # already exited on its sentinel — don't deadlock against it
+        while True:
+            if self.writer_done.is_set():
+                return
+            try:
+                self.q_write.put(a_chunk, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def get_write(self):
         a_chunk = self.q_write.get()
@@ -149,9 +158,19 @@ class Coordinator:
             tracker.stream_in_progress = False
 
     # --- exit protocol -----------------------------------------------------
-    def _poison(self, q, n):
-        for _ in range(n):
-            q.put(EXIT)
+    def _poison(self, q, n, consumers_done=None):
+        """Enqueue n EXIT sentinels. For bounded queues the put can block
+        when the consumer already exited on an earlier sentinel with a
+        backlog left behind — bail out once ``consumers_done`` is set."""
+        sent = 0
+        while sent < n:
+            if consumers_done is not None and consumers_done.is_set():
+                return
+            try:
+                q.put(EXIT, timeout=0.5)
+                sent += 1
+            except queue.Full:
+                continue
 
     def exit_analysis(self, exit_signal: ExitSignal):
         """First caller wins; sets the exit event every worker checks."""
@@ -170,13 +189,14 @@ class Coordinator:
                 t.join()
             self.log('streamers done', 'DEBUG')
             self.streamers_done.set()
-            self._poison(self.q_analyze, self.analyzers_total)
+            self._poison(self.q_analyze, self.analyzers_total,
+                         consumers_done=self.analyzers_done)
 
             for t in threads_analyzers:
                 t.join()
             self.log('analyzers done', 'DEBUG')
             self.analyzers_done.set()
-            self._poison(self.q_write, 1)
+            self._poison(self.q_write, 1, consumers_done=self.writer_done)
 
             thread_writer.join()
             self.log('writer done', 'DEBUG')
@@ -186,17 +206,36 @@ class Coordinator:
                                           level='INFO',
                                           end_reason='completed'))
 
+        def poison_all():
+            self._poison(self.q_stream, self.streamers_total,
+                         consumers_done=self.streamers_done)
+            self._poison(self.q_analyze, self.analyzers_total,
+                         consumers_done=self.analyzers_done)
+            self._poison(self.q_write, 1, consumers_done=self.writer_done)
+
         def watch_earlyexit():
+            # message-based stop channel (used by embedding front-ends)
             exit_message = self.q_earlyexit.get()
             if exit_message == EXIT:
                 return  # internal release on normal completion
             self.exit_analysis(ExitSignal(message=str(exit_message),
                                           level='WARNING',
                                           end_reason='interrupted'))
-            self._poison(self.q_stream, self.streamers_total)
-            self._poison(self.q_analyze, self.analyzers_total)
-            self._poison(self.q_write, 1)
+            poison_all()
+
+        def watch_event():
+            # event-based stop channel (GUI stop button, external killers):
+            # when the event fires before natural completion, wake every
+            # blocked worker so shutdown is prompt
+            self.event_exitanalysis.wait()
+            if self.end_reason is None:
+                self.exit_analysis(ExitSignal(
+                    message='analysis stopped by external request',
+                    level='WARNING', end_reason='interrupted'))
+            if self.end_reason != 'completed':
+                poison_all()
 
         threading.Thread(target=watch_workers, daemon=True).start()
         threading.Thread(target=watch_earlyexit, daemon=True).start()
+        threading.Thread(target=watch_event, daemon=True).start()
         self.event_exitanalysis.wait()

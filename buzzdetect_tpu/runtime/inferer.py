@@ -98,6 +98,13 @@ class WorkerInferer:
             a_chunk = self.coordinator.get_analyze()
             if a_chunk == 'exit':
                 break
+            if self.coordinator.event_exitanalysis.is_set():
+                # interrupted: drain without analyzing; results=None keeps the
+                # tracker consistent and the writer leaves the file partial
+                a_chunk.results = None
+                a_chunk.samples = None
+                self.coordinator.put_write(a_chunk)
+                continue
             self.timer_bottleneck.stop()
             if self.timer_bottleneck.get_total() > 0.01:
                 self.report_bottleneck()

@@ -97,6 +97,13 @@ class WorkerStreamer:
         sample_from = int(chunk[0] * rate)
         sample_to = int(chunk[1] * rate)
         read_size = sample_to - sample_from
+        if read_size <= 0:
+            # degenerate chunk (defense in depth — gaps_to_chunklist drops
+            # these): nothing to analyze; keep the tracker consistent if it
+            # was the final chunk (the resume self-heal finalizes next run)
+            if force_last:
+                self.coordinator.mark_stream_finished(a_file.ident)
+            return True
 
         a_file.track.seek(sample_from)
         samples = a_file.track.read(read_size, dtype=np.float32)

@@ -53,6 +53,10 @@ class WorkerWriter:
         # aggregate throughput accounting (audio-seconds actually landed)
         self.audio_seconds_written = 0.0
         self.chunks_written = 0
+        # files with a failed chunk (results=None from the inferer's error
+        # path): they must NEVER be finalized — the partial stays on disk so
+        # a later run re-analyzes the hole
+        self.failed_idents = set()
 
         if threshold is None:
             def format_func(results, time_start):
@@ -75,6 +79,15 @@ class WorkerWriter:
                                              level_str=level_str))
 
     def write_results(self, a_chunk: AssignChunk, fully_analyzed: bool):
+        if a_chunk.results is None:
+            # inference failed (or was interrupted) for this chunk: record
+            # the hole so the file is left as a resumable partial, never
+            # promoted to a complete file missing data
+            if a_chunk.file.ident not in self.failed_idents:
+                self.failed_idents.add(a_chunk.file.ident)
+                self.log(f'{a_chunk.file.shortpath_audio}: chunk '
+                         f'{a_chunk.chunk} has no results; leaving the file '
+                         f'as a resumable partial', 'WARNING')
         if a_chunk.results is not None:
             # materializing here is what syncs with the device — by this
             # point the inferer has already dispatched the next chunk
@@ -94,7 +107,9 @@ class WorkerWriter:
             self.chunks_written += 1
             self.coordinator.record_written(seconds)
 
-        if fully_analyzed and os.path.exists(a_chunk.file.path_results_partial):
+        if (fully_analyzed
+                and a_chunk.file.ident not in self.failed_idents
+                and os.path.exists(a_chunk.file.path_results_partial)):
             finalize_partial(a_chunk.file.path_results_partial,
                              a_chunk.file.path_results_complete)
             self.log(f'finalized {a_chunk.file.shortpath_results_complete}',

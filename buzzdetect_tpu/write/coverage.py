@@ -68,8 +68,12 @@ def smooth_gaps(gaps, range_in, framelength: float, gap_tolerance: float = None)
 
     * drop gaps that start within one frame of the range end (no full frame fits);
     * drop gaps no longer than ``gap_tolerance`` (float-noise gaps);
-    * widen sub-frame gaps to exactly one frame, centered on the gap start, so a
-      re-analysis frame actually covers them.
+    * widen sub-frame gaps to exactly one frame, CENTERED on the gap and
+      clamped inside the range, so the single re-analysis frame really covers
+      the whole gap. (The reference anchors the widening at the gap start —
+      its own comment says "expand from center" — which leaves up to half a
+      frame of the gap uncovered and can produce negative start times for
+      gaps near t=0; both fixed here.)
     """
     gaps = [g for g in gaps if g[0] < (range_in[1] - framelength)]
     if gap_tolerance is not None:
@@ -77,7 +81,9 @@ def smooth_gaps(gaps, range_in, framelength: float, gap_tolerance: float = None)
     out = []
     for g in gaps:
         if (g[1] - g[0]) < framelength:
-            out.append((g[0] - framelength / 2, g[0] + framelength / 2))
+            center = (g[0] + g[1]) / 2
+            lo = max(range_in[0], center - framelength / 2)
+            out.append((lo, lo + framelength))
         else:
             out.append(g)
     return out
@@ -95,7 +101,11 @@ def gaps_to_chunklist(gaps_in, chunklength: float, decimals: int = 2):
         points = np.arange(lo, hi, chunklength).tolist()
         points.append(hi)  # arange is right-exclusive even on exact alignment
         points = np.round(points, decimals)
-        chunklist.extend(zip(points[:-1], points[1:]))
+        # rounding can collapse the final edge onto the previous point;
+        # degenerate (zero/negative-length) chunks would fabricate result
+        # rows from pure padding
+        chunklist.extend((a, b) for a, b in zip(points[:-1], points[1:])
+                         if b > a)
     return [(float(a), float(b)) for a, b in chunklist]
 
 

@@ -68,10 +68,21 @@ def test_smooth_drops_subtolerance_gap():
 
 def test_smooth_expands_subframe_gap():
     # gap bigger than tolerance but smaller than a frame: widen to one frame
-    # centered on the gap start
+    # centered on the GAP so the re-analysis frame covers all of it
     gaps = [(10.0, 10.5)]
     out = smooth_gaps(gaps, (0, 100), FL, gap_tolerance=FL / 4)
-    assert out == [(10.0 - FL / 2, 10.0 + FL / 2)]
+    (lo, hi), = out
+    assert hi - lo == pytest.approx(FL)
+    assert lo <= 10.0 and hi >= 10.5  # the whole gap is covered
+
+
+def test_smooth_subframe_gap_near_file_start_clamps():
+    # a widened gap must never start before t=0 (negative timestamps)
+    gaps = [(0.0, 0.5)]
+    out = smooth_gaps(gaps, (0, 100), FL, gap_tolerance=FL / 4)
+    (lo, hi), = out
+    assert lo == 0.0
+    assert hi == pytest.approx(FL)
 
 
 def test_smooth_keeps_large_gap():

@@ -26,3 +26,22 @@ def test_pallas_matches_xla_frontend(seconds):
 
     assert pallas.shape == xla.shape
     np.testing.assert_allclose(pallas, xla, atol=2e-4)
+
+
+def test_classifier_pallas_frontend_matches_xla():
+    """ChunkClassifier(frontend='pallas') produces the same scores as the
+    default XLA frontend (interpreter mode on CPU)."""
+    from buzzdetect_tpu.models import yamnet as yam
+    from buzzdetect_tpu.models.classifier import ChunkClassifier
+    from buzzdetect_tpu.models.heads import init_head
+
+    folded = yam.fold_batchnorm(yam.init_raw_params(seed=6))
+    arrays = {f'yamnet/{k}': v for k, v in folded.items()}
+    arrays.update(init_head(1024, 3, seed=6))
+
+    wav = (RNG.standard_normal(int(3.0 * 16000)) * 0.1).astype(np.float32)
+    xla_out = ChunkClassifier(arrays, framehop_prop=1.0).predict(wav)
+    with pltpu.force_tpu_interpret_mode():
+        pl_out = ChunkClassifier(arrays, framehop_prop=1.0,
+                                 frontend='pallas').predict(wav)
+    np.testing.assert_allclose(pl_out, xla_out, atol=1e-3)

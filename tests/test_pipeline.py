@@ -377,3 +377,41 @@ def test_batched_dispatch_matches_unbatched(patched_models, tmp_path):
         a = open(os.path.join(tmp_path, 'plain', f'b{i}_buzzdetect.csv')).read()
         b = open(os.path.join(tmp_path, 'batched', f'b{i}_buzzdetect.csv')).read()
         assert a == b, f'file b{i} differs'
+
+
+def test_failed_chunk_leaves_resumable_partial(patched_models, tmp_path,
+                                               monkeypatch):
+    """A chunk whose inference fails must leave the file as a resumable
+    partial — never a finalized result with a silent hole."""
+    from buzzdetect_tpu import config as cfg2
+    from buzzdetect_tpu.analyze import analyze
+
+    d = tmp_path / 'models' / 'flaky'
+    d.mkdir(parents=True)
+    (d / 'config_model.json').write_text(json.dumps(
+        {'classes': ['a', 'b'], 'embeddername': 'yamnet',
+         'digits_results': 2}))
+    (d / 'model.py').write_text(
+        'import numpy as np\n'
+        'from buzzdetect_tpu.models.registry import BaseModel\n\n'
+        'class Flaky(BaseModel):\n'
+        '    modelname = "flaky"\n'
+        '    def initialize(self):\n'
+        '        pass\n'
+        '    def predict(self, samples):\n'
+        '        if len(samples) < 30000:\n'
+        '            raise RuntimeError("boom on the short tail chunk")\n'
+        '        return np.zeros((2, 2))\n')
+    monkeypatch.setattr(cfg2, 'DIR_MODELS', str(tmp_path / 'models'))
+
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    # 3 s file in 1.92 s chunks -> chunk 2 is short (1.08 s) and will fail
+    write_wav(os.path.join(dir_audio, 'f.wav'), make_tone(3.0, 16000), 16000)
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='flaky', dir_audio=dir_audio, dir_out=dir_out,
+                chunklength=2.0, verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'completed'
+    # the good chunk's rows are checkpointed; the file is NOT finalized
+    assert os.path.exists(os.path.join(dir_out, 'f_buzzpart.csv'))
+    assert not os.path.exists(os.path.join(dir_out, 'f_buzzdetect.csv'))
