@@ -104,7 +104,7 @@ class Analyzer:
             f"{self.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}.log")
         os.makedirs(os.path.dirname(path_log), exist_ok=True)
         self.thread_logger = threading.Thread(
-            target=run_worker, name='logger',
+            target=run_worker, name='logger', daemon=True,
             kwargs=dict(workerclass=WorkerLogger, path_log=path_log,
                         verbosity_print=self.verbosity_print,
                         verbosity_log=self.verbosity_log,
@@ -134,7 +134,7 @@ class Analyzer:
     def _launch_streamers(self):
         for s in range(self.coordinator.streamers_total):
             t = threading.Thread(
-                target=run_worker, name=f'streamer_{s}',
+                target=run_worker, name=f'streamer_{s}', daemon=True,
                 kwargs=dict(workerclass=WorkerStreamer, id_streamer=s,
                             model=self.model, chunklength=self.chunklength,
                             coordinator=self.coordinator))
@@ -144,7 +144,7 @@ class Analyzer:
     def _launch_analyzers(self):
         for a in range(self.coordinator.analyzers_total):
             t = threading.Thread(
-                target=run_worker, name=f'analyzer_{a}',
+                target=run_worker, name=f'analyzer_{a}', daemon=True,
                 kwargs=dict(workerclass=WorkerInferer, id_analyzer=a,
                             model=self.model, coordinator=self.coordinator,
                             batch_chunks=self.batch_chunks))
@@ -153,7 +153,7 @@ class Analyzer:
 
     def _launch_writer(self):
         self.thread_writer = threading.Thread(
-            target=run_worker, name='writer',
+            target=run_worker, name='writer', daemon=True,
             kwargs=dict(workerclass=WorkerWriter,
                         classes_out=self.classes_out,
                         threshold=self.threshold,
@@ -254,10 +254,19 @@ class Analyzer:
         self._launch_streamers()
         self._launch_analyzers()
 
-        self.coordinator.wait_for_exit(
-            threads_streamers=self.threads_streamers,
-            threads_analyzers=self.threads_analyzers,
-            thread_writer=self.thread_writer)
+        try:
+            self.coordinator.wait_for_exit(
+                threads_streamers=self.threads_streamers,
+                threads_analyzers=self.threads_analyzers,
+                thread_writer=self.thread_writer)
+        except KeyboardInterrupt:
+            # Ctrl-C: orderly stop — finished chunks are already checkpointed
+            # and the run is resumable. A second Ctrl-C hard-exits.
+            self.coordinator.exit_analysis(ExitSignal(
+                message='keyboard interrupt — stopping; finished chunks are '
+                        'saved, rerun to resume', level='WARNING',
+                end_reason='interrupted'))
+            self.thread_writer.join(timeout=30)
 
         self.timer_total.stop()
         if self.coordinator.end_reason == 'completed':
