@@ -61,7 +61,8 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
     return audio_seconds / wall
 
 
-def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float):
+def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
+                   batch_chunks: int = 1):
     """Full path: WAV decode -> pipeline -> CSV (host + device).
 
     A warmup pass first runs one file through analyze() so backend
@@ -82,7 +83,8 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float):
                   (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)
         analyze(modelname='model_general_v3', dir_audio=warm_audio,
                 dir_out=os.path.join(td, 'warm_out'),
-                chunklength=chunklength, verbosity_print='ERROR')
+                chunklength=chunklength, verbosity_print='ERROR',
+                batch_chunks=batch_chunks)
 
         dir_audio = os.path.join(td, 'audio')
         os.makedirs(dir_audio)
@@ -93,7 +95,7 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float):
         t0 = time.perf_counter()
         analyze(modelname='model_general_v3', dir_audio=dir_audio,
                 dir_out=dir_out, chunklength=chunklength,
-                verbosity_print='ERROR')
+                verbosity_print='ERROR', batch_chunks=batch_chunks)
         wall = time.perf_counter() - t0
     return n_files * seconds_per_file / wall
 
@@ -107,6 +109,7 @@ def main():
     ap.add_argument('--bf16', action='store_true')
     ap.add_argument('--files', type=int, default=4)
     ap.add_argument('--seconds-per-file', type=float, default=300.0)
+    ap.add_argument('--batch-chunks', type=int, default=1)
     args = ap.parse_args()
 
     if args.mode == 'device':
@@ -115,7 +118,7 @@ def main():
         metric = 'realtime_factor_device'
     else:
         value = bench_pipeline(args.chunklength, args.files,
-                               args.seconds_per_file)
+                               args.seconds_per_file, args.batch_chunks)
         metric = 'realtime_factor_pipeline'
 
     print(json.dumps({

@@ -61,7 +61,12 @@ class WorkerInferer:
 
     def _drain_batch(self, first):
         """Opportunistically pull up to batch_chunks-1 more ready chunks (no
-        blocking) so independent files share one device dispatch."""
+        blocking) so independent files share one device dispatch.
+
+        The dispatched batch size is quantized to a power of two — every
+        distinct batch shape is a separate XLA compilation, so free-running
+        sizes would compile B=2,3,5,7... programs; {1,2,4,8} bounds it.
+        """
         import queue as queue_mod
         batch = [first]
         exit_seen = False
@@ -74,7 +79,10 @@ class WorkerInferer:
                 exit_seen = True
                 break
             batch.append(item)
-        return batch, exit_seen
+        pow2 = 1
+        while pow2 * 2 <= len(batch):
+            pow2 *= 2
+        return batch[:pow2], batch[pow2:], exit_seen
 
     def process_batch(self, batch):
         out, n_valids = self.model.predict_async_batch(
@@ -110,13 +118,16 @@ class WorkerInferer:
                 self.report_bottleneck()
             exit_seen = False
             batch = [a_chunk]
+            leftover = []
             try:
                 if batching:
-                    batch, exit_seen = self._drain_batch(a_chunk)
+                    batch, leftover, exit_seen = self._drain_batch(a_chunk)
                     if len(batch) == 1:
                         self.process_chunk(batch[0])
                     else:
                         self.process_batch(batch)
+                    for c in leftover:  # beyond the power-of-two cut
+                        self.process_chunk(c)
                 else:
                     self.process_chunk(a_chunk)
             except Exception as e:
@@ -124,7 +135,7 @@ class WorkerInferer:
                          f'chunk {a_chunk.chunk}: {e}', 'ERROR')
                 # keep the tracker consistent: EVERY chunk of the batch must
                 # reach the writer so completion detection still fires
-                for c in batch:
+                for c in batch + leftover:
                     if c.results is None:
                         self.coordinator.put_write(c)
             if exit_seen:
