@@ -147,10 +147,15 @@ class BundleModel(BaseModel):
         # one model instance is shared by every inferer thread; initialize()
         # must build the classifier exactly once
         self._init_lock = threading.Lock()
-
         # embedder metadata without loading weights twice: the bundle IS the
         # embedder; expose the contract attrs the pipeline needs
         self.embedder = EmbedderYamnet(framehop_prop)
+
+    @property
+    def transfer_dtype(self):
+        """Wire dtype for samples (streamers convert early so the
+        quantization cost parallelizes across decode threads)."""
+        return self._transfer_dtype
 
     def initialize(self):
         with self._init_lock:

@@ -107,6 +107,12 @@ class WorkerStreamer:
 
         a_file.track.seek(sample_from)
         samples = a_file.track.read(read_size, dtype=np.float32)
+        if getattr(self.model, 'transfer_dtype', None) == 'int16':
+            # quantize to the wire dtype here, in the (many, parallel)
+            # decode threads, so the single dispatch thread doesn't pay it;
+            # also halves the prefetch ring's RAM
+            samples = (np.clip(samples, -1.0, 1.0) * 32767.0
+                       ).round().astype(np.int16)
 
         if len(samples) < read_size:
             self.handle_bad_read(a_file)
