@@ -103,7 +103,9 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--mode', choices=['device', 'pipeline'], default='device')
-    ap.add_argument('--chunklength', type=float, default=200.0)
+    # 960 s chunks are the tuned configuration for v5e (big batches amortize
+    # dispatch; see docs/tuning.md) — the pipeline's default stays 200 s
+    ap.add_argument('--chunklength', type=float, default=960.0)
     ap.add_argument('--chunks', type=int, default=20)
     ap.add_argument('--framehop', type=float, default=1.0)
     ap.add_argument('--bf16', action='store_true')

@@ -1,0 +1,4 @@
+from buzzdetect_tpu.cli import main
+
+if __name__ == '__main__':
+    main()

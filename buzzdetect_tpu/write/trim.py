@@ -58,6 +58,26 @@ def read_trimmed(path_npz: str):
     return starts, cols
 
 
+def read_results(path_csv: str):
+    """Load a result CSV -> (starts, {column: float array}).
+
+    The reading API downstream analysis needs (the buzzr-style accessor),
+    for both activations and detections files.
+    """
+    import csv as _csv
+    with open(path_csv, newline='') as f:
+        reader = _csv.reader(f)
+        header = next(reader)
+        rows = [r for r in reader if len(r) == len(header)]
+    data = np.array([[float(c) for c in r] for r in rows], np.float64)
+    if data.size == 0:
+        data = data.reshape(0, len(header))
+    starts = data[:, header.index('start')]
+    cols = {name: data[:, j] for j, name in enumerate(header)
+            if name != 'start'}
+    return starts, cols
+
+
 def trim_directory(dir_results: str, classes_keep=('ins_buzz',),
                    decimals: int = 1, remove_original: bool = False):
     """Compact every finalized result CSV under ``dir_results``.

@@ -205,3 +205,13 @@ def test_train_model_tool_end_to_end(tmp_path, monkeypatch):
     model = load_model('trained', initialize=True)
     out = model.predict(make_tone(2.0, 16000, 220))
     assert out.shape[1] == 2
+
+
+def test_read_results(tmp_path):
+    from buzzdetect_tpu.write.trim import read_results
+    p = tmp_path / 'x_buzzdetect.csv'
+    p.write_text('start,activation_ins_buzz,activation_human\n'
+                 '0.0,-1.2,0.3\n0.96,0.5,-2.0\n')
+    starts, cols = read_results(str(p))
+    np.testing.assert_allclose(starts, [0.0, 0.96])
+    np.testing.assert_allclose(cols['activation_ins_buzz'], [-1.2, 0.5])
