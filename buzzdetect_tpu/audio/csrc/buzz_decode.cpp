@@ -92,11 +92,15 @@ SeekStrategy strategy_for(AVCodecID id) {
         case AV_CODEC_ID_FLAC:
         case AV_CODEC_ID_MP3: case AV_CODEC_ID_MP2:
         case AV_CODEC_ID_AAC:
-        case AV_CODEC_ID_VORBIS: case AV_CODEC_ID_OPUS:
+        case AV_CODEC_ID_OPUS:
             return SEEK_PTS;
         case AV_CODEC_ID_WMAV1: case AV_CODEC_ID_WMAV2:
         case AV_CODEC_ID_WMAPRO: case AV_CODEC_ID_WMALOSSLESS:
         case AV_CODEC_ID_AC3: case AV_CODEC_ID_EAC3:
+        // Vorbis: Ogg granulepos marks packet END; the post-seek pts libav
+        // derives lands samples off (measured ~0.46 amplitude error) —
+        // count-forward is the only exact path
+        case AV_CODEC_ID_VORBIS:
             return SEEK_REOPEN;
         default:
             return SEEK_REOPEN;

@@ -141,6 +141,8 @@ def test_driver_map_covers_reference_formats():
     ('libmp3lame', 'mp3'),
     ('flac', 'flac'),
     ('pcm_s16le', 'wav'),
+    ('libopus', 'opus'),
+    ('libvorbis', 'ogg'),
 ])
 def test_codec_seek_matches_linear_decode(tmp_path, codec, ext):
     """The invariant the reference drivers document from manual experiments
@@ -156,9 +158,9 @@ def test_codec_seek_matches_linear_decode(tmp_path, codec, ext):
     assert len(linear) > 3.5 * 48000
 
     rng = np.random.default_rng(7)
-    # AAC MDCT reconstruction is float-nondeterministic at ~3e-5 near the
-    # encoder-delay region; everything else must be bit-exact
-    tol = 1e-4 if codec == 'aac' else 0.0
+    # AAC/Opus MDCT reconstruction is float-nondeterministic at ~1e-4;
+    # everything else must be bit-exact
+    tol = 1e-4 if codec in ('aac', 'libopus') else 0.0
     for target in rng.integers(0, len(linear) - 4096, size=15):
         t.seek(int(target))
         got = t.read(4096)
