@@ -1,0 +1,85 @@
+"""Ahead-of-time model export: the fused classify graph as a serialized
+StableHLO artifact (jax.export).
+
+Serving deployments can load the artifact and run inference without the
+model code, weight bundles, or tracing — the weights are baked into the
+graph as constants, shapes are fixed at export time, and the artifact is
+portable across hosts (and forward-compatible per StableHLO guarantees).
+"""
+
+import json
+import os
+
+import numpy as np
+
+
+def export_classifier(modelname: str, chunk_seconds: float,
+                      framehop_prop: float = 1.0,
+                      platforms=('cpu', 'tpu'),
+                      transfer_dtype: str = 'int16'):
+    """Build and export the waveform->scores graph for a fixed chunk shape.
+
+    Returns (serialized_bytes, meta_dict).
+    """
+    import jax
+    import jax.numpy as jnp
+    from buzzdetect_tpu.models.registry import load_model
+    from buzzdetect_tpu.ops.frontend import padded_length, num_patches
+
+    model = load_model(modelname, framehop_prop=framehop_prop,
+                       initialize=True, transfer_dtype=transfer_dtype)
+    clf = model.classifier
+    cfg = clf.cfg
+    fl = model.embedder.framelength_s
+    chunk_seconds = round(chunk_seconds / fl) * fl
+    n_samples = int(chunk_seconds * 16000)
+    target = padded_length(n_samples, cfg)
+
+    params = clf.params  # baked in as constants
+    from buzzdetect_tpu.models.classifier import _classify_padded
+
+    def forward(waveform):
+        return _classify_padded(params, waveform, cfg)
+
+    dtype = jnp.int16 if transfer_dtype == 'int16' else jnp.float32
+    spec = jax.ShapeDtypeStruct((target,), dtype)
+    exported = jax.export.export(jax.jit(forward),
+                                 platforms=list(platforms))(spec)
+    meta = {
+        'modelname': modelname,
+        'classes': model.config['classes'],
+        'chunk_seconds': chunk_seconds,
+        'input_samples': target,
+        'input_dtype': transfer_dtype,
+        'framehop_prop': framehop_prop,
+        'n_patches': num_patches(n_samples, cfg),
+        'platforms': list(platforms),
+        'samplerate': 16000,
+    }
+    return exported.serialize(), meta
+
+
+def save_exported(dir_out: str, blob: bytes, meta: dict):
+    os.makedirs(dir_out, exist_ok=True)
+    with open(os.path.join(dir_out, 'classify.stablehlo'), 'wb') as f:
+        f.write(blob)
+    with open(os.path.join(dir_out, 'export_meta.json'), 'w') as f:
+        json.dump(meta, f, indent=2)
+    return dir_out
+
+
+def load_exported(dir_in: str):
+    """Load a serving artifact -> (callable(waveform)->scores, meta)."""
+    import jax
+    with open(os.path.join(dir_in, 'classify.stablehlo'), 'rb') as f:
+        exported = jax.export.deserialize(f.read())
+    with open(os.path.join(dir_in, 'export_meta.json')) as f:
+        meta = json.load(f)
+
+    def call(waveform):
+        waveform = np.asarray(waveform)
+        assert len(waveform) == meta['input_samples'], \
+            f"expected {meta['input_samples']} samples"
+        return exported.call(waveform)
+
+    return call, meta

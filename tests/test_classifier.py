@@ -141,3 +141,31 @@ def test_head_import_from_reference_checkpoint():
     assert head['head/kernel'].shape == (1024, 13)
     assert head['head/bias'].shape == (13,)
     assert np.abs(head['head/kernel']).max() > 0  # real trained values
+
+
+def test_aot_export_roundtrip(bundle_dir, monkeypatch, tmp_path):
+    """The serialized StableHLO serving artifact reproduces live scores."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.export import (export_classifier,
+                                              save_exported, load_exported)
+    from buzzdetect_tpu.models.registry import load_model
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', os.path.dirname(bundle_dir))
+    blob, meta = export_classifier('testmodel', chunk_seconds=2.0,
+                                   platforms=('cpu',))
+    d = save_exported(str(tmp_path / 'serving'), blob, meta)
+
+    call, meta2 = load_exported(d)
+    assert meta2['classes'] == ['a', 'ins_buzz', 'c']
+
+    wav = (RNG.standard_normal(meta2['input_samples'])
+           * 20000).astype(np.int16)
+    out = np.asarray(call(wav))
+
+    model = load_model('testmodel', framehop_prop=1.0, initialize=True)
+    live = model.classifier
+    import jax
+    from buzzdetect_tpu.models.classifier import _classify_padded
+    ref = np.asarray(_classify_padded(live._device_params(),
+                                      jax.device_put(wav), live.cfg))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
