@@ -27,6 +27,21 @@ from buzzdetect_tpu.ops.frontend import (
     log_mel_spectrogram, patches_from_log_mel)
 from buzzdetect_tpu.models import yamnet as yamnet_lib
 from buzzdetect_tpu.models.heads import apply_head
+from buzzdetect_tpu.utils import quantize_int16
+
+
+def _to_float(waveform):
+    """Undo the int16 wire format on-device (see transfer_dtype)."""
+    if waveform.dtype == jnp.int16:
+        return waveform.astype(jnp.float32) * (1.0 / 32768.0)
+    return waveform
+
+
+def _shard_patches(patches, mesh):
+    """Shard the (leading) patch axis over the mesh's 'data' axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.lax.with_sharding_constraint(
+        patches, NamedSharding(mesh, P('data', None, None)))
 
 
 def _honor_platform_env():
@@ -87,16 +102,9 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
     output). The cheap frontend stays replicated — sharding the raw waveform
     would force halo exchanges across the overlapping STFT frames.
     """
-    if waveform.dtype == jnp.int16:
-        # int16 wire format: audio is 16-bit at the source, so shipping
-        # int16 and scaling on device halves host->HBM traffic (the
-        # pipeline's actual bottleneck) at -96 dB quantization noise
-        waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
-    patches = _frontend_patches(waveform, cfg, frontend)
+    patches = _frontend_patches(_to_float(waveform), cfg, frontend)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        patches = jax.lax.with_sharding_constraint(
-            patches, NamedSharding(mesh, P('data', None, None)))
+        patches = _shard_patches(patches, mesh)
     embeddings = yamnet_lib.embed(params['yamnet'], patches,
                                   compute_dtype=compute_dtype)
     return apply_head(params['head'], embeddings)
@@ -111,15 +119,11 @@ def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
     overhead and gives the MXU larger effective batches; with a mesh, the
     flattened (B*n_patches) axis shards over 'data'.
     """
-    if waveforms.dtype == jnp.int16:
-        waveforms = waveforms.astype(jnp.float32) * (1.0 / 32768.0)
-    patches = log_mel_patches(waveforms, cfg)       # (B, P, 96, 64)
+    patches = log_mel_patches(_to_float(waveforms), cfg)  # (B, P, 96, 64)
     b, p = patches.shape[0], patches.shape[1]
     flat = patches.reshape(b * p, *patches.shape[2:])
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        flat = jax.lax.with_sharding_constraint(
-            flat, NamedSharding(mesh, P('data', None, None)))
+        flat = _shard_patches(flat, mesh)
     embeddings = yamnet_lib.embed(params['yamnet'], flat,
                                   compute_dtype=compute_dtype)
     scores = apply_head(params['head'], embeddings)
@@ -129,9 +133,7 @@ def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
 @partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
 def _embed_padded(params, waveform, cfg: FrontendConfig,
                   compute_dtype=jnp.float32):
-    if waveform.dtype == jnp.int16:
-        waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
-    patches = log_mel_patches(waveform, cfg)
+    patches = log_mel_patches(_to_float(waveform), cfg)
     return yamnet_lib.embed(params['yamnet'], patches,
                             compute_dtype=compute_dtype)
 
@@ -167,10 +169,17 @@ class ChunkClassifier:
 
         yam = {k.split('/', 1)[1]: np.asarray(v, np.float32)
                for k, v in arrays.items() if k.startswith('yamnet/')}
+        if not yam:
+            # bundles store only the raw (unfolded) embedder weights; fold
+            # BatchNorm into conv+bias here, once, at load time
+            raw = {k.split('/', 1)[1]: np.asarray(v, np.float32)
+                   for k, v in arrays.items() if k.startswith('yamnet_raw/')}
+            if raw:
+                yam = yamnet_lib.fold_batchnorm(raw)
         head = {k: np.asarray(v, np.float32)
                 for k, v in arrays.items() if k.startswith('head/')}
         if not yam:
-            raise ValueError('bundle missing yamnet/ parameters')
+            raise ValueError('bundle missing yamnet/ or yamnet_raw/ parameters')
         # head is optional: an embedder-only bundle still supports embed()
         self.params = {'yamnet': yam, 'head': head} if head else {'yamnet': yam}
         self._params_device = None
@@ -204,8 +213,7 @@ class ChunkClassifier:
         """Pad to the compiled length, converting to the wire dtype."""
         if self.transfer_dtype == np.dtype('int16'):
             if samples.dtype != np.int16:
-                samples = (np.clip(samples, -1.0, 1.0) * 32767.0
-                           ).round().astype(np.int16)
+                samples = quantize_int16(samples)
         elif samples.dtype != np.float32:
             samples = samples.astype(np.float32)
         if len(samples) == target:

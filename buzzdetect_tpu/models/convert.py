@@ -1,9 +1,11 @@
 """Weight conversion: external checkpoint formats -> this framework's bundles.
 
 A *bundle* is a single ``model.npz`` holding flat-named float arrays (the
-embedder's raw conv/BN params under ``yamnet/...``, the head under
+embedder's raw conv/BN params under ``yamnet_raw/...``, the head under
 ``head/...``, optional evaluation metrics under ``metrics_*``) plus a JSON
-``config_model.json`` with classes and formatting metadata.
+``config_model.json`` with classes and formatting metadata. BatchNorm
+folding for inference happens once at load time (ChunkClassifier), so the
+bundle stores each parameter exactly once.
 
 Sources understood:
 * the reference classifier head — a TF SavedModel variables checkpoint
@@ -142,7 +144,6 @@ def build_model_bundle(dir_out: str,
         raw = yamnet_lib.init_raw_params(seed=seed)
         notes.append('yamnet weights: deterministic seeded init '
                      '(pretrained blob not available in this environment)')
-    folded = yamnet_lib.fold_batchnorm(raw)
 
     if head_checkpoint_prefix and os.path.exists(
             head_checkpoint_prefix + '.index'):
@@ -152,9 +153,10 @@ def build_model_bundle(dir_out: str,
         head = init_head(yamnet_lib.N_EMBEDDINGS, len(classes), seed=seed)
         notes.append('head weights: deterministic seeded init')
 
+    # store the raw (trainable) parameters only; inference folding happens
+    # once at load (ChunkClassifier) — halves the bundle size
     arrays = {}
     arrays.update({f'yamnet_raw/{k}': v for k, v in raw.items()})
-    arrays.update({f'yamnet/{k}': v for k, v in folded.items()})
     arrays.update(head)
     if metrics_csv and os.path.exists(metrics_csv):
         arrays.update(metrics_from_csv(metrics_csv))

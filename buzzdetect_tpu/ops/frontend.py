@@ -22,7 +22,7 @@ here would break the <=1e-3 score-parity contract (BASELINE.md).
 """
 
 from dataclasses import dataclass
-from functools import partial, lru_cache
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -196,8 +196,3 @@ def log_mel_patches(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """
     return patches_from_log_mel(log_mel_spectrogram(waveform, cfg), cfg)
 
-
-@partial(jax.jit, static_argnames=('cfg',))
-def waveform_to_patches(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """Jitted end-to-end frontend for an already-padded waveform."""
-    return log_mel_patches(waveform, cfg)

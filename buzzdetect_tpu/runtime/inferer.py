@@ -11,6 +11,8 @@ computes chunk N while this thread dequeues and dispatches chunk N+1 and the
 writer formats chunk N-1 — a three-stage pipeline without a scheduler.
 """
 
+import queue
+
 from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignLog
 from buzzdetect_tpu.utils import Timer
 
@@ -67,13 +69,12 @@ class WorkerInferer:
         distinct batch shape is a separate XLA compilation, so free-running
         sizes would compile B=2,3,5,7... programs; {1,2,4,8} bounds it.
         """
-        import queue as queue_mod
         batch = [first]
         exit_seen = False
         while len(batch) < self.batch_chunks:
             try:
                 item = self.coordinator.q_analyze.get_nowait()
-            except queue_mod.Empty:
+            except queue.Empty:
                 break
             if item == 'exit':
                 exit_seen = True

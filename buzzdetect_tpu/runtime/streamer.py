@@ -17,6 +17,7 @@ import numpy as np
 from buzzdetect_tpu import config as cfg
 from buzzdetect_tpu.audio import build_track, get_duration
 from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignFile, AssignLog
+from buzzdetect_tpu.utils import quantize_int16
 from buzzdetect_tpu.write.coverage import (coverage_from_csv, get_gaps,
                                            smooth_gaps, gaps_to_chunklist)
 
@@ -111,8 +112,7 @@ class WorkerStreamer:
             # quantize to the wire dtype here, in the (many, parallel)
             # decode threads, so the single dispatch thread doesn't pay it;
             # also halves the prefetch ring's RAM
-            samples = (np.clip(samples, -1.0, 1.0) * 32767.0
-                       ).round().astype(np.int16)
+            samples = quantize_int16(samples)
 
         if len(samples) < read_size:
             self.handle_bad_read(a_file)

@@ -1,5 +1,5 @@
 from buzzdetect_tpu.train.trainer import (  # noqa: F401
     bce_with_logits_loss, make_head_train_step, make_full_train_step,
-    train_head, TrainState)
+    train_head)
 from buzzdetect_tpu.train.evaluate import (  # noqa: F401
     threshold_sweep, evaluate_scores, write_metrics_csv)

@@ -36,19 +36,6 @@ def bce_with_logits_loss(logits, labels, class_weights=None):
     return jnp.mean(per_class)
 
 
-class TrainState:
-    """Minimal functional train state (params + optimizer state)."""
-
-    def __init__(self, params, opt_state, tx):
-        self.params = params
-        self.opt_state = opt_state
-        self.tx = tx
-
-    def apply_gradients(self, grads):
-        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
-        return TrainState(optax.apply_updates(self.params, updates),
-                          new_opt, self.tx)
-
 
 # --- head-only training -------------------------------------------------------
 

@@ -10,6 +10,14 @@ import os
 import time
 from datetime import datetime
 
+import numpy as np
+
+
+def quantize_int16(samples):
+    """float [-1, 1] samples -> int16 wire format (the pipeline's transfer
+    dtype; see ChunkClassifier.transfer_dtype)."""
+    return (np.clip(samples, -1.0, 1.0) * 32767.0).round().astype(np.int16)
+
 
 def get_ext(path: str) -> str:
     """Lower-case extension without the leading dot."""

@@ -64,9 +64,8 @@ def read_results(path_csv: str):
     The reading API downstream analysis needs (the buzzr-style accessor),
     for both activations and detections files.
     """
-    import csv as _csv
     with open(path_csv, newline='') as f:
-        reader = _csv.reader(f)
+        reader = csv.reader(f)
         header = next(reader)
         rows = [r for r in reader if len(r) == len(header)]
     data = np.array([[float(c) for c in r] for r in rows], np.float64)
