@@ -143,6 +143,14 @@ int open_internal(BzStream* s) {
     if (s->out_rate <= 0) s->out_rate = s->native_rate;
     s->strategy = strategy_for(codec->id);
     s->preroll_native = preroll_for(codec->id, s->native_rate);
+    // AAC pts is only sample-exact in mp4/mov containers, whose edit lists
+    // account for the encoder's priming samples; in matroska/avi/etc the
+    // pts is offset by the priming -> only count-forward is exact
+    if (codec->id == AV_CODEC_ID_AAC && s->fmt->iformat
+        && !strstr(s->fmt->iformat->name, "mp4")
+        && !strstr(s->fmt->iformat->name, "mov")
+        && !strstr(s->fmt->iformat->name, "aac"))
+        s->strategy = SEEK_REOPEN;
 
     AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
     AVChannelLayout in_layout;

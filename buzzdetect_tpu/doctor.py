@@ -1,0 +1,83 @@
+"""Environment self-check: ``python -m buzzdetect_tpu.doctor``.
+
+Verifies everything an analysis run needs — the accelerator, the native
+decode stage, the model bundle, and a tiny end-to-end inference — and prints
+one line per check so field deployments can triage quickly.
+"""
+
+import os
+import sys
+import traceback
+
+
+def _check(name, fn):
+    try:
+        detail = fn()
+        print(f'  [ok]   {name}' + (f' — {detail}' if detail else ''))
+        return True
+    except Exception as e:
+        print(f'  [FAIL] {name} — {e.__class__.__name__}: {e}')
+        if os.environ.get('BUZZDETECT_DOCTOR_TRACE'):
+            traceback.print_exc()
+        return False
+
+
+def main(modelname: str = None):
+    from buzzdetect_tpu import config as cfg
+    modelname = modelname or cfg.DEFAULT_MODEL
+    print('buzzdetect-tpu doctor')
+    ok = True
+
+    def check_jax():
+        import jax
+        devs = jax.devices()
+        return f'{len(devs)} device(s): {devs[0].platform} {devs[0]}'
+    ok &= _check('jax backend', check_jax)
+
+    def check_decoder():
+        from buzzdetect_tpu.audio.ffi import get_lib
+        get_lib()
+        return 'libbuzz_decode.so loaded'
+    ok &= _check('native decoder (libav)', check_decoder)
+
+    def check_decode_roundtrip():
+        import tempfile
+        import numpy as np
+        from buzzdetect_tpu.audio.ffi import encode_fixture
+        from buzzdetect_tpu.audio import build_track
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, 'probe.mp3')
+            encode_fixture(p, 'libmp3lame', 16000, 1, 0.5)
+            t = build_track(p, target_rate=16000)
+            n = len(t.read(16000))
+            t.close()
+        return f'mp3 encode/decode round-trip ({n} samples)'
+    ok &= _check('codec round-trip', check_decode_roundtrip)
+
+    def check_model():
+        from buzzdetect_tpu.models.registry import load_model
+        model = load_model(modelname, initialize=False)
+        return (f'{modelname}: {len(model.config["classes"])} classes, '
+                f'embedder {model.embeddername}')
+    ok &= _check('model bundle', check_model)
+
+    def check_inference():
+        import numpy as np
+        from buzzdetect_tpu.models.registry import load_model
+        model = load_model(modelname, initialize=True)
+        out = model.predict(np.zeros(16000, np.float32))
+        return f'1 s inference -> {out.shape} scores'
+    ok &= _check('end-to-end inference', check_inference)
+
+    def check_threshold():
+        from buzzdetect_tpu.write.thresholds import calculate_threshold
+        thr = calculate_threshold(modelname, 0.95)
+        return f'precision 0.95 -> threshold {thr:.3f}'
+    ok &= _check('threshold calibration (metrics table)', check_threshold)
+
+    print('all checks passed' if ok else 'SOME CHECKS FAILED')
+    return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else None))

@@ -143,6 +143,9 @@ def test_driver_map_covers_reference_formats():
     ('pcm_s16le', 'wav'),
     ('libopus', 'opus'),
     ('libvorbis', 'ogg'),
+    ('flac', 'mka'),        # matroska container
+    ('aac', 'mkv'),
+    ('pcm_s16le', 'mov'),
 ])
 def test_codec_seek_matches_linear_decode(tmp_path, codec, ext):
     """The invariant the reference drivers document from manual experiments

@@ -91,3 +91,21 @@ def test_widgets_construct():
     w.set('abc')
     assert w.get() == 'abc'
     root.destroy()
+
+
+def test_analyze_kwargs_never_collide_with_launcher(tmp_path):
+    """run_analysis passes q_gui/event_stopanalysis itself; the kwargs the
+    form produces must never contain them (regression: duplicate-kwarg
+    TypeError crashed every GUI launch)."""
+    import inspect
+    from buzzdetect_tpu.analyze import analyze
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    kwargs = m.analyze_kwargs()
+    assert 'q_gui' not in kwargs
+    assert 'event_stopanalysis' not in kwargs
+    # and every produced kwarg is a real analyze() parameter
+    params = set(inspect.signature(analyze).parameters)
+    assert set(kwargs) <= params
+    # the exact child-process call must bind without collision
+    sig = inspect.signature(analyze)
+    sig.bind(q_gui=object(), event_stopanalysis=object(), **kwargs)
