@@ -148,8 +148,7 @@ int open_internal(BzStream* s) {
     // pts is offset by the priming -> only count-forward is exact
     if (codec->id == AV_CODEC_ID_AAC && s->fmt->iformat
         && !strstr(s->fmt->iformat->name, "mp4")
-        && !strstr(s->fmt->iformat->name, "mov")
-        && !strstr(s->fmt->iformat->name, "aac"))
+        && !strstr(s->fmt->iformat->name, "mov"))
         s->strategy = SEEK_REOPEN;
 
     AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;

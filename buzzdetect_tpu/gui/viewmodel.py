@@ -8,6 +8,7 @@ through ``validate_map``; and manifest-driven *locking* of schema-determining
 fields when the chosen output folder already holds results.
 """
 
+import functools
 import inspect
 import json
 import os
@@ -37,6 +38,7 @@ def analysis_defaults():
     return defaults
 
 
+@functools.lru_cache(maxsize=1)
 def field_types():
     """Field -> declared type from analyze()'s annotations (falls back to the
     default's type). Coercion must follow the ANNOTATION: framehop_prop and

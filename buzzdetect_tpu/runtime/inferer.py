@@ -132,13 +132,17 @@ class WorkerInferer:
                 else:
                     self.process_chunk(a_chunk)
             except Exception as e:
-                self.log(f'error analyzing {a_chunk.file.shortpath_audio} '
-                         f'chunk {a_chunk.chunk}: {e}', 'ERROR')
+                unfinished = [c for c in batch + leftover
+                              if c.results is None]
+                names = ', '.join(f'{c.file.shortpath_audio}{c.chunk}'
+                                  for c in unfinished) or '<none>'
+                self.log(f'error during analysis ({e}); chunks without '
+                         f'results: {names}', 'ERROR')
                 # keep the tracker consistent: EVERY chunk of the batch must
                 # reach the writer so completion detection still fires
-                for c in batch + leftover:
-                    if c.results is None:
-                        self.coordinator.put_write(c)
+                for c in unfinished:
+                    c.samples = None
+                    self.coordinator.put_write(c)
             if exit_seen:
                 break
             self.timer_bottleneck.restart()

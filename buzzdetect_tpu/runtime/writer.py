@@ -125,8 +125,10 @@ class WorkerWriter:
             try:
                 self.write_results(a_chunk, fully_analyzed)
             except Exception as e:
-                self.log(f'error writing {a_chunk.file.shortpath_audio}: {e}',
-                         'ERROR')
+                # a failed append is a hole: the file must stay a partial
+                self.failed_idents.add(a_chunk.file.ident)
+                self.log(f'error writing {a_chunk.file.shortpath_audio}: {e}; '
+                         f'leaving the file as a resumable partial', 'ERROR')
         self.log(f'wrote {self.chunks_written} chunks, '
                  f'{self.audio_seconds_written:,.0f} audio-seconds', 'DEBUG')
         self.log('terminating', 'DEBUG')

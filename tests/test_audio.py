@@ -145,6 +145,7 @@ def test_driver_map_covers_reference_formats():
     ('libvorbis', 'ogg'),
     ('flac', 'mka'),        # matroska container
     ('aac', 'mkv'),
+    ('aac', 'aac'),         # raw ADTS: no edit list -> count-forward seek
     ('pcm_s16le', 'mov'),
 ])
 def test_codec_seek_matches_linear_decode(tmp_path, codec, ext):

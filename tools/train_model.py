@@ -92,8 +92,11 @@ def main():
 
     rng = np.random.default_rng(0)
     order = rng.permutation(len(per_file))
-    n_hold = max(1, int(len(per_file) * args.holdout)) \
-        if len(per_file) > 1 else 0
+    if args.holdout <= 0 or len(per_file) < 2:
+        n_hold = 0
+    else:
+        n_hold = min(len(per_file) - 1,
+                     max(1, int(len(per_file) * args.holdout)))
     hold_idx = set(order[:n_hold].tolist())
     train_emb = np.concatenate([per_file[i][1] for i in range(len(per_file))
                                 if i not in hold_idx])
