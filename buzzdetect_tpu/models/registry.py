@@ -88,8 +88,13 @@ class EmbedderYamnet(BaseEmbedder):
         super().__init__(framehop_prop)
         self._arrays = arrays
         self._classifier = None
+        self._init_lock = threading.Lock()
 
     def initialize(self):
+        with self._init_lock:
+            self._initialize_locked()
+
+    def _initialize_locked(self):
         if self._classifier is not None:
             return
         arrays = self._arrays

@@ -415,3 +415,11 @@ def test_failed_chunk_leaves_resumable_partial(patched_models, tmp_path,
     # the good chunk's rows are checkpointed; the file is NOT finalized
     assert os.path.exists(os.path.join(dir_out, 'f_buzzpart.csv'))
     assert not os.path.exists(os.path.join(dir_out, 'f_buzzdetect.csv'))
+
+
+def test_doctor_all_checks_pass(patched_models, monkeypatch, capsys):
+    from buzzdetect_tpu import doctor
+    ret = doctor.main('testmodel')
+    out = capsys.readouterr().out
+    assert ret == 0, out
+    assert 'all checks passed' in out

@@ -1,0 +1,95 @@
+"""Writer unit tests: the failed-chunk / failed-append finalization guards
+(data-integrity invariant: a file with any hole stays a resumable partial)."""
+
+import os
+import queue
+import threading
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu.runtime.assignments import AssignFile, AssignChunk
+from buzzdetect_tpu.runtime.writer import WorkerWriter
+
+
+class FakeCoordinator:
+    def __init__(self):
+        self.q_log = queue.Queue()
+        self.q_write = queue.Queue()
+        self.writer_done = threading.Event()
+        self.audio = 0.0
+
+    def get_write(self):
+        return self.q_write.get()
+
+    def record_written(self, seconds):
+        self.audio += seconds
+
+
+def _writer(tmp_path):
+    coord = FakeCoordinator()
+    w = WorkerWriter(classes_out='all', threshold=None, classes=['a', 'b'],
+                     framehop_s=0.96, digits_time=2, dir_audio=str(tmp_path),
+                     dir_out=str(tmp_path), digits_results=2,
+                     coordinator=coord)
+    return w, coord
+
+
+def _chunk(tmp_path, span, results, last=False):
+    f = AssignFile(path_audio=str(tmp_path / 'x.wav'),
+                   dir_audio=str(tmp_path), dir_results=str(tmp_path))
+    return AssignChunk(file=f, chunk=span, last_chunk=last, results=results)
+
+
+def test_failed_chunk_blocks_finalization(tmp_path):
+    w, coord = _writer(tmp_path)
+    good = np.zeros((2, 2))
+
+    w.write_results(_chunk(tmp_path, (0.0, 1.92), good), fully_analyzed=False)
+    # chunk 2 failed upstream (results=None), and it happens to be the last
+    w.write_results(_chunk(tmp_path, (1.92, 3.84), None), fully_analyzed=True)
+
+    assert os.path.exists(tmp_path / 'x_buzzpart.csv')
+    assert not os.path.exists(tmp_path / 'x_buzzdetect.csv')
+
+
+def test_failed_append_blocks_finalization(tmp_path, monkeypatch):
+    """An IO error during the partial append must also mark the file failed
+    (exercises the run()-level except path)."""
+    w, coord = _writer(tmp_path)
+    good = np.zeros((2, 2))
+
+    c1 = _chunk(tmp_path, (0.0, 1.92), good)
+    c2 = _chunk(tmp_path, (1.92, 3.84), good)
+    c3 = _chunk(tmp_path, (3.84, 5.76), good, last=True)
+
+    coord.q_write.put((c1, False))
+    coord.q_write.put((c2, False))
+    coord.q_write.put((c3, True))
+    coord.q_write.put('exit')
+
+    # make chunk 2's append explode inside write_results
+    real = w.format
+
+    def flaky(results, time_start):
+        if time_start == 1.92:
+            raise OSError('disk full')
+        return real(results=results, time_start=time_start)
+
+    w.format = flaky
+    w.run()
+
+    # chunk 2 is a hole: partial kept, complete never written
+    assert os.path.exists(tmp_path / 'x_buzzpart.csv')
+    assert not os.path.exists(tmp_path / 'x_buzzdetect.csv')
+    assert 'x' in w.failed_idents
+
+
+def test_clean_file_finalizes(tmp_path):
+    w, coord = _writer(tmp_path)
+    good = np.ones((2, 2)) * 0.5
+    w.write_results(_chunk(tmp_path, (0.0, 1.92), good), fully_analyzed=False)
+    w.write_results(_chunk(tmp_path, (1.92, 3.84), good), fully_analyzed=True)
+    assert not os.path.exists(tmp_path / 'x_buzzpart.csv')
+    assert os.path.exists(tmp_path / 'x_buzzdetect.csv')
+    assert coord.audio == pytest.approx(3.84)
