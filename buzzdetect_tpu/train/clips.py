@@ -1,0 +1,152 @@
+"""Clip extraction for full-model training: annotated spans -> fixed-length
+labeled waveform clips.
+
+Full-model fine-tuning (frontend + MobileNet + head) trains on fixed-shape
+waveform batches. This module tiles each annotated event into clips of the
+one-patch length, and samples negative clips from un-annotated stretches, so
+an event CSV plus the audio corpus is everything a from-scratch training run
+needs.
+"""
+
+import numpy as np
+
+from buzzdetect_tpu.audio import build_track, get_duration
+from buzzdetect_tpu.ops.frontend import FrontendConfig, min_waveform_samples
+
+
+def clip_spans(events, duration: float, clip_seconds: float,
+               negatives_per_positive: float = 1.0, seed: int = 0):
+    """Plan clip extraction for one file.
+
+    Returns a list of (start_seconds, labels) where labels is the list of
+    event labels overlapping the clip (empty for negatives). Positive clips
+    tile each event span; negatives sample uniformly from gaps.
+    """
+    rng = np.random.default_rng(seed)
+    spans = []
+    covered = []
+    for ev_start, ev_end, label in events:
+        ev_start = max(0.0, ev_start)
+        ev_end = min(duration, ev_end)
+        if ev_end - ev_start <= 0:
+            continue
+        covered.append((ev_start, ev_end))
+        t = ev_start
+        while t < ev_end:
+            start = min(t, max(0.0, duration - clip_seconds))
+            spans.append((start, [label]))
+            t += clip_seconds
+
+    n_neg = int(round(len(spans) * negatives_per_positive))
+    max_start = max(0.0, duration - clip_seconds)
+    tries = 0
+    negatives = []
+    while len(negatives) < n_neg and tries < n_neg * 20:
+        tries += 1
+        start = float(rng.uniform(0, max_start)) if max_start > 0 else 0.0
+        if any(start < e and start + clip_seconds > s for s, e in covered):
+            continue
+        negatives.append((start, []))
+    spans.extend(negatives)
+    return spans
+
+
+def extract_clips(path_audio: str, spans, clip_seconds: float,
+                  samplerate: int = 16000):
+    """Decode the planned clips -> (n_clips, clip_samples) float32."""
+    n_samples = int(clip_seconds * samplerate)
+    track = build_track(path_audio, target_rate=samplerate)
+    try:
+        out = np.zeros((len(spans), n_samples), np.float32)
+        for i, (start, _labels) in enumerate(spans):
+            track.seek(int(start * samplerate))
+            got = track.read(n_samples)
+            out[i, :len(got)] = got
+        return out
+    finally:
+        track.close()
+
+
+def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
+                       translation: dict = None,
+                       negatives_per_positive: float = 1.0,
+                       clip_seconds: float = None, seed: int = 0,
+                       log=print):
+    """Whole corpus -> (clips (N, L) float32, labels (N, C) multi-hot).
+
+    ``clip_seconds`` defaults to the one-patch minimum (0.975 s), the
+    smallest shape the full train step accepts.
+    """
+    from buzzdetect_tpu.audio import driver_map
+    from buzzdetect_tpu.utils import build_ident, search_dir
+
+    cfg = FrontendConfig()
+    if clip_seconds is None:
+        clip_seconds = min_waveform_samples(cfg) / cfg.sample_rate
+
+    index = {c: i for i, c in enumerate(classes)}
+    all_clips, all_labels = [], []
+    for path in search_dir(dir_audio, list(driver_map.keys())):
+        ident = build_ident(path, dir_audio)
+        events = events_by_ident.get(ident, [])
+        track = build_track(path, target_rate=cfg.sample_rate)
+        duration = get_duration(track)
+        track.close()
+
+        spans = clip_spans(events, duration, clip_seconds,
+                           negatives_per_positive, seed=seed)
+        if not spans:
+            continue
+        clips = extract_clips(path, spans, clip_seconds, cfg.sample_rate)
+        labels = np.zeros((len(spans), len(classes)), np.float32)
+        for i, (_start, span_labels) in enumerate(spans):
+            for raw in span_labels:
+                cls = translation.get(raw, raw) if translation else raw
+                if cls is not None and cls in index:
+                    labels[i, index[cls]] = 1.0
+        all_clips.append(clips)
+        all_labels.append(labels)
+        log(f'clips from {ident}: {len(spans)} '
+            f'({int(labels.sum())} positive labels)')
+
+    if not all_clips:
+        return (np.zeros((0, int(clip_seconds * cfg.sample_rate)), np.float32),
+                np.zeros((0, len(classes)), np.float32))
+    return np.concatenate(all_clips), np.concatenate(all_labels)
+
+
+def train_full_model(clips, labels, *, epochs=10, batch_size=32,
+                     learning_rate=1e-4, class_weights=None, mesh=None,
+                     seed=0, framehop_prop=1.0, log=print):
+    """Fine-tune the whole embedder + head on labeled clips.
+
+    Returns (raw_yamnet_params, head_params, losses) as numpy dicts, ready
+    for ``convert.save_bundle`` (``yamnet_raw/*`` + ``head/*``).
+    """
+    import jax.numpy as jnp
+    from buzzdetect_tpu.train.trainer import (make_full_train_step,
+                                              init_full_train)
+
+    n_classes = labels.shape[1]
+    params, opt_state, tx = init_full_train(n_classes, seed=seed,
+                                            learning_rate=learning_rate)
+    step = make_full_train_step(tx, mesh=mesh, class_weights=class_weights,
+                                framehop_prop=framehop_prop)
+
+    rng = np.random.default_rng(seed)
+    n = len(clips)
+    batch_size = min(batch_size, n)
+    losses = []
+    for epoch in range(epochs):
+        order = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            params, opt_state, loss = step(
+                params, opt_state,
+                jnp.asarray(clips[idx]), jnp.asarray(labels[idx]))
+            losses.append(float(loss))
+        log(f'epoch {epoch + 1}/{epochs}: loss {losses[-1]:.4f}')
+
+    raw = {k: np.asarray(v) for k, v in params['yamnet_raw'].items()}
+    head = {k: np.asarray(v) for k, v in params['head'].items()}
+    return raw, head, losses

@@ -44,6 +44,10 @@ def main():
     ap.add_argument('--learning-rate', type=float, default=1e-3)
     ap.add_argument('--holdout', type=float, default=0.2,
                     help='fraction of files held out for evaluation')
+    ap.add_argument('--full', action='store_true',
+                    help='fine-tune the WHOLE embedder on labeled clips '
+                         '(default: head-only on frozen embeddings)')
+    ap.add_argument('--negatives-per-positive', type=float, default=1.0)
     ap.add_argument('--dir-work', default=None,
                     help='where embeddings are cached (default: <out>/work)')
     ap.add_argument('--out', default=None)
@@ -63,6 +67,41 @@ def main():
     out = args.out or os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), args.name)
     dir_work = args.dir_work or os.path.join(out, 'work')
     base = args.base_model or cfg.DEFAULT_MODEL
+
+    if args.full:
+        # full-model path: clips -> end-to-end fine-tune -> bundle
+        from buzzdetect_tpu.train.clips import (build_clip_dataset,
+                                                train_full_model)
+        events = load_events(args.annotations)
+        translation = load_translation(args.translation) \
+            if args.translation else None
+        print('[1/3] extracting labeled clips ...')
+        clips, labels = build_clip_dataset(
+            args.dir_audio, events, args.classes, translation=translation,
+            negatives_per_positive=args.negatives_per_positive)
+        if not len(clips):
+            raise SystemExit('no clips extracted — check the annotations')
+        print(f'      {len(clips)} clips, {int(labels.sum())} positive labels')
+        print('[2/3] fine-tuning embedder + head ...')
+        raw, head, losses = train_full_model(
+            clips, labels, epochs=args.epochs,
+            learning_rate=args.learning_rate,
+            framehop_prop=args.framehop)
+        print(f'      loss {losses[0]:.4f} -> {losses[-1]:.4f}')
+        print('[3/3] writing bundle ...')
+        arrays = {f'yamnet_raw/{k}': v for k, v in raw.items()}
+        arrays.update(head)
+        config = {
+            'classes': list(args.classes),
+            'embeddername': 'yamnet',
+            'digits_results': 2,
+            'n_embeddings': 1024,
+            'provenance': (f'full fine-tune by tools/train_model.py --full '
+                           f'from {args.annotations} over {args.dir_audio}'),
+        }
+        save_bundle(out, arrays, config)
+        print(f'wrote {out}')
+        return
 
     print(f'[1/5] embedding corpus {args.dir_audio} ...')
     embed_directory(args.dir_audio, dir_work, modelname=base,
