@@ -423,3 +423,34 @@ def test_doctor_all_checks_pass(patched_models, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert ret == 0, out
     assert 'all checks passed' in out
+
+
+def test_resume_reference_written_partial(patched_models, tmp_path):
+    """Result folders written by the REFERENCE implementation must be
+    resumable: its pandas-written partials carry full-precision floats and
+    the same schema. (Reference writes e.g. '0.96,-1.2300000000000002'.)"""
+    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    dir_out = str(tmp_path / 'out')
+    os.makedirs(dir_out)
+
+    partial = os.path.join(dir_out, 'tone_a_buzzpart.csv')
+    with open(partial, 'w') as f:
+        f.write('start,' + ','.join(f'activation_{c}' for c in CLASSES) + '\n')
+        # pandas-style full-precision float reprs
+        f.write('0.96,' + ','.join(['-1.2300000000000002'] * len(CLASSES))
+                + '\n')
+        f.write('1.92,' + ','.join(['0.10000000000000003'] * len(CLASSES))
+                + '\n')
+    write_manifest(dir_out, build_manifest('testmodel', 1.0, None, CLASSES))
+
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+
+    header, rows = _read_csv(os.path.join(dir_out, 'tone_a_buzzdetect.csv'))
+    starts = [float(r[0]) for r in rows]
+    assert starts == sorted(starts)
+    # the imported rows survived untouched
+    preserved = [r for r in rows if r[1] == '-1.2300000000000002']
+    assert len(preserved) == 1
+    assert not os.path.exists(partial)
