@@ -12,7 +12,7 @@ the writer finalizes a file when its last chunk lands AND its stream is done.
 
 TPU adaptations: the bounded q_analyze is the host-side prefetch ring in
 front of the device (its depth bounds host RAM at roughly
-depth x chunklength x 4 bytes); worker sizing defaults reflect one XLA
+depth x chunklength x 2 bytes (int16 wire format)); worker sizing defaults reflect one XLA
 device fed by many GIL-free decode threads.
 """
 
