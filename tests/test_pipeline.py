@@ -454,3 +454,17 @@ def test_resume_reference_written_partial(patched_models, tmp_path):
     preserved = [r for r in rows if r[1] == '-1.2300000000000002']
     assert len(preserved) == 1
     assert not os.path.exists(partial)
+
+
+def test_profile_dir_captures_trace(patched_models, tmp_path):
+    from buzzdetect_tpu.analyze import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    write_wav(os.path.join(dir_audio, 'p.wav'), make_tone(2.0, 16000), 16000)
+    profile_dir = str(tmp_path / 'trace')
+    analyze(modelname='testmodel', dir_audio=dir_audio,
+            dir_out=str(tmp_path / 'out'), chunklength=2.0,
+            verbosity_print='ERROR', profile_dir=profile_dir)
+    # a trace directory with at least one event file was produced
+    found = [f for root, _d, files in os.walk(profile_dir) for f in files]
+    assert found, 'no profiler artifacts written'
