@@ -9,7 +9,7 @@ libav decode stage and data-parallel sharding over TPU meshes.
 
 __version__ = '0.1.0'
 
-__all__ = ['analyze', 'Analyzer']
+__all__ = ['analyze', 'Analyzer', 'score_file', 'stream_scores']
 
 
 def __getattr__(name):
@@ -17,4 +17,7 @@ def __getattr__(name):
     if name in ('analyze', 'Analyzer'):
         from buzzdetect_tpu.analyze import analyze, Analyzer
         return {'analyze': analyze, 'Analyzer': Analyzer}[name]
+    if name in ('score_file', 'stream_scores'):
+        from buzzdetect_tpu.api import score_file, stream_scores
+        return {'score_file': score_file, 'stream_scores': stream_scores}[name]
     raise AttributeError(name)

@@ -468,3 +468,48 @@ def test_profile_dir_captures_trace(patched_models, tmp_path):
     # a trace directory with at least one event file was produced
     found = [f for root, _d, files in os.walk(profile_dir) for f in files]
     assert found, 'no profiler artifacts written'
+
+
+def test_stream_scores_api(patched_models, tmp_path):
+    """The notebook API matches the pipeline's CSV output."""
+    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.api import score_file
+    from buzzdetect_tpu.models.registry import load_model
+
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    write_wav(os.path.join(dir_audio, 's.wav'), make_tone(4.0, 16000), 16000)
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+            chunklength=2.0, verbosity_print='ERROR')
+    _header, rows = _read_csv(os.path.join(dir_out, 's_buzzdetect.csv'))
+
+    model = load_model('testmodel', initialize=True)
+    starts, scores, classes = score_file(os.path.join(dir_audio, 's.wav'),
+                                         model=model, chunklength=2.0)
+    assert classes == CLASSES
+    assert len(starts) == len(rows)
+    np.testing.assert_allclose(starts, [float(r[0]) for r in rows])
+    csv_scores = np.array([[float(v) for v in r[1:]] for r in rows])
+    np.testing.assert_allclose(np.round(scores, 2), csv_scores, atol=0.011)
+
+
+def test_compressed_formats_through_pipeline(patched_models, tmp_path):
+    """m4a + wma + ogg files flow through the full pipeline to finalized
+    results (compressed-codec decode inside the worker stack)."""
+    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    encode_fixture(os.path.join(dir_audio, 'a.m4a'), 'aac', 44100, 2, 3.0)
+    encode_fixture(os.path.join(dir_audio, 'b.wma'), 'wmav2', 44100, 1, 3.0)
+    encode_fixture(os.path.join(dir_audio, 'c.ogg'), 'libvorbis', 48000, 1, 3.0)
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+                chunklength=2.0, verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'completed'
+    for ident in ('a', 'b', 'c'):
+        path = os.path.join(dir_out, f'{ident}_buzzdetect.csv')
+        assert os.path.exists(path), ident
+        _h, rows = _read_csv(path)
+        assert len(rows) >= 3
