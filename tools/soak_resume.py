@@ -41,14 +41,16 @@ CHILD = r'''
 import sys
 from buzzdetect_tpu.analyze import analyze
 analyze(modelname='model_general_v3', dir_audio=sys.argv[1],
-        dir_out=sys.argv[2], chunklength=200, verbosity_print='PROGRESS')
+        dir_out=sys.argv[2], chunklength=200,
+        framehop_prop=float(sys.argv[3]), verbosity_print='PROGRESS')
 '''
 
 
-def run(dir_audio, dir_out, kill_when_partial=None):
+def run(dir_audio, dir_out, kill_when_partial=None, framehop=1.0):
     """Run an analysis subprocess; optionally SIGKILL it the moment the named
     partial file holds at least one data row (a genuine mid-flight kill)."""
-    p = subprocess.Popen([sys.executable, '-c', CHILD, dir_audio, dir_out],
+    p = subprocess.Popen([sys.executable, '-c', CHILD, dir_audio, dir_out,
+                          str(framehop)],
                          stdout=subprocess.DEVNULL,
                          stderr=subprocess.DEVNULL)
     killed = False
@@ -71,6 +73,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--hours', type=float, default=2.0)
     ap.add_argument('--kill-after', type=float, default=25.0)
+    ap.add_argument('--framehop', type=float, default=1.0)
     args = ap.parse_args()
 
     td = tempfile.mkdtemp(prefix='bz_soak_')
@@ -82,7 +85,7 @@ def main():
     # uninterrupted control run
     dir_ctrl = os.path.join(td, 'ctrl')
     t0 = time.time()
-    run(dir_audio, dir_ctrl)
+    run(dir_audio, dir_ctrl, framehop=args.framehop)
     wall = time.time() - t0
     print(f'control run: {args.hours * 3600 / wall:.0f}x realtime '
           f'({wall:.1f}s)')
@@ -90,18 +93,19 @@ def main():
     # interrupted run: SIGKILL the moment real progress hits disk, resume
     dir_out = os.path.join(td, 'out')
     partial = os.path.join(dir_out, 'long_buzzpart.csv')
-    killed = run(dir_audio, dir_out, kill_when_partial=partial)
+    killed = run(dir_audio, dir_out, kill_when_partial=partial,
+                 framehop=args.framehop)
     print(f'killed mid-flight={killed}; partial exists='
           f'{os.path.exists(partial)}')
     assert killed and os.path.exists(partial), \
         'kill landed too late to test resume'
     n_resumes = 1
-    run(dir_audio, dir_out)  # resume to completion
+    run(dir_audio, dir_out, framehop=args.framehop)  # resume to completion
     while not os.path.exists(os.path.join(dir_out, 'long_buzzdetect.csv')):
         n_resumes += 1
         if n_resumes > 10:
             raise SystemExit('FAIL: did not complete after 10 resumes')
-        run(dir_audio, dir_out)
+        run(dir_audio, dir_out, framehop=args.framehop)
     print(f'completed after {n_resumes} resume(s)')
 
     a = open(os.path.join(dir_ctrl, 'long_buzzdetect.csv')).read()
