@@ -147,7 +147,10 @@ class Analyzer:
                 target=run_worker, name=f'analyzer_{a}', daemon=True,
                 kwargs=dict(workerclass=WorkerInferer, id_analyzer=a,
                             model=self.model, coordinator=self.coordinator,
-                            batch_chunks=self.batch_chunks))
+                            batch_chunks=self.batch_chunks,
+                            warmup_samples=int(
+                                self.chunklength
+                                * self.model.embedder.samplerate)))
             self.threads_analyzers.append(t)
             t.start()
 

@@ -19,14 +19,40 @@ from buzzdetect_tpu.utils import Timer
 
 class WorkerInferer:
     def __init__(self, id_analyzer, model, coordinator, processor='TPU',
-                 batch_chunks: int = 1):
+                 batch_chunks: int = 1, warmup_samples: int = None):
         self.id_analyzer = id_analyzer
         self.processor = processor
         self.model = model
         self.coordinator = coordinator
         self.batch_chunks = max(1, batch_chunks)
+        self.warmup_samples = warmup_samples
         self.timer_analysis = Timer()
         self.timer_bottleneck = Timer()
+
+    def _warmup(self):
+        """Pre-compile the programs this worker will dispatch (the nominal
+        chunk shape, and each power-of-two batch size when batching), so no
+        chunk pays a compile mid-run."""
+        if not self.warmup_samples:
+            return
+        import numpy as np
+        zeros = np.zeros(self.warmup_samples, np.int16
+                         if getattr(self.model, 'transfer_dtype', None)
+                         == 'int16' else np.float32)
+        try:
+            if hasattr(self.model, 'predict_async'):
+                out, _ = self.model.predict_async(zeros)
+                np.asarray(out)
+                if self.batch_chunks > 1 and hasattr(self.model,
+                                                     'predict_async_batch'):
+                    b = 2
+                    while b <= self.batch_chunks:
+                        out, _ = self.model.predict_async_batch([zeros] * b)
+                        np.asarray(out)
+                        b *= 2
+                self.log('warmup complete', 'DEBUG')
+        except Exception as e:  # warmup is an optimization, never fatal
+            self.log(f'warmup failed (continuing): {e}', 'DEBUG')
 
     def __call__(self):
         self.run()
@@ -99,6 +125,7 @@ class WorkerInferer:
         self.log('launching', 'INFO')
         self.model.initialize()
         self.log(f'processing on {self.processor}', 'INFO')
+        self._warmup()
 
         batching = (self.batch_chunks > 1
                     and hasattr(self.model, 'predict_async_batch'))
