@@ -1,90 +1,126 @@
-"""Output-folder manifest: guards result-schema compatibility across resumes.
+"""Output-folder manifest: the result-schema compatibility guard.
 
-The manifest lives in the output directory and records every setting that
-determines the schema or resumability of the result files there, so a later
-run cannot silently append incompatible rows (e.g. a different class subset)
-to existing partial results.
+Every output directory carries a small JSON manifest recording the settings
+that determine its result files' schema and resumability. Before any run
+writes into a folder, its settings are checked against the manifest so rows
+from incompatible configurations (different class subset, different frame
+stride, activations vs detections) can never silently interleave.
 
-Contract parity with reference `src/pipeline/manifest.py:10-85`: same file
-name, same locked keys, same order-insensitive classes comparison — result
-folders written by the reference are resumable by this framework and vice
-versa.
+The on-disk format is wire-compatible with the reference implementation
+(`src/pipeline/manifest.py:10-85` — same filename, same keys, same
+order-insensitive class comparison), so output folders are mutually
+resumable between the two.
 """
 
 import json
 import os
+from dataclasses import dataclass, asdict
+from typing import Optional
 
 FNAME_MANIFEST = 'buzzdetect_manifest.json'
 
-# Fields that must match for a run to safely write into an existing folder.
-KEYS_LOCKED = ('modelname', 'output_mode', 'classes_out', 'precision', 'framehop_prop')
+# the settings a folder pins once results exist in it
+KEYS_LOCKED = ('modelname', 'output_mode', 'classes_out', 'precision',
+               'framehop_prop')
 
 
-def build_manifest(modelname, framehop_prop, precision, classes_out):
-    output_mode = 'detections' if precision is not None else 'activations'
-    return {
-        'modelname': modelname,
-        'output_mode': output_mode,
-        # classes only affect the schema in activations mode; sorted so the
-        # user's selection order is irrelevant
-        'classes_out': sorted(classes_out) if output_mode == 'activations' else None,
-        'precision': precision,
-        'framehop_prop': framehop_prop,
-    }
+@dataclass
+class Manifest:
+    modelname: str
+    output_mode: str                 # 'activations' | 'detections'
+    classes_out: Optional[list]      # sorted; None in detections mode
+    precision: Optional[float]
+    framehop_prop: float
+
+    @classmethod
+    def from_settings(cls, modelname, framehop_prop, precision, classes_out):
+        detections = precision is not None
+        return cls(
+            modelname=modelname,
+            output_mode='detections' if detections else 'activations',
+            # class selection only shapes the schema in activations mode;
+            # stored sorted so selection order is irrelevant
+            classes_out=None if detections else sorted(classes_out),
+            precision=precision,
+            framehop_prop=framehop_prop,
+        )
+
+    def to_dict(self):
+        return asdict(self)
+
+    def conflicts_with(self, other: dict):
+        """Human-readable list of locked-key mismatches vs a stored dict."""
+        problems = []
+        mine = self.to_dict()
+        for key in KEYS_LOCKED:
+            stored, requested = other.get(key), mine.get(key)
+            if key == 'classes_out' and stored is not None \
+                    and requested is not None:
+                if set(stored) != set(requested):
+                    gained = sorted(set(requested) - set(stored))
+                    lost = sorted(set(stored) - set(requested))
+                    detail = '; '.join(
+                        p for p in (gained and f"added {', '.join(gained)}",
+                                    lost and f"removed {', '.join(lost)}")
+                        if p)
+                    problems.append(f'output classes differ ({detail})')
+            elif stored != requested:
+                problems.append(
+                    f'{key}: existing={stored!r}, requested={requested!r}')
+        return problems
+
+
+def _manifest_path(dir_out):
+    return os.path.join(dir_out, FNAME_MANIFEST)
 
 
 def read_manifest(dir_out):
-    path = os.path.join(dir_out, FNAME_MANIFEST)
-    if not os.path.exists(path):
+    """The stored manifest dict, or None when the folder has none."""
+    try:
+        with open(_manifest_path(dir_out)) as f:
+            return json.load(f)
+    except FileNotFoundError:
         return None
-    with open(path, 'r') as f:
-        return json.load(f)
 
 
 def write_manifest(dir_out, manifest):
     os.makedirs(dir_out, exist_ok=True)
-    with open(os.path.join(dir_out, FNAME_MANIFEST), 'w') as f:
-        json.dump(manifest, f, indent=2)
+    data = manifest.to_dict() if isinstance(manifest, Manifest) else manifest
+    with open(_manifest_path(dir_out), 'w') as f:
+        json.dump(data, f, indent=2)
 
 
-def diff_manifests(existing, current):
-    """Human-readable list of locked-key conflicts between two manifests."""
-    conflicts = []
-    for key in KEYS_LOCKED:
-        old, new = existing.get(key), current.get(key)
-        if key == 'classes_out' and old is not None and new is not None:
-            if set(old) != set(new):
-                added = sorted(set(new) - set(old))
-                removed = sorted(set(old) - set(new))
-                parts = []
-                if added:
-                    parts.append(f"added {', '.join(added)}")
-                if removed:
-                    parts.append(f"removed {', '.join(removed)}")
-                conflicts.append(f"output classes differ ({'; '.join(parts)})")
-        elif old != new:
-            conflicts.append(f'{key}: existing={old!r}, requested={new!r}')
-    return conflicts
+# --- functional wrappers (the API the rest of the framework uses) ----------
+
+def build_manifest(modelname, framehop_prop, precision, classes_out) -> dict:
+    return Manifest.from_settings(modelname, framehop_prop, precision,
+                                  classes_out).to_dict()
 
 
-def check_or_write_manifest(dir_out, manifest):
-    """Reconcile a run's settings with an existing manifest.
+def diff_manifests(existing: dict, current: dict):
+    return Manifest(**current).conflicts_with(existing)
 
-    Returns ``(ok, message)``. Writes a new manifest when none exists; refuses
-    (without writing) when the existing one conflicts.
+
+def check_or_write_manifest(dir_out, manifest: dict):
+    """Admit or refuse a run against the folder's stored manifest.
+
+    No manifest yet: store this run's and admit. Stored and compatible:
+    admit. Stored but conflicting: refuse with an explanation and leave the
+    stored manifest untouched.
     """
     existing = read_manifest(dir_out)
     if existing is None:
         write_manifest(dir_out, manifest)
         return True, None
 
-    conflicts = diff_manifests(existing, manifest)
-    if conflicts:
-        msg = (
-            f"Results have already been written to '{dir_out}' using different "
-            f"settings, so new results would be incompatible with the existing "
-            f"files:\n  - " + '\n  - '.join(conflicts)
-            + '\nEither match the existing settings, or choose an empty output folder.'
-        )
-        return False, msg
-    return True, None
+    problems = diff_manifests(existing, manifest)
+    if not problems:
+        return True, None
+
+    bullet_list = '\n  - '.join(problems)
+    return False, (
+        f"Results have already been written to '{dir_out}' using different "
+        f"settings, so new results would be incompatible with the existing "
+        f"files:\n  - {bullet_list}\n"
+        f"Either match the existing settings, or choose an empty output "
+        f"folder.")

@@ -1,15 +1,16 @@
 """Per-argument validators for ``analyze()`` parameters.
 
-Each validator returns an ``ArgValid(valid, message)``; a message on a valid
-result is a warning the UI should surface. ``validate_map`` registers one
-validator per analyze() kwarg so front-ends (GUI/TUI, notebooks) can validate
-fields individually.
+Front-ends (GUI forms, notebooks) validate fields individually through
+``validate_map``; each validator returns an :class:`ArgValid` whose message,
+when present on a *valid* result, is a warning worth surfacing.
 
-Parity: reference `src/validation.py:8-184` (same semantics, including the
-precision < 0.9 false-positive warning and the framehop > 1 gap warning).
+Semantics match the reference validator set (`src/validation.py:8-184`):
+precision must sit in (0, 1) and warns below 0.9; framehop must be positive
+and warns above 1 (gaps read as missing data); worker counts are
+non-negative ints; verbosities must name a known log level. Implemented as
+a small rule toolkit rather than one function per field.
 """
 
-import numbers
 import os
 
 from buzzdetect_tpu import config as cfg
@@ -17,6 +18,10 @@ from buzzdetect_tpu.loglevels import loglevels
 
 
 class ArgValid:
+    """(valid, message): message on a valid result is a warning."""
+
+    __slots__ = ('valid', 'message')
+
     def __init__(self, valid: bool, message: str = None):
         self.valid = valid
         self.message = message
@@ -25,45 +30,72 @@ class ArgValid:
         return f'ArgValid(valid={self.valid}, message={self.message!r})'
 
 
-def validate_modelname(modelname: str):
-    modelname = str(modelname)
-    dir_model = os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), modelname)
+OK = ArgValid(True, None)
+
+
+# --- rule toolkit -----------------------------------------------------------
+
+def _as_number(value, kind):
+    try:
+        return kind(value), None
+    except (TypeError, ValueError):
+        return None, ArgValid(False, 'must be numeric'
+                              if kind is float else 'must be an integer')
+
+
+def numeric_rule(*, kind=float, minimum=None, maximum=None,
+                 exclusive_min=None, exclusive_max=None, none_ok=False,
+                 warn_below=None, warn_message=None, over_warning=None):
+    """Build a validator for one numeric field."""
+
+    def validate(value):
+        if value is None:
+            return OK if none_ok else ArgValid(False, 'cannot be None')
+        number, err = _as_number(value, kind)
+        if err is not None:
+            return err
+        if exclusive_min is not None and number <= exclusive_min:
+            return ArgValid(False, f'must be > {exclusive_min}')
+        if exclusive_max is not None and number >= exclusive_max:
+            return ArgValid(False, f'must be < {exclusive_max}')
+        if minimum is not None and number < minimum:
+            return ArgValid(False, f'must be >= {minimum}')
+        if maximum is not None and number > maximum:
+            return ArgValid(False, f'must be <= {maximum}')
+        if warn_below is not None and number < warn_below:
+            return ArgValid(True, warn_message)
+        if over_warning is not None and number > over_warning[0]:
+            return ArgValid(True, over_warning[1])
+        return OK
+
+    return validate
+
+
+# --- field-specific validators ------------------------------------------------
+
+def validate_modelname(modelname):
+    dir_model = os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), str(modelname))
     if not os.path.isdir(dir_model):
-        return ArgValid(False, f'Model folder does not exist for model "{modelname}"')
+        return ArgValid(False, f'Model folder does not exist for model '
+                               f'"{modelname}"')
     if not os.path.exists(os.path.join(dir_model, 'config_model.json')):
-        return ArgValid(False, f'Config file does not exist for model "{modelname}"')
-    has_plugin = os.path.exists(os.path.join(dir_model, 'model.py'))
-    has_weights = os.path.exists(os.path.join(dir_model, 'model.npz'))
-    if not (has_plugin or has_weights):
-        return ArgValid(False, f'Neither model.py nor model.npz found for model "{modelname}"')
-    return ArgValid(True, None)
+        return ArgValid(False, f'Config file does not exist for model '
+                               f'"{modelname}"')
+    if not any(os.path.exists(os.path.join(dir_model, f))
+               for f in ('model.npz', 'model.py')):
+        return ArgValid(False, f'Neither model.py nor model.npz found for '
+                               f'model "{modelname}"')
+    return OK
 
 
 def validate_classes_out(classes_out):
     if classes_out == 'all':
-        return ArgValid(True, None)
+        return OK
     if not isinstance(classes_out, list):
         return ArgValid(False, 'must be a list')
-    if any(not isinstance(c, str) for c in classes_out):
+    if not all(isinstance(c, str) for c in classes_out):
         return ArgValid(False, 'must be a list of strings')
-    return ArgValid(True, None)
-
-
-def validate_precision(precision):
-    if precision is None:
-        return ArgValid(True, None)
-    try:
-        precision = float(precision)
-    except (TypeError, ValueError):
-        return ArgValid(False, 'must be numeric')
-    if precision <= 0:
-        return ArgValid(False, 'must be > 0')
-    if precision >= 1:
-        return ArgValid(False, 'must be < 1')
-    if precision < 0.9:
-        return ArgValid(True, 'analyses with precision < 0.9 are likely to be '
-                              'prone to false positives')
-    return ArgValid(True, None)
+    return OK
 
 
 FRAMEHOP_WARNING = (
@@ -73,83 +105,41 @@ FRAMEHOP_WARNING = (
     f'to {cfg.SUFFIX_RESULT_COMPLETE}.\n'
     'Repeated analysis will attempt to fill gaps between frames.')
 
+validate_precision = numeric_rule(
+    kind=float, exclusive_min=0, exclusive_max=1, none_ok=True,
+    warn_below=0.9,
+    warn_message='analyses with precision < 0.9 are likely to be prone to '
+                 'false positives')
 
-def validate_framehop(framehop_prop):
-    try:
-        framehop_prop = float(framehop_prop)
-    except (TypeError, ValueError):
-        return ArgValid(False, 'must be numeric')
-    if framehop_prop <= 0:
-        return ArgValid(False, 'must be > 0')
-    if framehop_prop > 1:
-        return ArgValid(True, FRAMEHOP_WARNING)
-    return ArgValid(True, None)
+validate_framehop = numeric_rule(
+    kind=float, exclusive_min=0, over_warning=(1, FRAMEHOP_WARNING))
 
-
-def validate_chunklength(chunklength_s):
-    try:
-        chunklength_s = float(chunklength_s)
-    except (TypeError, ValueError):
-        return ArgValid(False, 'must be numeric')
-    if chunklength_s <= 0:
-        return ArgValid(False, 'must be > 0')
-    return ArgValid(True, None)
+validate_chunklength = numeric_rule(kind=float, exclusive_min=0)
 
 
-def validate_int(value, none_ok: bool, value_min=None, value_max=None):
-    if value is None:
-        return ArgValid(True, None) if none_ok else ArgValid(False, 'cannot be None')
-    if not isinstance(value, int):
-        try:
-            value = int(value)
-        except (TypeError, ValueError):
-            return ArgValid(False, 'must be an integer')
-    if not isinstance(value, numbers.Number):
-        return ArgValid(False, 'must be numeric')
-    if value_min is not None and value < value_min:
-        return ArgValid(False, f'must be >= {value_min}')
-    if value_max is not None and value > value_max:
-        return ArgValid(False, f'must be <= {value_max}')
-    return ArgValid(True, None)
+def validate_int(value, none_ok, value_min=None, value_max=None):
+    rule = numeric_rule(kind=int, minimum=value_min, maximum=value_max,
+                        none_ok=none_ok)
+    return rule(value)
 
 
-def validate_analyzers_cpu(n):
-    return validate_int(n, none_ok=False, value_min=0)
-
-
-def validate_analyzers_gpu(n):
-    return validate_int(n, none_ok=False, value_min=0)
-
-
-def validate_n_streamers(n):
-    return validate_int(n, none_ok=True, value_min=0)
-
-
-def validate_stream_buffer_depth(n):
-    return validate_int(n, none_ok=True, value_min=0)
-
-
-def validate_dir_audio(dir_audio: str):
+def validate_dir_audio(dir_audio):
     if not os.path.exists(dir_audio):
         return ArgValid(False, f'folder does not exist: {dir_audio!r}')
-    return ArgValid(True, None)
+    return OK
 
 
 def validate_dir_out(dir_out):
     if dir_out is not None and not os.path.exists(dir_out):
-        return ArgValid(True, 'Output folder does not exist; it will be created '
-                              'upon analysis')
-    return ArgValid(True, None)
+        return ArgValid(True, 'Output folder does not exist; it will be '
+                              'created upon analysis')
+    return OK
 
 
-def validate_verbosity(verbosity_str: str):
-    if verbosity_str not in loglevels:
-        return ArgValid(False, f"must be one of: {', '.join(loglevels)}")
-    return ArgValid(True, None)
-
-
-def validate_log_progress(log_progress):
-    return validate_int(log_progress, none_ok=False, value_min=0, value_max=1)
+def validate_verbosity(verbosity_str):
+    if verbosity_str in loglevels:
+        return OK
+    return ArgValid(False, f"must be one of: {', '.join(loglevels)}")
 
 
 validate_map = {
@@ -158,13 +148,13 @@ validate_map = {
     'precision': validate_precision,
     'framehop_prop': validate_framehop,
     'chunklength': validate_chunklength,
-    'analyzers_cpu': validate_analyzers_cpu,
-    'analyzers_gpu': validate_analyzers_gpu,
-    'n_streamers': validate_n_streamers,
-    'stream_buffer_depth': validate_stream_buffer_depth,
+    'analyzers_cpu': numeric_rule(kind=int, minimum=0),
+    'analyzers_gpu': numeric_rule(kind=int, minimum=0),
+    'n_streamers': numeric_rule(kind=int, minimum=0, none_ok=True),
+    'stream_buffer_depth': numeric_rule(kind=int, minimum=0, none_ok=True),
     'dir_audio': validate_dir_audio,
     'dir_out': validate_dir_out,
     'verbosity_print': validate_verbosity,
     'verbosity_log': validate_verbosity,
-    'log_progress': validate_log_progress,
+    'log_progress': numeric_rule(kind=int, minimum=0, maximum=1),
 }
