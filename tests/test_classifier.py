@@ -169,3 +169,31 @@ def test_aot_export_roundtrip(bundle_dir, monkeypatch, tmp_path):
     ref = np.asarray(_classify_padded(live._device_params(),
                                       jax.device_put(wav), live.cfg))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_full_pipeline_parity_vs_tf_halfhop(arrays):
+    """Same waveform->scores parity check at framehop 0.5 (overlapping
+    patches), the reference's yamnet_halfhop configuration."""
+    tf = pytest.importorskip('tensorflow')
+    from tests.test_yamnet import _build_keras_yamnet
+    from buzzdetect_tpu.ops.frontend import FrontendConfig, pad_waveform
+
+    cfg_fe = FrontendConfig().with_framehop(0.5)
+    wav = (RNG.standard_normal(int(3.1 * 16000)) * 0.2).astype(np.float32)
+
+    clf = ChunkClassifier(arrays, framehop_prop=0.5)
+    ours = clf.predict(wav)
+
+    raw = {k.split('/', 1)[1]: v for k, v in arrays.items()
+           if k.startswith('yamnet_raw/')}
+    keras_model = _build_keras_yamnet(raw)
+    padded = np.asarray(pad_waveform(wav, cfg_fe))
+    stft = tf.signal.stft(tf.constant(padded, tf.float32), 400, 160, 512)
+    mel = tf.signal.linear_to_mel_weight_matrix(64, 257, 16000, 125.0, 7500.0)
+    log_mel = tf.math.log(tf.matmul(tf.abs(stft), mel) + 0.001)
+    patches = tf.signal.frame(log_mel, 96, 48, axis=0)[..., None]
+    emb = keras_model(patches, training=False).numpy()
+    theirs = emb @ arrays['head/kernel'] + arrays['head/bias']
+
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=1e-3)
