@@ -513,3 +513,28 @@ def test_compressed_formats_through_pipeline(patched_models, tmp_path):
         assert os.path.exists(path), ident
         _h, rows = _read_csv(path)
         assert len(rows) >= 3
+
+
+def test_framehop_above_one_runs_with_warning(patched_models, tmp_path):
+    """framehop > 1 (sparse sampling) is valid but leaves inter-frame gaps;
+    the run must complete and emit the documented warning."""
+    from buzzdetect_tpu.analyze import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    write_wav(os.path.join(dir_audio, 'sparse.wav'), make_tone(6.0, 16000),
+              16000)
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+                chunklength=6.0, framehop_prop=1.5, verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'completed'
+    # a results file exists (partial or complete) with 1.44 s stride
+    produced = [f for f in os.listdir(dir_out) if f.startswith('sparse')
+                and f.endswith('.csv')]
+    assert produced
+    _h, rows = _read_csv(os.path.join(dir_out, produced[0]))
+    starts = [float(r[0]) for r in rows]
+    assert starts[1] - starts[0] == pytest.approx(1.44)
+    # the warning was logged to the run's log file
+    logs = [f for f in os.listdir(dir_out) if f.endswith('.log')]
+    text = open(os.path.join(dir_out, logs[0])).read()
+    assert 'framehop > 1' in text
