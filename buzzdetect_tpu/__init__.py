@@ -13,11 +13,19 @@ __all__ = ['analyze', 'Analyzer', 'score_file', 'stream_scores']
 
 
 def __getattr__(name):
-    # lazy import so `import buzzdetect_tpu` stays cheap (no jax/TF at import)
+    # Lazy imports so `import buzzdetect_tpu` stays cheap (no jax/TF at
+    # import). The results are PINNED into the package namespace: importing
+    # the `buzzdetect_tpu.analyze` submodule sets a package attribute of the
+    # same name, which would otherwise shadow the analyze() function on
+    # every access after the first.
     if name in ('analyze', 'Analyzer'):
         from buzzdetect_tpu.analyze import analyze, Analyzer
-        return {'analyze': analyze, 'Analyzer': Analyzer}[name]
+        globals()['analyze'] = analyze
+        globals()['Analyzer'] = Analyzer
+        return globals()[name]
     if name in ('score_file', 'stream_scores'):
         from buzzdetect_tpu.api import score_file, stream_scores
-        return {'score_file': score_file, 'stream_scores': stream_scores}[name]
+        globals()['score_file'] = score_file
+        globals()['stream_scores'] = stream_scores
+        return globals()[name]
     raise AttributeError(name)

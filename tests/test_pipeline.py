@@ -538,3 +538,19 @@ def test_framehop_above_one_runs_with_warning(patched_models, tmp_path):
     logs = [f for f in os.listdir(dir_out) if f.endswith('.log')]
     text = open(os.path.join(dir_out, logs[0])).read()
     assert 'framehop > 1' in text
+
+
+def test_package_exports_are_functions():
+    """Regression: the analyze submodule import must never shadow the
+    analyze() function at the package level (CPython sets submodules as
+    package attributes during from-imports)."""
+    import importlib
+    import buzzdetect_tpu
+    importlib.reload(buzzdetect_tpu)
+    from buzzdetect_tpu import analyze as first
+    import buzzdetect_tpu.analyze  # noqa: F401 — forces the shadow attr
+    from buzzdetect_tpu import analyze as second
+    assert callable(first) and callable(second)
+    assert first is second
+    assert callable(buzzdetect_tpu.analyze) or hasattr(
+        buzzdetect_tpu.analyze, '__call__')
