@@ -71,7 +71,7 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
     """
     import tempfile
     import numpy as np
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     from tests.audio_fixtures import write_wav  # noqa: deliberate reuse
 
     rng = np.random.default_rng(0)

@@ -15,11 +15,11 @@ __all__ = ['analyze', 'Analyzer', 'score_file', 'stream_scores']
 def __getattr__(name):
     # Lazy imports so `import buzzdetect_tpu` stays cheap (no jax/TF at
     # import). The results are PINNED into the package namespace: importing
-    # the `buzzdetect_tpu.analyze` submodule sets a package attribute of the
+    # the `buzzdetect_tpu.analysis` submodule sets a package attribute of the
     # same name, which would otherwise shadow the analyze() function on
     # every access after the first.
     if name in ('analyze', 'Analyzer'):
-        from buzzdetect_tpu.analyze import analyze, Analyzer
+        from buzzdetect_tpu.analysis import analyze, Analyzer
         globals()['analyze'] = analyze
         globals()['Analyzer'] = Analyzer
         return globals()[name]

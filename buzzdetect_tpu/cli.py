@@ -142,7 +142,7 @@ def main(argv=None):
         import jax.numpy as jnp
         compute_dtype = jnp.bfloat16
 
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     analyze(modelname=modelname,
             classes_out=classes_out,
             precision=precision,

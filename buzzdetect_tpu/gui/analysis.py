@@ -17,7 +17,7 @@ from buzzdetect_tpu.gui import config as gui_cfg
 
 def run_analysis(kwargs, q_gui, event_stop):
     """Child-process entry point: run analyze() with GUI hooks attached."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     analyze(q_gui=q_gui, event_stopanalysis=event_stop, **kwargs)
 
 

@@ -28,7 +28,7 @@ ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
 def analysis_defaults():
     """Default settings straight from the analyze() signature (single source
     of truth — the GUI can never drift from the API)."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     sig = inspect.signature(analyze)
     defaults = {}
     for name, p in sig.parameters.items():
@@ -43,7 +43,7 @@ def field_types():
     """Field -> declared type from analyze()'s annotations (falls back to the
     default's type). Coercion must follow the ANNOTATION: framehop_prop and
     chunklength default to int literals but are float parameters."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     sig = inspect.signature(analyze)
     types = {}
     for name, p in sig.parameters.items():

@@ -98,7 +98,7 @@ def test_analyze_kwargs_never_collide_with_launcher(tmp_path):
     form produces must never contain them (regression: duplicate-kwarg
     TypeError crashed every GUI launch)."""
     import inspect
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
     kwargs = m.analyze_kwargs()
     assert 'q_gui' not in kwargs

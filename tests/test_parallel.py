@@ -118,7 +118,7 @@ def test_analyze_with_mesh(tmp_path, monkeypatch):
     patch axis across the 8 virtual devices; results match the unsharded run."""
     import os
     from buzzdetect_tpu import config as cfg
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.models.convert import build_model_bundle
     from buzzdetect_tpu.parallel import make_mesh
     from tests.audio_fixtures import make_tone, write_wav

@@ -59,7 +59,7 @@ def _read_csv(path):
 
 
 def test_analyze_end_to_end(patched_models, tmp_path):
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_out = str(tmp_path / 'out')
     analyze(modelname='testmodel', dir_audio=patched_models['audio'],
             dir_out=dir_out, chunklength=2.0, n_streamers=2,
@@ -102,7 +102,7 @@ def test_analyze_end_to_end(patched_models, tmp_path):
 
 
 def test_analyze_idempotent_second_run(patched_models, tmp_path):
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_out = str(tmp_path / 'out')
     analyze(modelname='testmodel', dir_audio=patched_models['audio'],
             dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
@@ -118,7 +118,7 @@ def test_analyze_idempotent_second_run(patched_models, tmp_path):
 def test_resume_from_partial(patched_models, tmp_path):
     """Simulate an interrupted run: a partial CSV covering the middle of a
     file; the resume must fill only the gaps and finalize."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.manifest import build_manifest, write_manifest
     dir_out = str(tmp_path / 'out')
     os.makedirs(dir_out)
@@ -147,7 +147,7 @@ def test_resume_from_partial(patched_models, tmp_path):
 
 
 def test_manifest_conflict_aborts(patched_models, tmp_path):
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_out = str(tmp_path / 'out')
     analyze(modelname='testmodel', dir_audio=patched_models['audio'],
             dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
@@ -169,7 +169,7 @@ def test_detections_mode(patched_models, tmp_path):
     except FileNotFoundError:
         pytest.skip('metrics not bundled (reference not mounted)')
 
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_out = str(tmp_path / 'out')
     analyze(modelname='testmodel', dir_audio=patched_models['audio'],
             dir_out=dir_out, chunklength=2.0, precision=0.95,
@@ -180,7 +180,7 @@ def test_detections_mode(patched_models, tmp_path):
 
 
 def test_ident_conflict_skipped(patched_models, tmp_path):
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.audio.ffi import encode_fixture
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
@@ -198,7 +198,7 @@ def test_ident_conflict_skipped(patched_models, tmp_path):
 def test_early_exit_event(patched_models, tmp_path):
     """An externally-set stop event interrupts the run and leaves resumable
     partials (or nothing), never a corrupted final file."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
     for i in range(4):
@@ -255,7 +255,7 @@ def test_multihost_file_sharding_completes_corpus(patched_models, tmp_path):
     """BASELINE config 5 (scaled down): a corpus sharded over 'hosts' by
     stable hash, every host running independently against the same output
     dir — the corpus completes with no coordination and no interference."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.parallel import shard_files
     from buzzdetect_tpu.utils import search_dir
 
@@ -284,7 +284,7 @@ def test_multihost_file_sharding_completes_corpus(patched_models, tmp_path):
 def test_multiple_analyzer_threads(patched_models, tmp_path):
     """analyzers>1: concurrent dispatch threads must not corrupt results or
     completion tracking."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
     for i in range(4):
@@ -307,7 +307,7 @@ def test_multiple_analyzer_threads(patched_models, tmp_path):
 def test_corrupt_container_isolated(patched_models, tmp_path):
     """A garbage file with an audio extension must not kill the run; other
     files still complete."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
     write_wav(os.path.join(dir_audio, 'good.wav'), make_tone(2.0, 16000),
@@ -325,7 +325,7 @@ def test_corrupt_container_isolated(patched_models, tmp_path):
 def test_framehop_half_end_to_end(patched_models, tmp_path):
     """framehop 0.5 (the reference's yamnet_halfhop capability): twice the
     rows, 0.48 s stride, clean finalize."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
     write_wav(os.path.join(dir_audio, 'h.wav'), make_tone(4.0, 16000), 16000)
@@ -344,7 +344,7 @@ def test_framehop_half_end_to_end(patched_models, tmp_path):
 
 def test_framehop_arbitrary_end_to_end(patched_models, tmp_path):
     """Arbitrary framehop (superset of the reference's {1.0, 0.5} limit)."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
     write_wav(os.path.join(dir_audio, 'q.wav'), make_tone(4.0, 16000), 16000)
@@ -359,7 +359,7 @@ def test_framehop_arbitrary_end_to_end(patched_models, tmp_path):
 def test_batched_dispatch_matches_unbatched(patched_models, tmp_path):
     """batch_chunks>1 stacks chunks from different files into one device
     call; results must equal the unbatched run exactly."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
     for i in range(4):
@@ -384,7 +384,7 @@ def test_failed_chunk_leaves_resumable_partial(patched_models, tmp_path,
     """A chunk whose inference fails must leave the file as a resumable
     partial — never a finalized result with a silent hole."""
     from buzzdetect_tpu import config as cfg2
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
 
     d = tmp_path / 'models' / 'flaky'
     d.mkdir(parents=True)
@@ -429,7 +429,7 @@ def test_resume_reference_written_partial(patched_models, tmp_path):
     """Result folders written by the REFERENCE implementation must be
     resumable: its pandas-written partials carry full-precision floats and
     the same schema. (Reference writes e.g. '0.96,-1.2300000000000002'.)"""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.manifest import build_manifest, write_manifest
     dir_out = str(tmp_path / 'out')
     os.makedirs(dir_out)
@@ -457,7 +457,7 @@ def test_resume_reference_written_partial(patched_models, tmp_path):
 
 
 def test_profile_dir_captures_trace(patched_models, tmp_path):
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
     write_wav(os.path.join(dir_audio, 'p.wav'), make_tone(2.0, 16000), 16000)
@@ -472,7 +472,7 @@ def test_profile_dir_captures_trace(patched_models, tmp_path):
 
 def test_stream_scores_api(patched_models, tmp_path):
     """The notebook API matches the pipeline's CSV output."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.api import score_file
     from buzzdetect_tpu.models.registry import load_model
 
@@ -497,7 +497,7 @@ def test_stream_scores_api(patched_models, tmp_path):
 def test_compressed_formats_through_pipeline(patched_models, tmp_path):
     """m4a + wma + ogg files flow through the full pipeline to finalized
     results (compressed-codec decode inside the worker stack)."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.audio.ffi import encode_fixture
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
@@ -518,7 +518,7 @@ def test_compressed_formats_through_pipeline(patched_models, tmp_path):
 def test_framehop_above_one_runs_with_warning(patched_models, tmp_path):
     """framehop > 1 (sparse sampling) is valid but leaves inter-frame gaps;
     the run must complete and emit the documented warning."""
-    from buzzdetect_tpu.analyze import analyze
+    from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
     os.makedirs(dir_audio)
     write_wav(os.path.join(dir_audio, 'sparse.wav'), make_tone(6.0, 16000),
@@ -548,9 +548,10 @@ def test_package_exports_are_functions():
     import buzzdetect_tpu
     importlib.reload(buzzdetect_tpu)
     from buzzdetect_tpu import analyze as first
-    import buzzdetect_tpu.analyze  # noqa: F401 — forces the shadow attr
+    import buzzdetect_tpu.analysis  # noqa: F401 — forces the shadow attr
     from buzzdetect_tpu import analyze as second
     assert callable(first) and callable(second)
     assert first is second
-    assert callable(buzzdetect_tpu.analyze) or hasattr(
-        buzzdetect_tpu.analyze, '__call__')
+    # attribute access on the package always yields the function (the
+    # orchestrator module is named `analysis`, so no name collision exists)
+    assert callable(buzzdetect_tpu.analyze)

@@ -39,7 +39,7 @@ def write_long_wav(path, seconds, rate=16000):
 
 CHILD = r'''
 import sys
-from buzzdetect_tpu.analyze import analyze
+from buzzdetect_tpu.analysis import analyze
 analyze(modelname='model_general_v3', dir_audio=sys.argv[1],
         dir_out=sys.argv[2], chunklength=200,
         framehop_prop=float(sys.argv[3]), verbosity_print='PROGRESS')
