@@ -3,7 +3,8 @@
 and resume, verifying the final results equal an uninterrupted run
 (BASELINE.json configs 3-4).
 
-Usage: python tools/soak_resume.py [--hours 2] [--kill-after 20]
+Usage: python tools/soak_resume.py [--hours 2] [--framehop 1.0]
+(the kill fires the moment the first checkpoint row reaches disk)
 """
 
 import argparse
@@ -72,7 +73,6 @@ def run(dir_audio, dir_out, kill_when_partial=None, framehop=1.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--hours', type=float, default=2.0)
-    ap.add_argument('--kill-after', type=float, default=25.0)
     ap.add_argument('--framehop', type=float, default=1.0)
     args = ap.parse_args()
 
