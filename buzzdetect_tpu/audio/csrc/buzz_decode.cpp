@@ -260,6 +260,12 @@ int push_frame(BzStream* s, AVFrame* fr) {
 // Pull the next decoded frame into s->frame. Returns 0, AVERROR_EOF, or a
 // fatal error. Corrupt packets/read errors degrade to EOF (short read).
 int decode_next_frame(BzStream* s) {
+    if (!s->dec || !s->fmt) {
+        // a failed reopen (file vanished mid-analysis) left no contexts:
+        // report EOF instead of dereferencing null
+        s->eof_out = true;
+        return AVERROR_EOF;
+    }
     while (true) {
         int ret = avcodec_receive_frame(s->dec, s->frame);
         if (ret == 0) return 0;
@@ -300,6 +306,10 @@ int fill_fifo(BzStream* s, int64_t want) {
             continue;
         }
         if (ret == AVERROR_EOF) {
+            if (!s->swr) {  // failed reopen: nothing to flush
+                s->eof_out = true;
+                break;
+            }
             // flush swr tail
             size_t base = s->fifo.size();
             int64_t max_out = av_rescale_rnd(
@@ -423,7 +433,14 @@ int seek_internal(BzStream* s, int64_t target_out) {
     // safe path: reopen and count forward (bit-exact for every codec)
     close_internal(s);
     int ret = open_internal(s);
-    if (ret < 0) return ret;
+    if (ret < 0) {
+        // failed reopen (e.g. file vanished mid-analysis): drop the stale
+        // fifo — serving it at the new position would be silent corruption
+        s->fifo.clear();
+        s->fifo_head = 0;
+        s->eof_out = true;
+        return ret;
+    }
     plan_warmup(s, target_native, &s->native_discard, &s->out_drop);
     s->out_pos = target_out;
     return 0;

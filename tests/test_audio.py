@@ -173,6 +173,26 @@ def test_codec_seek_matches_linear_decode(tmp_path, codec, ext):
     t.close()
 
 
+def test_file_vanishes_mid_analysis(tmp_path):
+    """A backward seek on a reopen-strategy codec closes and reopens the file
+    by path. If the file was deleted mid-analysis, the reopen fails and must
+    surface as a DecodeError on seek and EOF (not a crash) on later reads."""
+    from buzzdetect_tpu.audio.ffi import DecodeError, NativeStream, \
+        encode_fixture
+    path = str(tmp_path / 'gone.wma')
+    encode_fixture(path, 'wmav2', 48000, 1, 2.0)
+    t = NativeStream(path, target_rate=0)
+    first = t.read(48000)
+    assert len(first) == 48000
+    os.unlink(path)
+    with pytest.raises(DecodeError):
+        t.seek(0)  # backward seek -> reopen-by-path -> fails
+    # contexts are gone; reads must degrade to EOF, not segfault
+    assert len(t.read(4096)) == 0
+    assert len(t.read(4096)) == 0
+    t.close()
+
+
 def test_stereo_seek_after_downmix(tmp_path):
     from buzzdetect_tpu.audio.ffi import encode_fixture
     path = str(tmp_path / 'st.m4a')
