@@ -12,18 +12,40 @@ from buzzdetect_tpu.models.registry import load_model
 from buzzdetect_tpu.write.coverage import gaps_to_chunklist
 
 
+def _resolve_model(model, modelname, framehop_prop):
+    """Load a model, or check a pre-loaded one against framehop_prop.
+
+    A pre-loaded model carries its framehop; silently ignoring a conflicting
+    ``framehop_prop`` would hand back scores at the wrong stride.
+    """
+    if model is None:
+        return load_model(modelname or cfg.DEFAULT_MODEL,
+                          framehop_prop=(1.0 if framehop_prop is None
+                                         else framehop_prop),
+                          initialize=True)
+    if framehop_prop is not None:
+        actual = model.embedder.framehop_s / model.embedder.framelength_s
+        if abs(actual - framehop_prop) > 1e-9:
+            raise ValueError(
+                f'framehop_prop={framehop_prop} conflicts with the passed '
+                f'model (loaded with framehop_prop={actual:g}); reload via '
+                f'load_model(..., framehop_prop={framehop_prop}) or drop '
+                f'the argument')
+    return model
+
+
 def stream_scores(path_audio: str, modelname: str = None,
-                  framehop_prop: float = 1.0, chunklength: float = 200.0,
+                  framehop_prop: float = None, chunklength: float = 200.0,
                   model=None):
     """Yield ``(start_seconds, scores)`` per analysis frame of one file.
 
     Streams chunk by chunk — arbitrarily long recordings never materialize
     in memory. ``scores`` is a (n_classes,) float array; class order is
-    ``model.config['classes']``.
+    ``model.config['classes']``. ``framehop_prop`` defaults to 1.0 when
+    loading by name; with a pre-loaded ``model`` it must match the model's
+    configured framehop (or be omitted).
     """
-    if model is None:
-        model = load_model(modelname or cfg.DEFAULT_MODEL,
-                           framehop_prop=framehop_prop, initialize=True)
+    model = _resolve_model(model, modelname, framehop_prop)
     fl = model.embedder.framelength_s
     framehop_s = model.embedder.framehop_s
     chunklength = max(round(chunklength / fl) * fl, fl)
@@ -48,12 +70,10 @@ def stream_scores(path_audio: str, modelname: str = None,
 
 
 def score_file(path_audio: str, modelname: str = None,
-               framehop_prop: float = 1.0, chunklength: float = 200.0,
+               framehop_prop: float = None, chunklength: float = 200.0,
                model=None):
     """Score a whole file -> (starts (n,), scores (n, n_classes), classes)."""
-    if model is None:
-        model = load_model(modelname or cfg.DEFAULT_MODEL,
-                           framehop_prop=framehop_prop, initialize=True)
+    model = _resolve_model(model, modelname, framehop_prop)
     starts, rows = [], []
     for t, row in stream_scores(path_audio, model=model,
                                 chunklength=chunklength):

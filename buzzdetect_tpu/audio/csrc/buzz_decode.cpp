@@ -344,6 +344,16 @@ void plan_warmup(BzStream* s, int64_t target_native,
 
 // Position the stream so the next output sample is `target_out`.
 int seek_internal(BzStream* s, int64_t target_out) {
+    if (!s->fmt || !s->dec || !s->swr) {
+        // a prior reopen failed (file vanished mid-analysis): retry the
+        // open — if the path is still gone, error out rather than letting
+        // the small_forward/PTS paths dereference the null contexts
+        int ret = open_internal(s);
+        if (ret < 0) {
+            s->eof_out = true;
+            return ret;
+        }
+    }
     int64_t target_native = av_rescale(target_out, s->native_rate, s->out_rate);
 
     // fast path: target is ahead within the already-buffered fifo

@@ -23,19 +23,29 @@ def clip_spans(events, duration: float, clip_seconds: float,
     tile each event span; negatives sample uniformly from gaps.
     """
     rng = np.random.default_rng(seed)
-    spans = []
+    clipped = []   # (start, end, label) clamped to the file
     covered = []
+    starts = set()
     for ev_start, ev_end, label in events:
         ev_start = max(0.0, ev_start)
         ev_end = min(duration, ev_end)
         if ev_end - ev_start <= 0:
             continue
+        clipped.append((ev_start, ev_end, label))
         covered.append((ev_start, ev_end))
         t = ev_start
         while t < ev_end:
-            start = min(t, max(0.0, duration - clip_seconds))
-            spans.append((start, [label]))
+            starts.add(min(t, max(0.0, duration - clip_seconds)))
             t += clip_seconds
+
+    # label each clip with EVERY event it overlaps — time-overlapping events
+    # must not produce contradictory rows (clip marked 'bee' with car=0 while
+    # a car event covers the same second)
+    spans = []
+    for start in sorted(starts):
+        end = start + clip_seconds
+        labels = sorted({lb for s, e, lb in clipped if s < end and e > start})
+        spans.append((start, labels))
 
     n_neg = int(round(len(spans) * negatives_per_positive))
     max_start = max(0.0, duration - clip_seconds)
@@ -58,8 +68,11 @@ def extract_clips(path_audio: str, spans, clip_seconds: float,
     track = build_track(path_audio, target_rate=samplerate)
     try:
         out = np.zeros((len(spans), n_samples), np.float32)
-        for i, (start, _labels) in enumerate(spans):
-            track.seek(int(start * samplerate))
+        # decode in start order (output rows keep the spans order): backward
+        # seeks on reopen-strategy codecs re-decode from sample zero, so a
+        # shuffled span list would cost O(n_clips * file_duration)
+        for i in sorted(range(len(spans)), key=lambda j: spans[j][0]):
+            track.seek(int(spans[i][0] * samplerate))
             got = track.read(n_samples)
             out[i, :len(got)] = got
         return out

@@ -190,6 +190,37 @@ def test_file_vanishes_mid_analysis(tmp_path):
     # contexts are gone; reads must degrade to EOF, not segfault
     assert len(t.read(4096)) == 0
     assert len(t.read(4096)) == 0
+    # further seeks (forward or backward) must error cleanly, not crash
+    with pytest.raises(DecodeError):
+        t.seek(96000)
+    with pytest.raises(DecodeError):
+        t.seek(100)
+    assert len(t.read(4096)) == 0
+    t.close()
+
+
+def test_seek_recovers_when_file_reappears(tmp_path):
+    """A seek after a failed reopen retries the open, so a transiently
+    missing file (e.g. network mount hiccup) recovers instead of being
+    permanently dead."""
+    from buzzdetect_tpu.audio.ffi import DecodeError, NativeStream, \
+        encode_fixture
+    import shutil
+    path = str(tmp_path / 'flaky.wma')
+    encode_fixture(path, 'wmav2', 48000, 1, 2.0)
+    backup = str(tmp_path / 'backup.wma')
+    shutil.copyfile(path, backup)
+
+    t = NativeStream(path, target_rate=0)
+    linear = t.read(96000)
+    os.unlink(path)
+    with pytest.raises(DecodeError):
+        t.seek(0)
+    shutil.copyfile(backup, path)  # file comes back
+    t.seek(48000)
+    got = t.read(4096)
+    assert len(got) == 4096
+    assert np.array_equal(got, linear[48000:48000 + 4096])
     t.close()
 
 

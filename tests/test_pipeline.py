@@ -494,6 +494,25 @@ def test_stream_scores_api(patched_models, tmp_path):
     np.testing.assert_allclose(np.round(scores, 2), csv_scores, atol=0.011)
 
 
+def test_api_framehop_conflict_with_preloaded_model(patched_models, tmp_path):
+    """framehop_prop + a pre-loaded model must agree — silently ignoring the
+    argument would return scores at the wrong stride."""
+    from buzzdetect_tpu.api import score_file, stream_scores
+    from buzzdetect_tpu.models.registry import load_model
+
+    path = str(tmp_path / 'f.wav')
+    write_wav(path, make_tone(3.0, 16000), 16000)
+    model = load_model('testmodel', initialize=True)  # framehop 1.0
+
+    with pytest.raises(ValueError, match='framehop_prop'):
+        score_file(path, framehop_prop=0.5, model=model)
+    with pytest.raises(ValueError, match='framehop_prop'):
+        next(iter(stream_scores(path, framehop_prop=0.5, model=model)))
+    # matching value is accepted; omitted is accepted
+    starts, _s, _c = score_file(path, framehop_prop=1.0, model=model)
+    assert len(starts) > 0
+
+
 def test_compressed_formats_through_pipeline(patched_models, tmp_path):
     """m4a + wma + ogg files flow through the full pipeline to finalized
     results (compressed-codec decode inside the worker stack)."""
