@@ -46,6 +46,11 @@ class NativeDriver(AudioDriver):
     def read(self, n, dtype=None):
         return self._s.read(n)
 
+    def read_s16(self, n):
+        # decode straight to the int16 wire format (fused in the C stage) —
+        # the streamer prefers this when the model transfers int16
+        return self._s.read_s16(n)
+
     def seek(self, sample):
         return self._s.seek(sample)
 

@@ -507,6 +507,41 @@ int64_t bz_read(BzStream* s, float* out, int64_t max_samples) {
     return n;
 }
 
+// Read directly as int16 wire format: fused clip+scale+round during the
+// fifo copy, so the pipeline's transfer dtype costs zero extra passes over
+// the samples (the host here is a single shared core — every avoided numpy
+// pass is wall-clock; see buzzdetect_tpu/models/classifier.py transfer_dtype).
+int64_t bz_read_s16(BzStream* s, int16_t* out, int64_t max_samples) {
+    if (fill_fifo(s, max_samples) < 0 && s->fifo.size() == s->fifo_head)
+        return -1;
+    int64_t avail = (int64_t)(s->fifo.size() - s->fifo_head);
+    int64_t n = std::min(avail, max_samples);
+    const float* src = s->fifo.data() + s->fifo_head;
+    for (int64_t i = 0; i < n; i++) {
+        float v = src[i];
+        v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+        out[i] = (int16_t)lrintf(v * 32767.0f);
+    }
+    s->fifo_head += (size_t)n;
+    s->out_pos += n;
+    if (s->fifo_head > (1u << 20)) {
+        s->fifo.erase(s->fifo.begin(), s->fifo.begin() + s->fifo_head);
+        s->fifo_head = 0;
+    }
+    return n;
+}
+
+// Standalone float->int16 quantizer (one vectorizable pass, GIL released by
+// ctypes) for samples that did not come through a BzStream — the Python
+// fallback (utils.quantize_int16) chains four full-array numpy passes.
+void bz_quantize_s16(const float* in, int16_t* out, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        float v = in[i];
+        v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+        out[i] = (int16_t)lrintf(v * 32767.0f);
+    }
+}
+
 int bz_seek(BzStream* s, int64_t sample) {
     if (sample < 0) sample = 0;
     s->error.clear();

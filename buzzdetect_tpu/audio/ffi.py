@@ -68,6 +68,14 @@ def get_lib():
         lib.bz_read.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_longlong]
+        lib.bz_read_s16.restype = ctypes.c_longlong
+        lib.bz_read_s16.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_int16),
+                                    ctypes.c_longlong]
+        lib.bz_quantize_s16.restype = None
+        lib.bz_quantize_s16.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                        ctypes.POINTER(ctypes.c_int16),
+                                        ctypes.c_longlong]
         lib.bz_seek.restype = ctypes.c_int
         lib.bz_seek.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
         lib.bz_last_error.restype = ctypes.c_int
@@ -82,6 +90,23 @@ def get_lib():
 
         _lib = lib
         return _lib
+
+
+def quantize_s16(samples: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] -> int16 wire format in one native pass (GIL released).
+
+    Preferred over the numpy fallback in utils.quantize_int16: the fused C
+    loop makes one pass where numpy chains four full-array temporaries — on
+    the single shared host core that is the analysis pipeline's hot spot.
+    """
+    lib = get_lib()
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    out = np.empty(len(samples), dtype=np.int16)
+    lib.bz_quantize_s16(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(samples))
+    return out
 
 
 def encode_fixture(path: str, codec: str, sample_rate: int = 48000,
@@ -118,6 +143,8 @@ class NativeStream:
         self.codec = self._lib.bz_codec(self._h).decode()
 
     def read(self, n: int, dtype=np.float32) -> np.ndarray:
+        if np.dtype(dtype) == np.int16:
+            return self.read_s16(n)
         out = np.empty(int(n), dtype=np.float32)
         got = self._lib.bz_read(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -125,6 +152,17 @@ class NativeStream:
         if got < 0:
             raise DecodeError(f'read failed: {self.last_error()}')
         return out[:got] if dtype == np.float32 else out[:got].astype(dtype)
+
+    def read_s16(self, n: int) -> np.ndarray:
+        """Read quantized to the int16 wire format in the same native pass
+        (no float materialization in Python at all)."""
+        out = np.empty(int(n), dtype=np.int16)
+        got = self._lib.bz_read_s16(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            int(n))
+        if got < 0:
+            raise DecodeError(f'read failed: {self.last_error()}')
+        return out[:got]
 
     def seek(self, sample: int):
         ret = self._lib.bz_seek(self._h, int(sample))

@@ -107,12 +107,20 @@ class WorkerStreamer:
             return True
 
         a_file.track.seek(sample_from)
-        samples = a_file.track.read(read_size, dtype=np.float32)
         if getattr(self.model, 'transfer_dtype', None) == 'int16':
-            # quantize to the wire dtype here, in the (many, parallel)
-            # decode threads, so the single dispatch thread doesn't pay it;
-            # also halves the prefetch ring's RAM
-            samples = quantize_int16(samples)
+            # decode straight to the wire dtype: the native stage fuses the
+            # quantize into its fifo copy (zero extra passes); drivers
+            # without read_s16 decode float and quantize here, in the decode
+            # threads, so the dispatch thread doesn't pay it. Either way the
+            # prefetch ring holds half the RAM of float32.
+            read_s16 = getattr(a_file.track, 'read_s16', None)
+            if read_s16 is not None:
+                samples = read_s16(read_size)
+            else:
+                samples = quantize_int16(
+                    a_file.track.read(read_size, dtype=np.float32))
+        else:
+            samples = a_file.track.read(read_size, dtype=np.float32)
 
         if len(samples) < read_size:
             self.handle_bad_read(a_file)

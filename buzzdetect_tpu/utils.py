@@ -15,7 +15,21 @@ import numpy as np
 
 def quantize_int16(samples):
     """float [-1, 1] samples -> int16 wire format (the pipeline's transfer
-    dtype; see ChunkClassifier.transfer_dtype)."""
+    dtype; see ChunkClassifier.transfer_dtype).
+
+    Routes through the native one-pass kernel when the decode stage's shared
+    library is available: the numpy expression makes four full-array passes,
+    which on the single shared host core costs ~10x the fused C loop (and
+    contends with the device-transfer thread). Falls back to numpy so pure-
+    Python installs still work.
+    """
+    samples = np.asarray(samples)
+    if samples.dtype == np.float32 and samples.ndim == 1:
+        try:
+            from buzzdetect_tpu.audio.ffi import quantize_s16
+            return quantize_s16(samples)
+        except Exception:
+            pass
     return (np.clip(samples, -1.0, 1.0) * 32767.0).round().astype(np.int16)
 
 

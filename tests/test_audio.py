@@ -269,3 +269,35 @@ def test_mp3_copy_decodes_from_writable_dir(tmp_path):
     # header overestimates (recorder died); actual payload is ~6.49 s
     assert total / 16000 == pytest.approx(6.49, abs=0.1)
     t.close()
+
+
+def test_native_int16_wire_paths(tmp_path):
+    """read_s16 and quantize_s16 are bit-exact with the numpy quantizer —
+    the int16 wire format must not depend on which path produced it."""
+    from buzzdetect_tpu.audio.ffi import NativeStream, encode_fixture, \
+        quantize_s16
+
+    def numpy_quant(x):
+        return (np.clip(x, -1.0, 1.0) * 32767.0).round().astype(np.int16)
+
+    # standalone quantizer: exact on edge cases (clipping, halves, zeros)
+    x = (np.random.default_rng(7).standard_normal(100_000) * 0.6
+         ).astype(np.float32)
+    x[:8] = [2.0, -2.0, 1.0, -1.0, 0.5, -0.5, 0.0, 1e-9]
+    got = quantize_s16(x)
+    assert got.dtype == np.int16
+    assert np.array_equal(got, numpy_quant(x))
+
+    # streaming path: decode-to-int16 equals decode-to-float + quantize
+    path = str(tmp_path / 'w.flac')
+    encode_fixture(path, 'flac', 16000, 1, 3.0)
+    with NativeStream(path, target_rate=0) as a:
+        f = a.read(40000)
+    with NativeStream(path, target_rate=0) as b:
+        q = b.read(40000, dtype=np.int16)
+    assert q.dtype == np.int16
+    assert np.array_equal(q, numpy_quant(f))
+
+    # utils.quantize_int16 routes through the native kernel transparently
+    from buzzdetect_tpu.utils import quantize_int16
+    assert np.array_equal(quantize_int16(x), numpy_quant(x))
