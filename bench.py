@@ -43,13 +43,13 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
     rng = np.random.default_rng(0)
     chunks = [rng.standard_normal(n_samples).astype(np.float32) * 0.1
               for _ in range(min(n_chunks, 4))]
-    if np.dtype(model.transfer_dtype) == np.dtype('int16'):
+    clf = getattr(model, 'classifier', None)
+    if clf is not None:
         # feed the wire dtype the inferer actually receives: the native
-        # decode stage quantizes to int16 inside its decode pass (fused,
+        # decode stage emits the wire format inside its decode pass (fused,
         # overlapped in decode threads — measured by --mode pipeline), so
-        # the device path starts from int16 host buffers
-        from buzzdetect_tpu.utils import quantize_int16
-        chunks = [quantize_int16(c) for c in chunks]
+        # the device path starts from wire-format host buffers
+        chunks = [clf.to_wire(c) for c in chunks]
 
     # compile + warm
     out, n_valid = model.predict_async(chunks[0])

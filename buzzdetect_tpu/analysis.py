@@ -48,7 +48,8 @@ class Analyzer:
                  compute_dtype=None,
                  profile_dir: str = None,
                  mesh=None,
-                 batch_chunks: int = 1):
+                 batch_chunks: int = 1,
+                 transfer_dtype: str = None):
         self.modelname = modelname
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
@@ -59,9 +60,10 @@ class Analyzer:
         self.batch_chunks = batch_chunks
         self.coordinator = coordinator or Coordinator()
 
+        kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
         self.model = load_model(modelname, framehop_prop=framehop_prop,
                                 initialize=False, compute_dtype=compute_dtype,
-                                mesh=mesh)
+                                mesh=mesh, **kw)
 
         self.precision = precision
         self.chunklength = self._setup_chunklength(chunklength)
@@ -304,7 +306,8 @@ def analyze(modelname: str,
             compute_dtype=None,
             profile_dir: str = None,
             mesh=None,
-            batch_chunks: int = 1):
+            batch_chunks: int = 1,
+            transfer_dtype: str = None):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -332,6 +335,11 @@ def analyze(modelname: str,
     batch_chunks : stack up to this many ready chunks (possibly from
         different files) into one device dispatch — larger MXU batches and
         fewer round trips; 1 disables batching.
+    transfer_dtype : host->device wire format for waveforms: 'int16'
+        (default; (near-)lossless for PCM sources), 'float32', or 'mulaw'
+        (8-bit mu-law companding — halves transfer bytes again at ~38 dB
+        SNR, for deployments where the host->device link is the bottleneck;
+        activations typically shift by well under one rounding digit).
     """
     coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
                               analyzers_gpu=analyzers_gpu,
@@ -346,6 +354,7 @@ def analyze(modelname: str,
                         verbosity_log=verbosity_log, log_progress=log_progress,
                         coordinator=coordinator, compute_dtype=compute_dtype,
                         profile_dir=profile_dir, mesh=mesh,
-                        batch_chunks=batch_chunks)
+                        batch_chunks=batch_chunks,
+                        transfer_dtype=transfer_dtype)
     analyzer.run()
     return analyzer

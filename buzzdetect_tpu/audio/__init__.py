@@ -51,6 +51,10 @@ class NativeDriver(AudioDriver):
         # the streamer prefers this when the model transfers int16
         return self._s.read_s16(n)
 
+    def read_mulaw(self, n):
+        # mu-law int8 wire format, likewise fused into the decode pass
+        return self._s.read_mulaw(n)
+
     def seek(self, sample):
         return self._s.seek(sample)
 

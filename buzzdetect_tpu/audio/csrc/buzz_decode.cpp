@@ -542,6 +542,38 @@ void bz_quantize_s16(const float* in, int16_t* out, int64_t n) {
     }
 }
 
+// Continuous mu-law companding (mu=255) to int8 [-127, 127]: the 8-bit wire
+// format for bandwidth-starved host->device links. The device side inverts
+// it elementwise (see models/classifier.py _to_float). Chosen over G.711's
+// segmented curve because the inverse is a single expm1 on the device.
+static inline int8_t mulaw_enc_one(float v) {
+    v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+    float m = log1pf(255.0f * fabsf(v)) * (127.0f / 5.54517744447956247f);
+    int q = (int)lrintf(m);   // ln(256) = 5.5451774...
+    return (int8_t)(v < 0.0f ? -q : q);
+}
+
+void bz_mulaw_s8(const float* in, int8_t* out, int64_t n) {
+    for (int64_t i = 0; i < n; i++) out[i] = mulaw_enc_one(in[i]);
+}
+
+// Read companded to the mu-law wire format in the same native pass.
+int64_t bz_read_mulaw(BzStream* s, int8_t* out, int64_t max_samples) {
+    if (fill_fifo(s, max_samples) < 0 && s->fifo.size() == s->fifo_head)
+        return -1;
+    int64_t avail = (int64_t)(s->fifo.size() - s->fifo_head);
+    int64_t n = std::min(avail, max_samples);
+    const float* src = s->fifo.data() + s->fifo_head;
+    for (int64_t i = 0; i < n; i++) out[i] = mulaw_enc_one(src[i]);
+    s->fifo_head += (size_t)n;
+    s->out_pos += n;
+    if (s->fifo_head > (1u << 20)) {
+        s->fifo.erase(s->fifo.begin(), s->fifo.begin() + s->fifo_head);
+        s->fifo_head = 0;
+    }
+    return n;
+}
+
 int bz_seek(BzStream* s, int64_t sample) {
     if (sample < 0) sample = 0;
     s->error.clear();

@@ -76,6 +76,14 @@ def get_lib():
         lib.bz_quantize_s16.argtypes = [ctypes.POINTER(ctypes.c_float),
                                         ctypes.POINTER(ctypes.c_int16),
                                         ctypes.c_longlong]
+        lib.bz_read_mulaw.restype = ctypes.c_longlong
+        lib.bz_read_mulaw.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int8),
+                                      ctypes.c_longlong]
+        lib.bz_mulaw_s8.restype = None
+        lib.bz_mulaw_s8.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                    ctypes.POINTER(ctypes.c_int8),
+                                    ctypes.c_longlong]
         lib.bz_seek.restype = ctypes.c_int
         lib.bz_seek.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
         lib.bz_last_error.restype = ctypes.c_int
@@ -105,6 +113,19 @@ def quantize_s16(samples: np.ndarray) -> np.ndarray:
     lib.bz_quantize_s16(
         samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(samples))
+    return out
+
+
+def mulaw_s8(samples: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] -> mu-law (mu=255) int8 wire format in one native
+    pass. See utils.encode_mulaw for the companding law and fallback."""
+    lib = get_lib()
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    out = np.empty(len(samples), dtype=np.int8)
+    lib.bz_mulaw_s8(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         len(samples))
     return out
 
@@ -159,6 +180,16 @@ class NativeStream:
         out = np.empty(int(n), dtype=np.int16)
         got = self._lib.bz_read_s16(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            int(n))
+        if got < 0:
+            raise DecodeError(f'read failed: {self.last_error()}')
+        return out[:got]
+
+    def read_mulaw(self, n: int) -> np.ndarray:
+        """Read companded to the mu-law int8 wire format (one native pass)."""
+        out = np.empty(int(n), dtype=np.int8)
+        got = self._lib.bz_read_mulaw(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             int(n))
         if got < 0:
             raise DecodeError(f'read failed: {self.last_error()}')

@@ -116,6 +116,11 @@ def build_parser():
     parser.add_argument('--log_progress', required=False, default=False,
                         type=str2bool,
                         help='Write PROGRESS lines to the log file')
+    parser.add_argument('--transfer_dtype', required=False, default=None,
+                        choices=['float32', 'int16', 'mulaw'],
+                        help='Host->device wire format for waveforms '
+                             '(default int16; mulaw halves transfer bytes '
+                             'for bandwidth-limited links)')
     parser.add_argument('--bf16', action='store_true',
                         help='Run the CNN in bfloat16 for throughput '
                              '(scores may deviate beyond 1e-3)')
@@ -157,7 +162,8 @@ def main(argv=None):
             verbosity_print=args.verbosity_print,
             verbosity_log=args.verbosity_log,
             log_progress=args.log_progress,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            transfer_dtype=args.transfer_dtype)
 
 
 if __name__ == '__main__':

@@ -27,13 +27,21 @@ from buzzdetect_tpu.ops.frontend import (
     log_mel_spectrogram, patches_from_log_mel)
 from buzzdetect_tpu.models import yamnet as yamnet_lib
 from buzzdetect_tpu.models.heads import apply_head
-from buzzdetect_tpu.utils import quantize_int16
+from buzzdetect_tpu.utils import encode_mulaw, quantize_int16
+
+_LN256 = float(np.log(256.0))
 
 
 def _to_float(waveform):
-    """Undo the int16 wire format on-device (see transfer_dtype)."""
+    """Undo the wire format on-device (see transfer_dtype): int16 is linear
+    PCM; int8 is continuous mu-law (mu=255, utils.encode_mulaw) — expanded
+    with one expm1, fused by XLA into the frontend's first pass."""
     if waveform.dtype == jnp.int16:
         return waveform.astype(jnp.float32) * (1.0 / 32768.0)
+    if waveform.dtype == jnp.int8:
+        y = waveform.astype(jnp.float32) * (1.0 / 127.0)
+        mag = jnp.expm1(jnp.abs(y) * np.log(256.0)) * (1.0 / 255.0)
+        return jnp.sign(y) * mag
     return waveform
 
 
@@ -160,9 +168,13 @@ class ChunkClassifier:
         # 'pallas' selects the fused kernel (ops/pallas_frontend.py) for the
         # single-chunk path; the batch path always uses the XLA frontend
         self.frontend = frontend
-        self.transfer_dtype = np.dtype(transfer_dtype)
-        if self.transfer_dtype not in (np.dtype('float32'), np.dtype('int16')):
-            raise ValueError('transfer_dtype must be float32 or int16')
+        # 'mulaw' rides int8 on the wire; linear int8 is deliberately not
+        # offered (mu-law strictly dominates it for audio at the same size)
+        self.transfer_name = str(transfer_dtype)
+        if self.transfer_name not in ('float32', 'int16', 'mulaw'):
+            raise ValueError('transfer_dtype must be float32, int16 or mulaw')
+        self.transfer_dtype = np.dtype(
+            'int8' if self.transfer_name == 'mulaw' else self.transfer_name)
         self.device = device
         self.sharding = sharding
         self.mesh = mesh
@@ -209,13 +221,30 @@ class ChunkClassifier:
             self._compiled_lengths.sort()
             return need
 
-    def _pad_to(self, samples: np.ndarray, target: int):
-        """Pad to the compiled length, converting to the wire dtype."""
-        if self.transfer_dtype == np.dtype('int16'):
-            if samples.dtype != np.int16:
-                samples = quantize_int16(samples)
+    def to_wire(self, samples: np.ndarray) -> np.ndarray:
+        """Convert host samples to this classifier's wire dtype (no-op when
+        the decode stage already emitted it — the pipeline's normal case).
+        int8 input is always mu-law (the only int8 producer is the wire
+        encoder itself); int16 is linear PCM."""
+        if samples.dtype == self.transfer_dtype:
+            return samples
+        if samples.dtype == np.int16:
+            samples = samples.astype(np.float32) * (1.0 / 32768.0)
+        elif samples.dtype == np.int8:
+            y = samples.astype(np.float32) * (1.0 / 127.0)
+            samples = np.sign(y) * np.expm1(np.abs(y) * _LN256,
+                                            dtype=np.float32) * (1.0 / 255.0)
         elif samples.dtype != np.float32:
             samples = samples.astype(np.float32)
+        if self.transfer_name == 'int16':
+            return quantize_int16(samples)
+        if self.transfer_name == 'mulaw':
+            return encode_mulaw(samples)
+        return samples
+
+    def _pad_to(self, samples: np.ndarray, target: int):
+        """Pad to the compiled length, converting to the wire dtype."""
+        samples = self.to_wire(samples)
         if len(samples) == target:
             return samples
         out = np.zeros(target, dtype=samples.dtype)

@@ -17,7 +17,7 @@ import numpy as np
 from buzzdetect_tpu import config as cfg
 from buzzdetect_tpu.audio import build_track, get_duration
 from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignFile, AssignLog
-from buzzdetect_tpu.utils import quantize_int16
+from buzzdetect_tpu.utils import encode_wire
 from buzzdetect_tpu.write.coverage import (coverage_from_csv, get_gaps,
                                            smooth_gaps, gaps_to_chunklist)
 
@@ -107,20 +107,20 @@ class WorkerStreamer:
             return True
 
         a_file.track.seek(sample_from)
-        if getattr(self.model, 'transfer_dtype', None) == 'int16':
-            # decode straight to the wire dtype: the native stage fuses the
-            # quantize into its fifo copy (zero extra passes); drivers
-            # without read_s16 decode float and quantize here, in the decode
-            # threads, so the dispatch thread doesn't pay it. Either way the
-            # prefetch ring holds half the RAM of float32.
-            read_s16 = getattr(a_file.track, 'read_s16', None)
-            if read_s16 is not None:
-                samples = read_s16(read_size)
-            else:
-                samples = quantize_int16(
-                    a_file.track.read(read_size, dtype=np.float32))
+        # decode straight to the wire dtype: the native stage fuses the
+        # int16 quantize / mu-law compand into its fifo copy (zero extra
+        # passes); drivers without the fused reader decode float and convert
+        # here, in the decode threads, so the dispatch thread doesn't pay
+        # it. Either way the prefetch ring holds the wire-sized buffers.
+        wire = getattr(self.model, 'transfer_dtype', None) or 'float32'
+        reader = getattr(
+            a_file.track,
+            {'int16': 'read_s16', 'mulaw': 'read_mulaw'}.get(wire, ''), None)
+        if reader is not None:
+            samples = reader(read_size)
         else:
-            samples = a_file.track.read(read_size, dtype=np.float32)
+            samples = encode_wire(
+                a_file.track.read(read_size, dtype=np.float32), wire)
 
         if len(samples) < read_size:
             self.handle_bad_read(a_file)

@@ -142,6 +142,12 @@ def validate_verbosity(verbosity_str):
     return ArgValid(False, f"must be one of: {', '.join(loglevels)}")
 
 
+def validate_transfer_dtype(value):
+    if value in (None, '', 'float32', 'int16', 'mulaw'):
+        return OK
+    return ArgValid(False, "must be one of: float32, int16, mulaw")
+
+
 validate_map = {
     'modelname': validate_modelname,
     'classes_out': validate_classes_out,
@@ -157,4 +163,5 @@ validate_map = {
     'verbosity_print': validate_verbosity,
     'verbosity_log': validate_verbosity,
     'log_progress': numeric_rule(kind=int, minimum=0, maximum=1),
+    'transfer_dtype': validate_transfer_dtype,
 }

@@ -301,3 +301,53 @@ def test_native_int16_wire_paths(tmp_path):
     # utils.quantize_int16 routes through the native kernel transparently
     from buzzdetect_tpu.utils import quantize_int16
     assert np.array_equal(quantize_int16(x), numpy_quant(x))
+
+
+def test_mulaw_wire_format(tmp_path):
+    """mu-law encode: native == numpy fallback (±1 LSB for libm halves);
+    round-trip error bounded by the companding step size."""
+    from buzzdetect_tpu.audio.ffi import NativeStream, encode_fixture, \
+        mulaw_s8
+    from buzzdetect_tpu.utils import encode_mulaw, _LN256
+
+    rng = np.random.default_rng(3)
+    x = np.concatenate([
+        rng.standard_normal(50_000) * 0.3,
+        rng.standard_normal(10_000) * 1e-3,       # quiet passage
+        np.array([2.0, -2.0, 1.0, -1.0, 0.0, 1e-9, -1e-9]),
+    ]).astype(np.float32)
+
+    native = mulaw_s8(x)
+    assert native.dtype == np.int8
+    fallback = (np.sign(np.clip(x, -1, 1)) * np.round(
+        np.log1p(255.0 * np.abs(np.clip(x, -1, 1))) * (127.0 / _LN256))
+    ).astype(np.int8)
+    assert np.abs(native.astype(np.int16)
+                  - fallback.astype(np.int16)).max() <= 1
+    assert np.array_equal(encode_mulaw(x), native)  # utils routes to native
+
+    # round-trip through the device-side expansion law
+    y = native.astype(np.float32) / 127.0
+    rec = np.sign(y) * np.expm1(np.abs(y) * _LN256) / 255.0
+    clipped = np.clip(x, -1.0, 1.0)
+    # step in companded space is 1/127; |dx/dy| = ln256*(|x| + 1/255),
+    # evaluated at the interval endpoint where the derivative is largest
+    # (5% slack for curvature within the step)
+    bound = _LN256 * (np.maximum(np.abs(clipped), np.abs(rec))
+                      + 1.0 / 255.0) / (2 * 127.0) * 1.05 + 1e-6
+    assert np.all(np.abs(rec - clipped) <= bound)
+    # quiet samples keep ~constant relative precision (the point of mu-law)
+    quiet = np.abs(clipped) < 1e-2
+    nz = quiet & (np.abs(clipped) > 1e-3)
+    assert np.median(np.abs(rec[nz] - clipped[nz]) / np.abs(clipped[nz])) \
+        < 0.10
+
+    # streaming path: decode-to-mulaw equals decode-to-float + encode
+    path = str(tmp_path / 'm.flac')
+    encode_fixture(path, 'flac', 16000, 1, 2.0)
+    with NativeStream(path, target_rate=0) as a:
+        f = a.read(30000)
+    with NativeStream(path, target_rate=0) as b:
+        q = b.read_mulaw(30000)
+    assert np.abs(q.astype(np.int16)
+                  - mulaw_s8(f).astype(np.int16)).max() <= 1
