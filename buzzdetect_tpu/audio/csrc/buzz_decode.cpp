@@ -345,14 +345,25 @@ void plan_warmup(BzStream* s, int64_t target_native,
 // Position the stream so the next output sample is `target_out`.
 int seek_internal(BzStream* s, int64_t target_out) {
     if (!s->fmt || !s->dec || !s->swr) {
-        // a prior reopen failed (file vanished mid-analysis): retry the
-        // open — if the path is still gone, error out rather than letting
-        // the small_forward/PTS paths dereference the null contexts
+        // a prior reopen failed (file vanished mid-analysis): retry via the
+        // safe reopen path. Close any half-open contexts first (a transient
+        // bad file can leave fmt set with dec/swr null — reusing that fmt in
+        // avformat_open_input is UB and would leak the rest), and do NOT
+        // fall into the fast path below: out_pos/fifo describe the dead
+        // stream, so matching against them would serve audio from sample 0
+        // labeled as the target position.
+        close_internal(s);
         int ret = open_internal(s);
         if (ret < 0) {
+            s->fifo.clear();
+            s->fifo_head = 0;
             s->eof_out = true;
             return ret;
         }
+        int64_t tn = av_rescale(target_out, s->native_rate, s->out_rate);
+        plan_warmup(s, tn, &s->native_discard, &s->out_drop);
+        s->out_pos = target_out;
+        return 0;
     }
     int64_t target_native = av_rescale(target_out, s->native_rate, s->out_rate);
 
@@ -458,6 +469,48 @@ int seek_internal(BzStream* s, int64_t target_out) {
 
 }  // namespace
 
+// --- output converters + the shared fifo drain ------------------------------
+// One drain implementation for every wire format: fill, convert while
+// copying out, advance, compact. The converter is a per-sample functor so
+// each instantiation compiles to a single vectorizable loop.
+
+static inline float conv_f32(float v) { return v; }
+
+static inline int16_t conv_s16(float v) {
+    v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+    return (int16_t)lrintf(v * 32767.0f);
+}
+
+// Continuous mu-law companding (mu=255) to int8 [-127, 127]: the 8-bit wire
+// format for bandwidth-starved host->device links. The device side inverts
+// it elementwise (see models/classifier.py _to_float). Chosen over G.711's
+// segmented curve because the inverse is a single expm1 on the device.
+static inline int8_t conv_mulaw(float v) {
+    v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+    float m = log1pf(255.0f * fabsf(v)) * (127.0f / 5.54517744447956247f);
+    int q = (int)lrintf(m);   // ln(256) = 5.5451774...
+    return (int8_t)(v < 0.0f ? -q : q);
+}
+
+template <typename T, typename Conv>
+static int64_t drain_fifo(BzStream* s, T* out, int64_t max_samples,
+                          Conv conv) {
+    if (fill_fifo(s, max_samples) < 0 && s->fifo.size() == s->fifo_head)
+        return -1;
+    int64_t avail = (int64_t)(s->fifo.size() - s->fifo_head);
+    int64_t n = std::min(avail, max_samples);
+    const float* src = s->fifo.data() + s->fifo_head;
+    for (int64_t i = 0; i < n; i++) out[i] = conv(src[i]);
+    s->fifo_head += (size_t)n;
+    s->out_pos += n;
+    // compact occasionally
+    if (s->fifo_head > (1u << 20)) {
+        s->fifo.erase(s->fifo.begin(), s->fifo.begin() + s->fifo_head);
+        s->fifo_head = 0;
+    }
+    return n;
+}
+
 extern "C" {
 
 BzStream* bz_open(const char* path, int target_rate, char* errbuf, int errlen) {
@@ -492,19 +545,7 @@ const char* bz_codec(BzStream* s) {
 int bz_strategy(BzStream* s) { return (int)s->strategy; }
 
 int64_t bz_read(BzStream* s, float* out, int64_t max_samples) {
-    if (fill_fifo(s, max_samples) < 0 && s->fifo.size() == s->fifo_head)
-        return -1;
-    int64_t avail = (int64_t)(s->fifo.size() - s->fifo_head);
-    int64_t n = std::min(avail, max_samples);
-    memcpy(out, s->fifo.data() + s->fifo_head, (size_t)n * sizeof(float));
-    s->fifo_head += (size_t)n;
-    s->out_pos += n;
-    // compact occasionally
-    if (s->fifo_head > (1u << 20)) {
-        s->fifo.erase(s->fifo.begin(), s->fifo.begin() + s->fifo_head);
-        s->fifo_head = 0;
-    }
-    return n;
+    return drain_fifo(s, out, max_samples, conv_f32);
 }
 
 // Read directly as int16 wire format: fused clip+scale+round during the
@@ -512,66 +553,23 @@ int64_t bz_read(BzStream* s, float* out, int64_t max_samples) {
 // the samples (the host here is a single shared core — every avoided numpy
 // pass is wall-clock; see buzzdetect_tpu/models/classifier.py transfer_dtype).
 int64_t bz_read_s16(BzStream* s, int16_t* out, int64_t max_samples) {
-    if (fill_fifo(s, max_samples) < 0 && s->fifo.size() == s->fifo_head)
-        return -1;
-    int64_t avail = (int64_t)(s->fifo.size() - s->fifo_head);
-    int64_t n = std::min(avail, max_samples);
-    const float* src = s->fifo.data() + s->fifo_head;
-    for (int64_t i = 0; i < n; i++) {
-        float v = src[i];
-        v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
-        out[i] = (int16_t)lrintf(v * 32767.0f);
-    }
-    s->fifo_head += (size_t)n;
-    s->out_pos += n;
-    if (s->fifo_head > (1u << 20)) {
-        s->fifo.erase(s->fifo.begin(), s->fifo.begin() + s->fifo_head);
-        s->fifo_head = 0;
-    }
-    return n;
+    return drain_fifo(s, out, max_samples, conv_s16);
 }
 
-// Standalone float->int16 quantizer (one vectorizable pass, GIL released by
-// ctypes) for samples that did not come through a BzStream — the Python
-// fallback (utils.quantize_int16) chains four full-array numpy passes.
+// Read companded to the mu-law int8 wire format in the same native pass.
+int64_t bz_read_mulaw(BzStream* s, int8_t* out, int64_t max_samples) {
+    return drain_fifo(s, out, max_samples, conv_mulaw);
+}
+
+// Standalone one-pass converters (GIL released by ctypes) for samples that
+// did not come through a BzStream — the Python fallbacks chain several
+// full-array numpy passes.
 void bz_quantize_s16(const float* in, int16_t* out, int64_t n) {
-    for (int64_t i = 0; i < n; i++) {
-        float v = in[i];
-        v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
-        out[i] = (int16_t)lrintf(v * 32767.0f);
-    }
-}
-
-// Continuous mu-law companding (mu=255) to int8 [-127, 127]: the 8-bit wire
-// format for bandwidth-starved host->device links. The device side inverts
-// it elementwise (see models/classifier.py _to_float). Chosen over G.711's
-// segmented curve because the inverse is a single expm1 on the device.
-static inline int8_t mulaw_enc_one(float v) {
-    v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
-    float m = log1pf(255.0f * fabsf(v)) * (127.0f / 5.54517744447956247f);
-    int q = (int)lrintf(m);   // ln(256) = 5.5451774...
-    return (int8_t)(v < 0.0f ? -q : q);
+    for (int64_t i = 0; i < n; i++) out[i] = conv_s16(in[i]);
 }
 
 void bz_mulaw_s8(const float* in, int8_t* out, int64_t n) {
-    for (int64_t i = 0; i < n; i++) out[i] = mulaw_enc_one(in[i]);
-}
-
-// Read companded to the mu-law wire format in the same native pass.
-int64_t bz_read_mulaw(BzStream* s, int8_t* out, int64_t max_samples) {
-    if (fill_fifo(s, max_samples) < 0 && s->fifo.size() == s->fifo_head)
-        return -1;
-    int64_t avail = (int64_t)(s->fifo.size() - s->fifo_head);
-    int64_t n = std::min(avail, max_samples);
-    const float* src = s->fifo.data() + s->fifo_head;
-    for (int64_t i = 0; i < n; i++) out[i] = mulaw_enc_one(src[i]);
-    s->fifo_head += (size_t)n;
-    s->out_pos += n;
-    if (s->fifo_head > (1u << 20)) {
-        s->fifo.erase(s->fifo.begin(), s->fifo.begin() + s->fifo_head);
-        s->fifo_head = 0;
-    }
-    return n;
+    for (int64_t i = 0; i < n; i++) out[i] = conv_mulaw(in[i]);
 }
 
 int bz_seek(BzStream* s, int64_t sample) {

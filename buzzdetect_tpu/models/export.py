@@ -41,7 +41,8 @@ def export_classifier(modelname: str, chunk_seconds: float,
     def forward(waveform):
         return _classify_padded(params, waveform, cfg)
 
-    dtype = jnp.int16 if transfer_dtype == 'int16' else jnp.float32
+    dtype = {'int16': jnp.int16, 'mulaw': jnp.int8}.get(
+        transfer_dtype, jnp.float32)
     spec = jax.ShapeDtypeStruct((target,), dtype)
     exported = jax.export.export(jax.jit(forward),
                                  platforms=list(platforms))(spec)

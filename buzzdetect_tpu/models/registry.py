@@ -132,7 +132,7 @@ class BundleModel(BaseModel):
 
     def __init__(self, dir_model: str, framehop_prop: float = 1.0,
                  compute_dtype=None, sharding=None, mesh=None,
-                 transfer_dtype='int16'):
+                 transfer_dtype=None):
         self.dir_model = dir_model
         self.framehop_prop = framehop_prop
         self.modelname = os.path.basename(dir_model.rstrip('/'))
@@ -145,9 +145,12 @@ class BundleModel(BaseModel):
         self._mesh = mesh
         # int16 wire format by default: source audio is 16-bit PCM, so this
         # is (near-)lossless and halves host->device traffic — the streaming
-        # pipeline's bottleneck
-        self._transfer_dtype = self.config.get('transfer_dtype',
-                                               transfer_dtype)
+        # pipeline's bottleneck. An explicit per-run argument beats the
+        # model config's default (a config pin must not silently override
+        # the user's --transfer_dtype).
+        self._transfer_dtype = (transfer_dtype
+                                or self.config.get('transfer_dtype')
+                                or 'int16')
         self.classifier = None
         # one model instance is shared by every inferer thread; initialize()
         # must build the classifier exactly once
@@ -225,7 +228,7 @@ def load_embedder(embeddername: str, framehop_prop: float = 1.0) -> BaseEmbedder
 def load_model(modelname: str, framehop_prop: float = 1.0,
                initialize: bool = False, compute_dtype=None,
                sharding=None, mesh=None,
-               transfer_dtype='int16') -> BaseModel:
+               transfer_dtype=None) -> BaseModel:
     """Resolve a model by directory name.
 
     ``models/<name>/model.npz`` -> built-in BundleModel (fused XLA graph);

@@ -43,7 +43,8 @@ def encode_mulaw(samples):
     SNR (constant *relative* quantization error — safer than linear int8
     for quiet passages). The device inverts it inside the jit graph
     (models/classifier.py _to_float). Native one-pass kernel when
-    available; numpy fallback matches it bit-exactly.
+    available; the numpy fallback agrees within ±1 code (float32 log1pf
+    vs float64 log1p round half-way cases differently).
     """
     samples = np.asarray(samples)
     if samples.dtype == np.float32 and samples.ndim == 1:

@@ -351,3 +351,34 @@ def test_mulaw_wire_format(tmp_path):
         q = b.read_mulaw(30000)
     assert np.abs(q.astype(np.int16)
                   - mulaw_s8(f).astype(np.int16)).max() <= 1
+
+
+def test_seek_after_recovery_ignores_stale_position(tmp_path):
+    """After a failed reopen, the recovery seek must not trust the dead
+    stream's out_pos/fifo: seeking to exactly the pre-failure position used
+    to hit the 'already buffered' fast path and silently serve samples from
+    file position 0 labeled as the target."""
+    from buzzdetect_tpu.audio.ffi import DecodeError, NativeStream, \
+        encode_fixture
+    import shutil
+    path = str(tmp_path / 'f.wma')
+    encode_fixture(path, 'wmav2', 48000, 1, 3.0)
+    backup = str(tmp_path / 'b.wma')
+    shutil.copyfile(path, backup)
+
+    t = NativeStream(path, target_rate=0)
+    linear = t.read(96000)           # out_pos now 96000
+    os.unlink(path)
+    with pytest.raises(DecodeError):
+        t.seek(10)                   # reopen fails, contexts dead
+    shutil.copyfile(backup, path)    # file comes back
+    t.seek(96000)                    # == the stale out_pos
+    got = t.read(4096)
+    # continuation past the original read must match a fresh linear decode
+    t2 = NativeStream(path, target_rate=0)
+    t2.read(96000)
+    expect = t2.read(4096)
+    t2.close()
+    assert np.array_equal(got, expect)
+    assert not np.array_equal(got, linear[:4096])  # not sample-0 audio
+    t.close()
