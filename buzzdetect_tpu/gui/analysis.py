@@ -46,6 +46,9 @@ class AnalysisWindow(tk.Toplevel):
         self.process = None
         self.q_gui = None
         self.event_stop = None
+        self._poll_handle = None
+        self._dead_polls = 0
+        self.protocol('WM_DELETE_WINDOW', self._on_close)
         self.launch_analysis()
 
     # --- process lifecycle ---------------------------------------------------
@@ -60,7 +63,9 @@ class AnalysisWindow(tk.Toplevel):
         self.process.start()
         self.btn_stop.configure(state='normal')
         self.btn_rerun.configure(state='disabled')
-        self.after(gui_cfg.POLL_INTERVAL_MS, self.poll_queue)
+        self._dead_polls = 0
+        self._poll_handle = self.after(gui_cfg.POLL_INTERVAL_MS,
+                                       self.poll_queue)
 
     def stop_analysis(self):
         if self.process is None or not self.process.is_alive():
@@ -70,19 +75,51 @@ class AnalysisWindow(tk.Toplevel):
                                'are saved and the run can be resumed later.'):
             self.event_stop.set()
 
+    def _on_close(self):
+        """Closing the window must stop the analysis (its chunks checkpoint,
+        so the run resumes later) and cancel the pending poll — otherwise
+        the child keeps running headless and the scheduled callback fires
+        on destroyed widgets."""
+        if self.process is not None and self.process.is_alive():
+            if not messagebox.askyesno(
+                    'Close window',
+                    'An analysis is running. Stop it and close? Finished '
+                    'chunks are saved and the run can be resumed later.'):
+                return
+            self.event_stop.set()
+            self.process.join(timeout=15)
+            if self.process.is_alive():
+                self.process.terminate()
+        if self._poll_handle is not None:
+            self.after_cancel(self._poll_handle)
+            self._poll_handle = None
+        self.destroy()
+
     # --- log streaming ----------------------------------------------------------
     def poll_queue(self):
+        self._poll_handle = None
+        drained = 0
         try:
             while True:
                 a_log = self.q_gui.get_nowait()
                 self._append(a_log)
+                drained += 1
         except queue_mod.Empty:
             pass
-        if self.process is not None and self.process.is_alive():
-            self.after(gui_cfg.POLL_INTERVAL_MS, self.poll_queue)
+        if (self.process is not None and self.process.is_alive()) \
+                or drained > 0:
+            self._dead_polls = 0
         else:
-            self.btn_stop.configure(state='disabled')
-            self.btn_rerun.configure(state='normal')
+            # the child exited, but its final records (summary, traceback)
+            # may still be unpickled bytes in the queue's pipe buffer —
+            # keep polling until it stays empty for a few cycles
+            self._dead_polls += 1
+            if self._dead_polls > 3:
+                self.btn_stop.configure(state='disabled')
+                self.btn_rerun.configure(state='normal')
+                return
+        self._poll_handle = self.after(gui_cfg.POLL_INTERVAL_MS,
+                                       self.poll_queue)
 
     def _append(self, a_log):
         self.textbox.configure(state='normal')

@@ -11,7 +11,7 @@ from tkinter import ttk
 
 from buzzdetect_tpu.gui import config as gui_cfg
 from buzzdetect_tpu.gui.viewmodel import (SettingsModel, BASIC_FIELDS,
-                                          ADVANCED_FIELDS)
+                                          ADVANCED_FIELDS, coerce_field)
 from buzzdetect_tpu.gui.widgets import (TextEntry, FilePathEntry,
                                         CheckBoxEntry, DropDownEntry)
 from buzzdetect_tpu.loglevels import loglevels
@@ -24,6 +24,10 @@ class AnalysisSettings(tk.Tk):
         self.title('buzzdetect — settings')
         self.model = model or SettingsModel()
         self.entries = {}
+        # guards the set()-inside-_on_change cycle: entry.set() fires the
+        # Tk write trace even for an unchanged value, so programmatic
+        # writes (load/lock) must not re-enter the change handler
+        self._syncing = False
 
         container = ttk.Frame(self)
         container.pack(fill='both', expand=True, padx=12, pady=12)
@@ -51,6 +55,11 @@ class AnalysisSettings(tk.Tk):
 
     def _widget_for(self, name, parent):
         validator = validate_map.get(name)
+        if validator is not None:
+            # widgets hold raw strings; validators expect coerced values
+            # ('' -> None for optional fields, numerics per annotation)
+            validator = (lambda raw, _v=validator, _n=name:
+                         _v(coerce_field(_n, raw)))
         if name in ('dir_audio', 'dir_out'):
             return FilePathEntry(parent, name, validator, self._on_change)
         if name in ('verbosity_print', 'verbosity_log'):
@@ -73,51 +82,50 @@ class AnalysisSettings(tk.Tk):
             self.advanced_frame.pack_forget()
 
     def _load_values(self):
-        for name, w in self.entries.items():
-            value = self.model.values.get(name)
-            if isinstance(value, list):
-                value = ' '.join(value)
-            w.set(value)
+        self._syncing = True
+        try:
+            for name, w in self.entries.items():
+                value = self.model.values.get(name)
+                if isinstance(value, list):
+                    value = ' '.join(value)
+                w.set(value)
+        finally:
+            self._syncing = False
 
     def _apply_lock(self):
         """Disable schema-determining controls when the output folder's
         manifest pins them (the resume-compatibility lock)."""
         locked = self.model.apply_manifest_lock()
-        for name in locked:
-            if name in self.entries:
-                self.entries[name].set(self.model.values[name]
-                                       if not isinstance(
-                                           self.model.values[name], list)
-                                       else ' '.join(self.model.values[name]))
-                self.entries[name].set_enabled(False)
+        unlocked = [n for n in ('modelname', 'classes_out', 'precision',
+                                'framehop_prop')
+                    if n in self.entries and n not in locked]
+        self._syncing = True
+        try:
+            for name in locked:
+                if name in self.entries:
+                    value = self.model.values[name]
+                    if isinstance(value, list):
+                        value = ' '.join(value)
+                    w = self.entries[name]
+                    want = '' if value is None else str(value)
+                    if w.get() != want:
+                        w.set(value)
+                    w.set_enabled(False)
+            # dir_out changed away from a manifested folder: re-enable
+            for name in unlocked:
+                self.entries[name].set_enabled(True)
+        finally:
+            self._syncing = False
 
     def _on_change(self):
+        if self._syncing:
+            return
         self._pull_values()
         self._apply_lock()
 
     def _pull_values(self):
-        from buzzdetect_tpu.gui.viewmodel import field_types
-        types = field_types()
         for name, w in self.entries.items():
-            raw = w.get()
-            if raw == '' and name in ('dir_out', 'precision', 'n_streamers',
-                                      'stream_buffer_depth'):
-                self.model.values[name] = None
-                continue
-            # coerce by the analyze() parameter ANNOTATION (framehop_prop and
-            # chunklength default to int literals but are float parameters)
-            want = types.get(name)
-            try:
-                if want is bool:
-                    self.model.values[name] = bool(raw)
-                elif want is float:
-                    self.model.values[name] = float(raw)
-                elif want is int:
-                    self.model.values[name] = int(float(raw))
-                else:
-                    self.model.values[name] = raw
-            except (TypeError, ValueError):
-                self.model.values[name] = raw  # validator reports it
+            self.model.values[name] = coerce_field(name, w.get())
 
     def launch(self):
         self._pull_values()

@@ -56,6 +56,34 @@ def field_types():
     return types
 
 
+# optional fields whose empty form value means "unset" (None), matching the
+# analyze() defaults — validators must see None, not ''
+OPTIONAL_EMPTY_FIELDS = ('dir_out', 'precision', 'n_streamers',
+                         'stream_buffer_depth')
+
+
+def coerce_field(name, raw):
+    """Form string -> the value analyze() (and the validators) expect.
+
+    The single coercion path for both live widget validation and the
+    pull-into-model step: '' means None for optional fields, and numerics
+    follow the analyze() annotation. Uncoercible input is returned raw so
+    the validator reports it."""
+    if raw == '' and name in OPTIONAL_EMPTY_FIELDS:
+        return None
+    want = field_types().get(name)
+    try:
+        if want is bool:
+            return bool(raw)
+        if want is float:
+            return float(raw)
+        if want is int:
+            return int(float(raw))
+    except (TypeError, ValueError):
+        pass
+    return raw
+
+
 class SettingsModel:
     """State + validation + persistence for the settings form."""
 

@@ -12,6 +12,7 @@ import numpy as np
 
 from buzzdetect_tpu.audio import build_track, get_duration
 from buzzdetect_tpu.ops.frontend import FrontendConfig, min_waveform_samples
+from buzzdetect_tpu.train.data import translate_labels
 
 
 def clip_spans(events, duration: float, clip_seconds: float,
@@ -62,10 +63,16 @@ def clip_spans(events, duration: float, clip_seconds: float,
 
 
 def extract_clips(path_audio: str, spans, clip_seconds: float,
-                  samplerate: int = 16000):
-    """Decode the planned clips -> (n_clips, clip_samples) float32."""
+                  samplerate: int = 16000, track=None):
+    """Decode the planned clips -> (n_clips, clip_samples) float32.
+
+    ``track``: reuse an already-open driver for the file (the caller keeps
+    ownership/closing); otherwise one is opened and closed here.
+    """
     n_samples = int(clip_seconds * samplerate)
-    track = build_track(path_audio, target_rate=samplerate)
+    own_track = track is None
+    if own_track:
+        track = build_track(path_audio, target_rate=samplerate)
     try:
         out = np.zeros((len(spans), n_samples), np.float32)
         # decode in start order (output rows keep the spans order): backward
@@ -77,7 +84,8 @@ def extract_clips(path_audio: str, spans, clip_seconds: float,
             out[i, :len(got)] = got
         return out
     finally:
-        track.close()
+        if own_track:
+            track.close()
 
 
 def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
@@ -97,26 +105,23 @@ def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
     if clip_seconds is None:
         clip_seconds = min_waveform_samples(cfg) / cfg.sample_rate
 
-    index = {c: i for i, c in enumerate(classes)}
     all_clips, all_labels = [], []
     for path in search_dir(dir_audio, list(driver_map.keys())):
         ident = build_ident(path, dir_audio)
         events = events_by_ident.get(ident, [])
         track = build_track(path, target_rate=cfg.sample_rate)
-        duration = get_duration(track)
-        track.close()
-
-        spans = clip_spans(events, duration, clip_seconds,
-                           negatives_per_positive, seed=seed)
-        if not spans:
-            continue
-        clips = extract_clips(path, spans, clip_seconds, cfg.sample_rate)
-        labels = np.zeros((len(spans), len(classes)), np.float32)
-        for i, (_start, span_labels) in enumerate(spans):
-            for raw in span_labels:
-                cls = translation.get(raw, raw) if translation else raw
-                if cls is not None and cls in index:
-                    labels[i, index[cls]] = 1.0
+        try:
+            duration = get_duration(track)
+            spans = clip_spans(events, duration, clip_seconds,
+                               negatives_per_positive, seed=seed)
+            if not spans:
+                continue
+            clips = extract_clips(path, spans, clip_seconds,
+                                  cfg.sample_rate, track=track)
+        finally:
+            track.close()
+        labels = translate_labels([s for _start, s in spans],
+                                  translation or {}, classes)
         all_clips.append(clips)
         all_labels.append(labels)
         log(f'clips from {ident}: {len(spans)} '
@@ -148,6 +153,10 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
 
     rng = np.random.default_rng(seed)
     n = len(clips)
+    if n == 0:
+        raise ValueError('no clips to train on (build_clip_dataset returned '
+                         'an empty dataset — do the annotations reference '
+                         'files in dir_audio?)')
     batch_size = min(batch_size, n)
     losses = []
     for epoch in range(epochs):

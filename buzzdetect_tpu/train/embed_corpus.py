@@ -70,8 +70,12 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
             continue
         os.makedirs(os.path.dirname(path_out) or '.', exist_ok=True)
         starts, embeddings = embed_file(classifier, path, chunklength)
-        np.savez_compressed(path_out, starts=starts.astype(np.float32),
+        # write-then-rename: the skip-if-exists resume above must never
+        # adopt a truncated npz left by a mid-write crash
+        path_tmp = path_out + '.tmp.npz'  # savez appends .npz otherwise
+        np.savez_compressed(path_tmp, starts=starts.astype(np.float32),
                             embeddings=embeddings)
+        os.replace(path_tmp, path_out)
         written.append(path_out)
         log(f'embedded {ident}: {len(embeddings)} frames')
     return written

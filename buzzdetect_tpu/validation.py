@@ -91,6 +91,12 @@ def validate_modelname(modelname):
 def validate_classes_out(classes_out):
     if classes_out == 'all':
         return OK
+    if isinstance(classes_out, str):
+        # the GUI form holds a comma/space-separated string; the launcher
+        # splits it into the list analyze() takes (viewmodel.analyze_kwargs)
+        if classes_out.replace(',', ' ').split():
+            return OK
+        return ArgValid(False, "'all' or one or more class names")
     if not isinstance(classes_out, list):
         return ArgValid(False, 'must be a list')
     if not all(isinstance(c, str) for c in classes_out):

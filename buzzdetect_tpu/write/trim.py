@@ -35,9 +35,10 @@ def trim_results(path_csv: str, classes_keep=('ins_buzz',), decimals: int = 1):
         if classes_keep != 'all' and cls not in classes_keep:
             continue
         vals = np.array([float(r[j]) for r in rows], np.float64)
-        # quantize to a small-int grid: int16 of round(v * 10^decimals)
+        # quantize to a small-int grid: int16 of round(v * 10^decimals);
+        # header-only CSVs quantize to an empty int16 column
         q = np.round(vals * (10 ** decimals))
-        if np.abs(q).max() < 32767:
+        if q.size == 0 or np.abs(q).max() < 32767:
             cols[name] = q.astype(np.int16)
         else:
             cols[name] = q.astype(np.int32)

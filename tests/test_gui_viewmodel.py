@@ -109,3 +109,73 @@ def test_analyze_kwargs_never_collide_with_launcher(tmp_path):
     # the exact child-process call must bind without collision
     sig = inspect.signature(analyze)
     sig.bind(q_gui=object(), event_stopanalysis=object(), **kwargs)
+
+
+def test_coerce_field_empty_optionals_and_numerics():
+    """The single form-string coercion path: '' means None for optional
+    fields (so validators pass on defaults), numerics follow annotations,
+    and junk passes through raw for the validator to report."""
+    from buzzdetect_tpu.gui.viewmodel import coerce_field
+    assert coerce_field('precision', '') is None
+    assert coerce_field('n_streamers', '') is None
+    assert coerce_field('stream_buffer_depth', '') is None
+    assert coerce_field('dir_out', '') is None
+    assert coerce_field('precision', '0.95') == 0.95
+    assert coerce_field('analyzers_cpu', '2') == 2
+    assert coerce_field('framehop_prop', '0.5') == 0.5
+    assert coerce_field('chunklength', 'abc') == 'abc'   # validator reports
+    assert coerce_field('modelname', 'm') == 'm'
+
+
+def test_default_form_values_validate():
+    """Regression: a fresh form (empty optional fields) must validate —
+    previously '' hit float('') in the widget validators and the Analyze
+    button silently did nothing."""
+    from buzzdetect_tpu.gui.viewmodel import coerce_field
+    from buzzdetect_tpu.validation import validate_map
+    d = analysis_defaults()
+    for name in ('precision', 'n_streamers', 'stream_buffer_depth',
+                 'dir_out'):
+        raw = '' if d.get(name) is None else str(d[name])
+        assert validate_map[name](coerce_field(name, raw)).valid, name
+
+
+def test_classes_out_accepts_form_strings():
+    """Regression: the GUI holds classes_out as a string; filtering classes
+    used to be impossible because only 'all' or a list validated."""
+    from buzzdetect_tpu.validation import validate_map
+    v = validate_map['classes_out']
+    assert v('all').valid
+    assert v('ins_buzz').valid
+    assert v('ins_buzz, human').valid
+    assert not v('').valid
+    assert not v('   ').valid
+    assert v(['ins_buzz']).valid
+    assert not v(3).valid
+    # and the launcher converts the string to the list analyze() expects
+    m = SettingsModel(path_cache='/dev/null')
+    m.values['classes_out'] = 'ins_buzz, human'
+    assert m.analyze_kwargs()['classes_out'] == ['ins_buzz', 'human']
+
+
+@pytest.mark.skipif(not os.environ.get('DISPLAY'),
+                    reason='needs a display server')
+def test_settings_window_manifest_lock_no_recursion(tmp_path, monkeypatch):
+    """Regression: entry.set() inside _apply_lock fires the Tk write trace,
+    which used to re-enter _on_change -> _apply_lock unboundedly whenever
+    the output folder held a manifest."""
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    from buzzdetect_tpu.gui.settings import AnalysisSettings
+    dir_out = str(tmp_path / 'out')
+    write_manifest(dir_out,
+                   build_manifest('lockedmodel', 0.5, None, ['a', 'b']))
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['dir_out'] = dir_out
+    win = AnalysisSettings(model=m)   # used to raise RecursionError
+    try:
+        assert win.model.values['framehop_prop'] == 0.5
+        # typing into an unlocked field must not recurse either
+        win.entries['chunklength'].set('60')
+        assert win.model.values['chunklength'] == 60.0
+    finally:
+        win.destroy()

@@ -253,3 +253,73 @@ def test_clip_extraction_and_full_train(tmp_path):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
     assert raw['layer1/conv/kernel'].shape == (3, 3, 1, 32)
     assert head['head/kernel'].shape == (1024, 2)
+
+
+def test_trim_survives_header_only_csv(tmp_path):
+    """Regression: a header-only result CSV used to crash trim (max() on a
+    zero-size array), aborting compaction for the whole directory."""
+    from buzzdetect_tpu.write.trim import (trim_directory, read_trimmed,
+                                           SUFFIX_TRIMMED)
+    d = tmp_path / 'results'
+    d.mkdir()
+    with open(d / 'empty_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz\n')
+    with open(d / 'real_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz\n0.0,-1.25\n0.96,-2.5\n')
+
+    n_files, _before, _after = trim_directory(str(d), decimals=2)
+    assert n_files == 2
+    starts, cols = read_trimmed(str(d / ('empty' + SUFFIX_TRIMMED)))
+    assert len(starts) == 0
+    assert len(cols['activation_ins_buzz']) == 0
+    starts, cols = read_trimmed(str(d / ('real' + SUFFIX_TRIMMED)))
+    np.testing.assert_allclose(cols['activation_ins_buzz'], [-1.25, -2.5])
+
+
+def test_train_full_model_rejects_empty_dataset():
+    """Regression: zero clips used to reach range(..., 0) deep in the epoch
+    loop; the public API must fail with a clear message instead."""
+    from buzzdetect_tpu.train.clips import train_full_model
+    clips = np.zeros((0, 15600), np.float32)
+    labels = np.zeros((0, 3), np.float32)
+    with pytest.raises(ValueError, match='no clips'):
+        train_full_model(clips, labels, epochs=1)
+
+
+def test_embed_directory_resume_is_crash_safe(tmp_path, monkeypatch):
+    """embed_directory writes via temp+rename so its skip-if-exists resume
+    never adopts a truncated npz from a killed run."""
+    import buzzdetect_tpu.train.embed_corpus as ec
+
+    calls = {}
+    real_replace = os.replace
+
+    def spy_replace(src, dst):
+        calls['src'] = src
+        calls['dst'] = dst
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ec.os, 'replace', spy_replace)
+    monkeypatch.setattr(ec, 'embed_file',
+                        lambda clf, path, chunklength: (
+                            np.array([0.0]), np.zeros((1, 4), np.float32)))
+
+    class FakeModel:
+        classifier = object()
+
+    monkeypatch.setattr('buzzdetect_tpu.models.registry.load_model',
+                        lambda *a, **k: FakeModel())
+
+    from tests.audio_fixtures import write_wav, make_tone
+    d_audio = tmp_path / 'audio'
+    d_audio.mkdir()
+    write_wav(str(d_audio / 'a.wav'), make_tone(1.0, 16000), 16000)
+
+    written = ec.embed_directory(str(d_audio), str(tmp_path / 'emb'))
+    assert len(written) == 1
+    assert calls['src'].endswith('.tmp.npz')  # temp-then-rename happened
+    assert calls['dst'] == written[0]
+    assert os.path.exists(written[0])
+    assert not os.path.exists(calls['src'])
+    # second run resumes: nothing re-embedded
+    assert ec.embed_directory(str(d_audio), str(tmp_path / 'emb')) == []

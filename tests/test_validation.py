@@ -33,7 +33,10 @@ def test_chunklength():
 def test_classes_out():
     assert validate_classes_out('all').valid
     assert validate_classes_out(['a', 'b']).valid
-    assert not validate_classes_out('a').valid
+    # strings are the GUI form representation (split by the launcher)
+    assert validate_classes_out('a').valid
+    assert validate_classes_out('a, b').valid
+    assert not validate_classes_out('').valid
     assert not validate_classes_out([1]).valid
 
 
