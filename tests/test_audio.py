@@ -382,3 +382,21 @@ def test_seek_after_recovery_ignores_stale_position(tmp_path):
     assert np.array_equal(got, expect)
     assert not np.array_equal(got, linear[:4096])  # not sample-0 audio
     t.close()
+
+
+def test_mulaw_codebook_self_consistent():
+    """Exhaustive over all 255 codes: the device expansion is the exact
+    inverse of the host encoder (encode(expand(q)) == q), so wire round
+    trips are stable — re-encoding decoded audio cannot drift."""
+    from buzzdetect_tpu.audio.ffi import mulaw_s8
+    from buzzdetect_tpu.utils import _LN256
+    q = np.arange(-127, 128, dtype=np.int8)
+    y = q.astype(np.float32) / 127.0
+    x = np.sign(y) * np.expm1(np.abs(y) * _LN256) / 255.0  # device law
+    assert np.abs(x).max() <= 1.0 + 1e-6
+    assert np.array_equal(mulaw_s8(x.astype(np.float32)), q)
+    # the jit graph applies the same law
+    import jax.numpy as jnp
+    from buzzdetect_tpu.models.classifier import _to_float
+    dev = np.asarray(_to_float(jnp.asarray(q)))
+    np.testing.assert_allclose(dev, x, atol=1e-6)
