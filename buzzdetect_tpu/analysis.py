@@ -248,30 +248,34 @@ class Analyzer:
                 AssignLog(message='', level_str='INFO', terminate=True))
             self.thread_logger.join()
 
-        if not self._check_manifest() or not self.queue_assignments():
-            shutdown_logger()
-            return
-
-        for _ in range(self.coordinator.streamers_total):
-            self.coordinator.q_stream.put('exit')
-
-        self._launch_writer()
-        self._launch_streamers()
-        self._launch_analyzers()
-
         try:
+            if not self._check_manifest() or not self.queue_assignments():
+                shutdown_logger()
+                return
+
+            for _ in range(self.coordinator.streamers_total):
+                self.coordinator.q_stream.put('exit')
+
+            self._launch_writer()
+            self._launch_streamers()
+            self._launch_analyzers()
+
             self.coordinator.wait_for_exit(
                 threads_streamers=self.threads_streamers,
                 threads_analyzers=self.threads_analyzers,
                 thread_writer=self.thread_writer)
         except KeyboardInterrupt:
             # Ctrl-C: orderly stop — finished chunks are already checkpointed
-            # and the run is resumable. A second Ctrl-C hard-exits.
+            # and the run is resumable. A second Ctrl-C hard-exits. The
+            # interrupt may land before the writer (or any worker) was
+            # launched — e.g. during a slow queue_assignments over a huge
+            # tree — so guard every join on the thread existing.
             self.coordinator.exit_analysis(ExitSignal(
                 message='keyboard interrupt — stopping; finished chunks are '
                         'saved, rerun to resume', level='WARNING',
                 end_reason='interrupted'))
-            self.thread_writer.join(timeout=30)
+            if self.thread_writer is not None:
+                self.thread_writer.join(timeout=30)
 
         self.timer_total.stop()
         if self.coordinator.end_reason == 'completed':

@@ -43,6 +43,7 @@ class AssignChunk:
     samples: object = None         # np.ndarray float32 @ model rate
     results: object = None         # device array or np.ndarray (n_frames, n_classes)
     n_valid: int = None            # valid result rows (rest is shape padding)
+    delivered: bool = False        # True once handed to the writer (put_write)
 
 
 @dataclass

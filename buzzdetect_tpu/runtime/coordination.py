@@ -181,6 +181,12 @@ class Coordinator:
                                      level_str=exit_signal.level))
             self.end_reason = exit_signal.end_reason
             self.event_exitanalysis.set()
+            # Release the early-exit watcher regardless of which channel
+            # triggered the exit, so no daemon thread stays blocked on
+            # q_earlyexit.get() after analyze() returns. If the exit
+            # originated from q_earlyexit itself the sentinel is a harmless
+            # leftover in an already-abandoned queue.
+            self.q_earlyexit.put(EXIT)
 
     def wait_for_exit(self, threads_streamers, threads_analyzers,
                       thread_writer):
@@ -235,7 +241,10 @@ class Coordinator:
             if self.end_reason != 'completed':
                 poison_all()
 
-        threading.Thread(target=watch_workers, daemon=True).start()
-        threading.Thread(target=watch_earlyexit, daemon=True).start()
-        threading.Thread(target=watch_event, daemon=True).start()
+        threading.Thread(target=watch_workers, daemon=True,
+                         name='watch_workers').start()
+        threading.Thread(target=watch_earlyexit, daemon=True,
+                         name='watch_earlyexit').start()
+        threading.Thread(target=watch_event, daemon=True,
+                         name='watch_event').start()
         self.event_exitanalysis.wait()

@@ -85,6 +85,7 @@ class WorkerInferer:
             a_chunk.results = self.model.predict(a_chunk.samples)
         a_chunk.samples = None  # release decode buffer early
         self.coordinator.put_write(a_chunk)
+        a_chunk.delivered = True
         self.report_rate(a_chunk)
 
     def _drain_batch(self, first):
@@ -119,6 +120,7 @@ class WorkerInferer:
             a_chunk.n_valid = n_valids[i]
             a_chunk.samples = None
             self.coordinator.put_write(a_chunk)
+            a_chunk.delivered = True
             self.report_rate(a_chunk)
 
     def run(self):
@@ -159,17 +161,22 @@ class WorkerInferer:
                 else:
                     self.process_chunk(a_chunk)
             except Exception as e:
-                unfinished = [c for c in batch + leftover
-                              if c.results is None]
-                names = ', '.join(f'{c.file.shortpath_audio}{c.chunk}'
-                                  for c in unfinished) or '<none>'
-                self.log(f'error during analysis ({e}); chunks without '
-                         f'results: {names}', 'ERROR')
                 # keep the tracker consistent: EVERY chunk of the batch must
-                # reach the writer so completion detection still fires
-                for c in unfinished:
+                # reach the writer so completion detection still fires.
+                # Filter on `delivered` (set only after put_write), NOT on
+                # `results is None` — an exception landing between the
+                # results assignment and put_write (e.g. in report_rate)
+                # would otherwise strand a results-bearing chunk and leave
+                # its file an unfinalized partial forever.
+                undelivered = [c for c in batch + leftover if not c.delivered]
+                names = ', '.join(f'{c.file.shortpath_audio}{c.chunk}'
+                                  for c in undelivered) or '<none>'
+                self.log(f'error during analysis ({e}); chunks not yet '
+                         f'delivered to writer: {names}', 'ERROR')
+                for c in undelivered:
                     c.samples = None
                     self.coordinator.put_write(c)
+                    c.delivered = True
             if exit_seen:
                 break
             self.timer_bottleneck.restart()

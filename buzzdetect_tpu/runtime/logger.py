@@ -1,72 +1,78 @@
-"""Dedicated logger worker draining q_log.
+"""Log-drain worker: pulls ``AssignLog`` records off the coordinator's
+``q_log`` and fans each one out to the run-log file, the console stream,
+and (when present) the GUI queue, each behind its own admission rule.
 
-Parity: reference `src/pipeline/logger.py:11-67` — millisecond timestamps,
-independent console vs file verbosity, optional PROGRESS suppression in the
-file handler (per-chunk rate logs can reach megabytes), GUI fan-out of
-records at/above console verbosity.
+Behavioral contract shared with the reference's logger worker
+(`src/pipeline/logger.py:11-67`): millisecond-resolution timestamps in the
+``YYYY-MM-DD HH:MM:SS.mmm [LEVEL] message`` shape, independent console and
+file verbosity thresholds, PROGRESS records kept out of the log file by
+default (per-chunk rate reports would bloat it to megabytes), and GUI
+fan-out of every record at or above console verbosity. The implementation
+here is deliberately its own: a single drain loop dispatching to plain
+file/stream sinks, with lazy one-shot line rendering, instead of the stdlib
+``logging`` handler/filter/formatter stack.
 """
 
-import logging
-import time
+import sys
+from datetime import datetime
 
-from buzzdetect_tpu.loglevels import loglevels
+from buzzdetect_tpu.loglevels import PROGRESS, loglevels
 from buzzdetect_tpu.runtime.assignments import AssignLog
 
-logging.addLevelName(loglevels['PROGRESS'], 'PROGRESS')
+# Reverse lookup for rendering: numeric level -> canonical name.
+_LEVEL_NAME = {num: name for name, num in loglevels.items()}
 
 
-class PeriodFormatter(logging.Formatter):
-    def formatTime(self, record, datefmt=None):
-        ct = self.converter(record.created)
-        t = time.strftime('%Y-%m-%d %H:%M:%S', ct)
-        return f'{t}.{int(record.msecs):03d}'
-
-
-class FilterDropProgress(logging.Filter):
-    def filter(self, record):
-        return record.levelno != loglevels['PROGRESS']
+def render_line(record: AssignLog, when: datetime | None = None) -> str:
+    """Format one record as a log line with millisecond timestamps."""
+    when = when or datetime.now()
+    stamp = f"{when:%Y-%m-%d %H:%M:%S}.{when.microsecond // 1000:03d}"
+    level = _LEVEL_NAME.get(record.level_int, str(record.level_int))
+    return f"{stamp} [{level}] {record.message}"
 
 
 class WorkerLogger:
+    """Drains ``coordinator.q_log`` until a ``terminate`` record arrives.
+
+    The file sink admits records at/above ``verbosity_log`` but drops
+    PROGRESS unless ``log_progress`` is set; the console sink admits
+    records at/above ``verbosity_print`` and mirrors everything it prints
+    to the GUI queue when one is attached.
+    """
+
     def __init__(self, path_log, coordinator, verbosity_print='PROGRESS',
                  verbosity_log='DEBUG', log_progress=False):
         self.coordinator = coordinator
-        self.verbosity_print_int = loglevels[verbosity_print]
-
-        self.log = logging.getLogger('buzzdetect_tpu')
-        self.log.setLevel('DEBUG')
-        self.log.handlers.clear()
-        self.log.propagate = False
-
-        fmt = PeriodFormatter('%(asctime)s [%(levelname)s] %(message)s')
-
-        self.handle_file = logging.FileHandler(path_log)
-        self.handle_file.setLevel(loglevels[verbosity_log])
-        if not log_progress:
-            self.handle_file.addFilter(FilterDropProgress())
-        self.handle_file.setFormatter(fmt)
-        self.log.addHandler(self.handle_file)
-
-        self.handle_console = logging.StreamHandler()
-        self.handle_console.setLevel(self.verbosity_print_int)
-        self.handle_console.setFormatter(fmt)
-        self.log.addHandler(self.handle_console)
+        self._min_console = loglevels[verbosity_print]
+        self._min_file = loglevels[verbosity_log]
+        self._file_takes_progress = log_progress
+        self._logfile = open(path_log, 'a', encoding='utf-8')
 
     def __call__(self):
         self.run()
 
-    def write_log(self, a_log: AssignLog):
-        self.log.log(msg=a_log.message, level=a_log.level_int)
-        if (self.coordinator.q_gui is not None
-                and a_log.level_int >= self.verbosity_print_int):
-            self.coordinator.q_gui.put(a_log)
+    def _file_admits(self, record: AssignLog) -> bool:
+        if record.level_int < self._min_file:
+            return False
+        return self._file_takes_progress or record.level_int != PROGRESS
+
+    def _emit(self, record: AssignLog):
+        line = None  # rendered at most once, shared by every sink
+        if self._file_admits(record):
+            line = render_line(record)
+            self._logfile.write(line + '\n')
+        if record.level_int >= self._min_console:
+            line = line if line is not None else render_line(record)
+            print(line, file=sys.stderr, flush=True)
+            if self.coordinator.q_gui is not None:
+                self.coordinator.q_gui.put(record)
 
     def run(self):
-        a_log = self.coordinator.q_log.get()
-        while not a_log.terminate:
-            self.write_log(a_log)
-            a_log = self.coordinator.q_log.get()
-        self.write_log(AssignLog(message='logger closing', level_str='DEBUG'))
-        self.handle_file.close()
-        self.log.removeHandler(self.handle_file)
-        self.log.removeHandler(self.handle_console)
+        while True:
+            record = self.coordinator.q_log.get()
+            if record.terminate:
+                break
+            self._emit(record)
+        self._emit(AssignLog(message='log drain stopped', level_str='DEBUG'))
+        self._logfile.flush()
+        self._logfile.close()

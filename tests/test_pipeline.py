@@ -620,3 +620,22 @@ def test_transfer_dtype_validation():
     assert validate_map['transfer_dtype']('mulaw').valid
     assert validate_map['transfer_dtype'](None).valid
     assert not validate_map['transfer_dtype']('int8').valid
+
+
+def test_keyboard_interrupt_before_writer_launch(patched_models, tmp_path,
+                                                 monkeypatch):
+    """A Ctrl-C landing before the writer thread exists (e.g. during a slow
+    queue_assignments over a huge tree) must produce an orderly interrupted
+    stop, not an AttributeError on thread_writer=None in the handler."""
+    from buzzdetect_tpu.analysis import Analyzer
+
+    a = Analyzer(modelname='testmodel', dir_audio=patched_models['audio'],
+                 dir_out=str(tmp_path / 'out'), verbosity_print='ERROR')
+
+    def boom():
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(a, 'queue_assignments', boom)
+    a.run()  # must not raise
+    assert a.coordinator.end_reason == 'interrupted'
+    assert a.thread_writer is None

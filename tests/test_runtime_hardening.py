@@ -1,0 +1,131 @@
+"""Regression tests for runtime hardening (round-2 VERDICT items):
+
+- the early-exit watcher thread must terminate after a completed run
+  (no daemon-thread accumulation for library callers looping analyze()),
+- the inferer batch error path must deliver EVERY not-yet-written chunk to
+  the writer, including chunks whose results were already assigned when the
+  exception landed (the `delivered` flag, not `results is None`).
+"""
+
+import queue
+import threading
+import time
+
+import numpy as np
+
+from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignFile
+from buzzdetect_tpu.runtime.coordination import Coordinator
+from buzzdetect_tpu.runtime.inferer import WorkerInferer
+
+WATCHER_NAMES = ('watch_workers', 'watch_earlyexit', 'watch_event')
+
+
+def _alive_watchers():
+    return [t.name for t in threading.enumerate() if t.name in WATCHER_NAMES]
+
+
+def test_watcher_threads_exit_after_completion():
+    """All three wait_for_exit watchers must terminate on normal completion —
+    in particular watch_earlyexit, which used to block forever on
+    q_earlyexit.get() (leaked one daemon thread per analyze() call)."""
+    coord = Coordinator(streamers_total=1)
+    dummies = [threading.Thread(target=lambda: None) for _ in range(3)]
+    for t in dummies:
+        t.start()
+    coord.wait_for_exit(threads_streamers=[dummies[0]],
+                        threads_analyzers=[dummies[1]],
+                        thread_writer=dummies[2])
+    assert coord.end_reason == 'completed'
+    deadline = time.time() + 10
+    while time.time() < deadline and _alive_watchers():
+        time.sleep(0.05)
+    assert _alive_watchers() == []
+
+
+def test_watcher_threads_exit_after_early_stop():
+    """Same guarantee when the run is stopped via the event channel."""
+    coord = Coordinator(streamers_total=1)
+    release = threading.Event()
+    workers = [threading.Thread(target=release.wait) for _ in range(3)]
+    for t in workers:
+        t.start()
+    done = threading.Event()
+
+    def waiter():
+        coord.wait_for_exit(threads_streamers=[workers[0]],
+                            threads_analyzers=[workers[1]],
+                            thread_writer=workers[2])
+        done.set()
+
+    threading.Thread(target=waiter, daemon=True).start()
+    coord.event_exitanalysis.set()  # external stop (GUI stop button path)
+    assert done.wait(timeout=10)
+    release.set()
+    # drain the poison sentinels so queue state can't wedge the watchers
+    deadline = time.time() + 10
+    while time.time() < deadline and _alive_watchers():
+        time.sleep(0.05)
+    assert _alive_watchers() == []
+    assert coord.end_reason == 'interrupted'
+
+
+class FakeEmbedder:
+    digits_time = 1
+
+
+class FakeModel:
+    embedder = FakeEmbedder()
+
+    def initialize(self):
+        pass
+
+    def predict_async(self, samples):
+        return np.zeros((1, 2), np.float32), 1
+
+    def predict_async_batch(self, samples_list):
+        n = len(samples_list)
+        return [np.zeros((1, 2), np.float32)] * n, [1] * n
+
+
+class FakeCoordinator:
+    def __init__(self, chunks, fail_first_put=0):
+        self.q_log = queue.Queue()
+        self.q_analyze = queue.Queue()
+        for c in chunks:
+            self.q_analyze.put(c)
+        self.q_analyze.put('exit')
+        self.event_exitanalysis = threading.Event()
+        self.written = []
+        self._fail_remaining = fail_first_put
+
+    def get_analyze(self):
+        return self.q_analyze.get()
+
+    def put_write(self, a_chunk):
+        if self._fail_remaining > 0:
+            self._fail_remaining -= 1
+            raise RuntimeError('injected put_write failure')
+        self.written.append(a_chunk)
+
+
+def _chunk(ident, span):
+    f = AssignFile(path_audio=f'/tmp/{ident}.wav', dir_audio='/tmp',
+                   dir_results='/tmp/out')
+    return AssignChunk(file=f, chunk=span,
+                       samples=np.zeros(16, np.float32))
+
+
+def test_inferer_batch_error_delivers_results_bearing_chunks():
+    """An exception landing AFTER a chunk's results were assigned but BEFORE
+    its put_write must still deliver that chunk to the writer exactly once
+    (the old `results is None` filter stranded it forever)."""
+    chunks = [_chunk('a', (0.0, 1.0)), _chunk('b', (0.0, 1.0))]
+    coord = FakeCoordinator(chunks, fail_first_put=1)
+    w = WorkerInferer(id_analyzer=0, model=FakeModel(), coordinator=coord,
+                      batch_chunks=2)
+    w.run()
+    # both chunks reach the writer despite the injected failure; the first
+    # (results already assigned when put_write blew up) keeps its results
+    assert len(coord.written) == 2
+    assert {id(c) for c in coord.written} == {id(c) for c in chunks}
+    assert all(c.delivered for c in chunks)
