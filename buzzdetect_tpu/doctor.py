@@ -75,8 +75,40 @@ def main(modelname: str = None):
         return f'precision 0.95 -> threshold {thr:.3f}'
     ok &= _check('threshold calibration (metrics table)', check_threshold)
 
-    print('all checks passed' if ok else 'SOME CHECKS FAILED')
+    warned = weights_warning(modelname)
+
+    if not ok:
+        print('SOME CHECKS FAILED')
+    elif warned:
+        print('all checks passed — WITH WARNINGS (see above)')
+    else:
+        print('all checks passed')
     return 0 if ok else 1
+
+
+def weights_warning(modelname) -> bool:
+    """WARN when the bundle's provenance says the embedder is untrained.
+
+    A seeded-init embedder makes every downstream number (activations,
+    detections, calibrated thresholds) semantically meaningless even though
+    the pipeline is numerically healthy — a green doctor without this
+    warning would be a false 'ready for the field' light."""
+    try:
+        from buzzdetect_tpu.models.registry import load_model
+        model = load_model(modelname, initialize=False)
+        provenance = model.config.get('provenance', '')
+    except Exception:
+        return False
+    if 'seeded init' not in provenance:
+        return False
+    print(f'  [WARN] UNTRAINED WEIGHTS — bundle provenance says: '
+          f'"{provenance}".\n'
+          f'         Scores and detections from this bundle are NOT '
+          f'meaningful; install pretrained\n'
+          f'         weights (tools/fetch_yamnet_weights.py) before field '
+          f'use. The packed metrics\n'
+          f'         table describes the reference model, not this bundle.')
+    return True
 
 
 if __name__ == '__main__':

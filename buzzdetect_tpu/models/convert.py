@@ -48,33 +48,57 @@ def head_from_savedmodel_checkpoint(prefix: str):
 # --- embedder: Keras-2 yamnet.h5 ---------------------------------------------
 
 def _h5_find(group, names):
-    """Depth-first search an h5 group for the first dataset whose name ends
-    with any of ``names`` (Keras nests weights unpredictably across versions)."""
+    """Depth-first search an h5 group for the first dataset whose BASENAME
+    equals any of ``names``. Exact-basename matching matters: Keras nests
+    weight datasets under doubled layer-name paths (the dataset name repeats
+    the layer path), and an endswith match would confuse ``kernel:0`` with
+    ``depthwise_kernel:0``."""
     import h5py
     hits = {}
 
     def visit(path, obj):
         if isinstance(obj, h5py.Dataset):
-            for n in names:
-                if path.endswith(n) and n not in hits:
-                    hits[n] = np.asarray(obj)
+            base = path.rsplit('/', 1)[-1]
+            if base in names and base not in hits:
+                hits[base] = np.asarray(obj)
     group.visititems(visit)
     return hits
+
+
+def _first_present(root, candidates):
+    for name in candidates:
+        if name in root:
+            return root[name]
+    return None
 
 
 def yamnet_from_keras_h5(path: str):
     """Read the public yamnet.h5 into this framework's raw parameter layout.
 
+    Handles the layouts the blob has shipped in:
+    * Keras-2 ``save_weights`` (the published file): top-level layer groups
+      named with slashes (``layer1/conv``) so h5py nests them, the weight
+      dataset repeating the path (``layer1/conv/layer1/conv/kernel:0``), and
+      each BatchNorm a sibling layer whose slash name (``layer1/conv/bn``)
+      physically nests it INSIDE the conv group;
+    * full ``model.save`` h5 (same structure under a ``model_weights`` root);
+    * underscore-renamed layer names (``layer1_conv`` / ``layer1_conv_bn``),
+      the Keras-3-compatible rename used by the reference's modified model
+      definition (`embedders/yamnet/yamnet.py:39-72`).
+
     Depthwise kernels convert from Keras HWCM (3,3,C,1) to lax HWIO (3,3,1,C).
+    YAMNet's BatchNorm is center-only (no gamma), so only beta/mean/var load.
     """
     import h5py
     params = {}
     with h5py.File(path, 'r') as f:
         root = f['model_weights'] if 'model_weights' in f else f
         for key, kind, _stride, shape in yamnet_lib._conv_shapes():
-            layer = key.split('/')[0]          # layerN
-            conv = key.split('/')[1]           # conv|depthwise_conv|pointwise_conv
-            conv_group = root[f'{layer}/{conv}'] if f'{layer}/{conv}' in root else root[layer]
+            layer, conv = key.split('/')   # layerN, conv|depthwise_conv|pointwise_conv
+            conv_group = _first_present(
+                root, (f'{layer}/{conv}', f'{layer}_{conv}'))
+            if conv_group is None:
+                raise KeyError(f'no group for {layer}/{conv} in {path}')
             want_kernel = ('depthwise_kernel:0' if kind == 'depthwise'
                            else 'kernel:0')
             hits = _h5_find(conv_group, [want_kernel])
@@ -84,11 +108,18 @@ def yamnet_from_keras_h5(path: str):
             assert kernel.shape == shape, (key, kernel.shape, shape)
             params[f'{key}/kernel'] = kernel.astype(np.float32)
 
-            bn_name = f'{layer}/{conv}_bn'
-            bn_group = root[bn_name] if bn_name in root else root[layer]
+            bn_group = _first_present(
+                root, (f'{layer}/{conv}/bn',      # keras-2 slash naming
+                       f'{layer}/{conv}_bn',
+                       f'{layer}_{conv}_bn'))     # keras-3 rename
+            if bn_group is None:
+                # keras-2 nests the bn group inside the conv group; searching
+                # the conv group (never the whole layer — a separable layer
+                # holds TWO BatchNorms) keeps the match unambiguous
+                bn_group = conv_group
             bn = _h5_find(bn_group,
                           ['beta:0', 'moving_mean:0', 'moving_variance:0'])
-            ch = shape[3] if kind != 'depthwise' else shape[3]
+            ch = shape[3]
             params[f'{key}/bn_beta'] = bn['beta:0'].astype(np.float32).reshape(ch)
             params[f'{key}/bn_mean'] = bn['moving_mean:0'].astype(np.float32).reshape(ch)
             params[f'{key}/bn_var'] = bn['moving_variance:0'].astype(np.float32).reshape(ch)

@@ -423,6 +423,10 @@ def test_doctor_all_checks_pass(patched_models, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert ret == 0, out
     assert 'all checks passed' in out
+    # the fixture bundle is seeded-init: doctor must flag it loudly rather
+    # than print a clean green light (false field-readiness signal)
+    assert 'UNTRAINED WEIGHTS' in out
+    assert 'WITH WARNINGS' in out
 
 
 def test_resume_reference_written_partial(patched_models, tmp_path):
