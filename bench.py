@@ -24,7 +24,7 @@ BASELINE_REALTIME = 100.0  # north star: >=100x realtime per v5e chip
 
 
 def bench_device(chunklength: float, n_chunks: int, framehop: float,
-                 bf16: bool):
+                 bf16: bool, frontend: str = None):
     import numpy as np
     import jax
     from buzzdetect_tpu.models.registry import load_model
@@ -35,7 +35,8 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
         compute_dtype = jnp.bfloat16
 
     model = load_model('model_general_v3', framehop_prop=framehop,
-                       initialize=True, compute_dtype=compute_dtype)
+                       initialize=True, compute_dtype=compute_dtype,
+                       frontend=frontend)
     fl = model.embedder.framelength_s
     chunklength = round(chunklength / fl) * fl
     n_samples = int(chunklength * 16000)
@@ -69,7 +70,8 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
 
 
 def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
-                   batch_chunks: int = 1):
+                   batch_chunks: int = 1, sample_rate: int = 16000,
+                   resample_on_device: bool = False):
     """Full path: WAV decode -> pipeline -> CSV (host + device).
 
     A warmup pass first runs one file through analyze() so backend
@@ -82,34 +84,39 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
     from tests.audio_fixtures import write_wav  # noqa: deliberate reuse
 
     rng = np.random.default_rng(0)
+    kw = dict(chunklength=chunklength, verbosity_print='ERROR',
+              batch_chunks=batch_chunks,
+              resample_on_device=resample_on_device)
     with tempfile.TemporaryDirectory() as td:
         warm_audio = os.path.join(td, 'warm')
         os.makedirs(warm_audio)
-        n = int(seconds_per_file * 16000)
+        n = int(seconds_per_file * sample_rate)
         write_wav(os.path.join(warm_audio, 'w.wav'),
-                  (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)
+                  (rng.standard_normal(n) * 0.1).astype(np.float32),
+                  sample_rate)
         analyze(modelname='model_general_v3', dir_audio=warm_audio,
-                dir_out=os.path.join(td, 'warm_out'),
-                chunklength=chunklength, verbosity_print='ERROR',
-                batch_chunks=batch_chunks)
+                dir_out=os.path.join(td, 'warm_out'), **kw)
 
         dir_audio = os.path.join(td, 'audio')
         os.makedirs(dir_audio)
         for i in range(n_files):
             write_wav(os.path.join(dir_audio, f'f{i}.wav'),
-                      (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)
+                      (rng.standard_normal(n) * 0.1).astype(np.float32),
+                      sample_rate)
         dir_out = os.path.join(td, 'out')
         t0 = time.perf_counter()
         analyze(modelname='model_general_v3', dir_audio=dir_audio,
-                dir_out=dir_out, chunklength=chunklength,
-                verbosity_print='ERROR', batch_chunks=batch_chunks)
+                dir_out=dir_out, **kw)
         wall = time.perf_counter() - t0
     return n_files * seconds_per_file / wall
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--mode', choices=['device', 'pipeline'], default='device')
+    # default 'both': the driver-recorded artifact carries the device-graph
+    # headline AND the user-visible full-pipeline (decode -> CSV) number
+    ap.add_argument('--mode', choices=['both', 'device', 'pipeline'],
+                    default='both')
     # 960 s chunks are the tuned configuration for v5e (big batches amortize
     # dispatch; see docs/tuning.md) — the pipeline's default stays 200 s
     ap.add_argument('--chunklength', type=float, default=960.0)
@@ -119,23 +126,41 @@ def main():
     ap.add_argument('--files', type=int, default=4)
     ap.add_argument('--seconds-per-file', type=float, default=300.0)
     ap.add_argument('--batch-chunks', type=int, default=1)
+    ap.add_argument('--sample-rate', type=int, default=16000,
+                    help='source WAV rate for pipeline mode')
+    ap.add_argument('--resample-on-device', action='store_true',
+                    help='pipeline mode: native-rate decode + on-device '
+                         'resample (ops/resample.py)')
+    ap.add_argument('--frontend', choices=['xla', 'pallas'], default=None,
+                    help='device mode: frontend implementation (pallas = '
+                         'the fused kernel, compiled on-TPU)')
     args = ap.parse_args()
 
-    if args.mode == 'device':
-        value = bench_device(args.chunklength, args.chunks, args.framehop,
-                             args.bf16)
-        metric = 'realtime_factor_device'
-    else:
-        value = bench_pipeline(args.chunklength, args.files,
-                               args.seconds_per_file, args.batch_chunks)
-        metric = 'realtime_factor_pipeline'
-
-    print(json.dumps({
-        'metric': metric,
-        'value': round(value, 2),
+    record = {
         'unit': 'audio-seconds per wall-second per chip',
-        'vs_baseline': round(value / BASELINE_REALTIME, 3),
-    }))
+    }
+    if args.mode in ('both', 'device'):
+        device = bench_device(args.chunklength, args.chunks, args.framehop,
+                              args.bf16, args.frontend)
+        record.update(metric='realtime_factor_device',
+                      value=round(device, 2),
+                      vs_baseline=round(device / BASELINE_REALTIME, 3))
+    if args.mode in ('both', 'pipeline'):
+        # pipeline keeps the product default chunklength (200 s)
+        chunkl = 200.0 if args.mode == 'both' else args.chunklength
+        pipeline = bench_pipeline(chunkl, args.files,
+                                  args.seconds_per_file, args.batch_chunks,
+                                  args.sample_rate, args.resample_on_device)
+        if args.mode == 'pipeline':
+            record.update(metric='realtime_factor_pipeline',
+                          value=round(pipeline, 2),
+                          vs_baseline=round(pipeline / BASELINE_REALTIME, 3))
+        else:
+            record.update(pipeline=round(pipeline, 2),
+                          pipeline_vs_baseline=round(
+                              pipeline / BASELINE_REALTIME, 3))
+
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

@@ -49,7 +49,8 @@ class Analyzer:
                  profile_dir: str = None,
                  mesh=None,
                  batch_chunks: int = 1,
-                 transfer_dtype: str = None):
+                 transfer_dtype: str = None,
+                 resample_on_device: bool = False):
         self.modelname = modelname
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
@@ -64,6 +65,13 @@ class Analyzer:
         self.model = load_model(modelname, framehop_prop=framehop_prop,
                                 initialize=False, compute_dtype=compute_dtype,
                                 mesh=mesh, **kw)
+        if resample_on_device and not getattr(
+                self.model, 'supports_device_resample', False):
+            raise ValueError(
+                f'model {modelname} cannot resample on-device '
+                f'(plugin models receive model-rate samples); drop '
+                f'resample_on_device')
+        self.resample_on_device = resample_on_device
 
         self.precision = precision
         self.chunklength = self._setup_chunklength(chunklength)
@@ -139,7 +147,8 @@ class Analyzer:
                 target=run_worker, name=f'streamer_{s}', daemon=True,
                 kwargs=dict(workerclass=WorkerStreamer, id_streamer=s,
                             model=self.model, chunklength=self.chunklength,
-                            coordinator=self.coordinator))
+                            coordinator=self.coordinator,
+                            resample_on_device=self.resample_on_device))
             self.threads_streamers.append(t)
             t.start()
 
@@ -311,7 +320,8 @@ def analyze(modelname: str,
             profile_dir: str = None,
             mesh=None,
             batch_chunks: int = 1,
-            transfer_dtype: str = None):
+            transfer_dtype: str = None,
+            resample_on_device: bool = False):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -344,6 +354,13 @@ def analyze(modelname: str,
         (8-bit mu-law companding — halves transfer bytes again at ~38 dB
         SNR, for deployments where the host->device link is the bottleneck;
         activations typically shift by well under one rounding digit).
+    resample_on_device : decode at each file's NATIVE rate and resample to
+        the model rate inside the jit graph (ops/resample.py polyphase-as-
+        conv) instead of in the host decode pass — removes the last
+        per-sample host work (the GPU era's decode ceiling, reference
+        docs/source/tuning.rst:57-62) at the cost of proportionally more
+        wire bytes for rates above 16 kHz. Each distinct native rate
+        compiles its own program; homogeneous-rate corpora pay one compile.
     """
     coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
                               analyzers_gpu=analyzers_gpu,
@@ -359,6 +376,7 @@ def analyze(modelname: str,
                         coordinator=coordinator, compute_dtype=compute_dtype,
                         profile_dir=profile_dir, mesh=mesh,
                         batch_chunks=batch_chunks,
-                        transfer_dtype=transfer_dtype)
+                        transfer_dtype=transfer_dtype,
+                        resample_on_device=resample_on_device)
     analyzer.run()
     return analyzer

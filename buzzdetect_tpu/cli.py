@@ -121,6 +121,10 @@ def build_parser():
                         help='Host->device wire format for waveforms '
                              '(default int16; mulaw halves transfer bytes '
                              'for bandwidth-limited links)')
+    parser.add_argument('--resample_on_device', action='store_true',
+                        help='Decode at native rate and resample on the '
+                             'accelerator inside the model graph (frees '
+                             'host CPU; more wire bytes for rates >16kHz)')
     parser.add_argument('--bf16', action='store_true',
                         help='Run the CNN in bfloat16 for throughput '
                              '(scores may deviate beyond 1e-3)')
@@ -163,7 +167,8 @@ def main(argv=None):
             verbosity_log=args.verbosity_log,
             log_progress=args.log_progress,
             compute_dtype=compute_dtype,
-            transfer_dtype=args.transfer_dtype)
+            transfer_dtype=args.transfer_dtype,
+            resample_on_device=args.resample_on_device)
 
 
 if __name__ == '__main__':

@@ -98,19 +98,51 @@ def _frontend_patches(waveform, cfg, frontend: str):
     return log_mel_patches(waveform, cfg)
 
 
+def _resample_in_graph(wav, cfg, resample_from, resample_to, valid_len):
+    """Rational-resample the float waveform to the model rate INSIDE the jit
+    graph (ops/resample.py: polyphase-as-one-strided-conv, MXU-friendly),
+    then fix the static output length to ``resample_to`` (the model-rate
+    padded target the shape-bucketing planned for).
+
+    ``valid_len`` (traced scalar, or (B,1) for batches — no recompile per
+    chunk length) is the chunk's true model-rate sample count: samples past
+    it are forced to exact zero, matching the host path's zero padding —
+    the anti-aliasing filter otherwise rings ~half a filter width of
+    low-level energy into the padding, which the log-mel of near-silent
+    frames amplifies."""
+    from buzzdetect_tpu.ops.resample import resample
+    wav = resample(wav, resample_from, cfg.sample_rate)
+    n = wav.shape[-1]
+    if n < resample_to:
+        pad = [(0, 0)] * (wav.ndim - 1) + [(0, resample_to - n)]
+        wav = jnp.pad(wav, pad)
+    else:
+        wav = wav[..., :resample_to]
+    return jnp.where(jnp.arange(resample_to) < valid_len, wav, 0.0)
+
+
 @partial(jax.jit,
-         static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend'))
+         static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend',
+                          'resample_from', 'resample_to'))
 def _classify_padded(params, waveform, cfg: FrontendConfig,
-                     compute_dtype=jnp.float32, mesh=None, frontend='xla'):
+                     compute_dtype=jnp.float32, mesh=None, frontend='xla',
+                     resample_from=None, resample_to=None, valid_len=None):
     """Already-padded 1-D waveform -> (n_patches, n_classes) activations.
 
-    With a mesh, the patch axis is sharded over 'data' (pure data
-    parallelism: patches are independent, so the conv stack partitions with
-    zero collectives; XLA only all-gathers the small activation rows at the
-    output). The cheap frontend stays replicated — sharding the raw waveform
-    would force halo exchanges across the overlapping STFT frames.
+    With ``resample_from``, the waveform arrives at its native rate and is
+    resampled to the model rate on-device (host ships native-rate wire bytes
+    and spends zero CPU on resampling). With a mesh, the patch axis is
+    sharded over 'data' (pure data parallelism: patches are independent, so
+    the conv stack partitions with zero collectives; XLA only all-gathers
+    the small activation rows at the output). The cheap frontend stays
+    replicated — sharding the raw waveform would force halo exchanges
+    across the overlapping STFT frames.
     """
-    patches = _frontend_patches(_to_float(waveform), cfg, frontend)
+    wav = _to_float(waveform)
+    if resample_from is not None:
+        wav = _resample_in_graph(wav, cfg, resample_from, resample_to,
+                                 valid_len)
+    patches = _frontend_patches(wav, cfg, frontend)
     if mesh is not None:
         patches = _shard_patches(patches, mesh)
     embeddings = yamnet_lib.embed(params['yamnet'], patches,
@@ -118,16 +150,23 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
     return apply_head(params['head'], embeddings)
 
 
-@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh'))
+@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh',
+                                   'resample_from', 'resample_to'))
 def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
-                           compute_dtype=jnp.float32, mesh=None):
+                           compute_dtype=jnp.float32, mesh=None,
+                           resample_from=None, resample_to=None,
+                           valid_len=None):
     """(B, L) padded waveforms -> (B, n_patches, n_classes).
 
     Batching chunks from different files into one dispatch amortizes per-call
     overhead and gives the MXU larger effective batches; with a mesh, the
     flattened (B*n_patches) axis shards over 'data'.
     """
-    patches = log_mel_patches(_to_float(waveforms), cfg)  # (B, P, 96, 64)
+    wavs = _to_float(waveforms)
+    if resample_from is not None:
+        wavs = _resample_in_graph(wavs, cfg, resample_from, resample_to,
+                                  valid_len)
+    patches = log_mel_patches(wavs, cfg)  # (B, P, 96, 64)
     b, p = patches.shape[0], patches.shape[1]
     flat = patches.reshape(b * p, *patches.shape[2:])
     if mesh is not None:
@@ -251,22 +290,32 @@ class ChunkClassifier:
         out[:len(samples)] = samples
         return out
 
+    def _plan_native(self, n_native: int, input_rate: int):
+        """Shape plan for a native-rate chunk resampled on-device: the valid
+        patch count and padded target in the MODEL-rate domain (sharing the
+        same compiled-length buckets as 16 kHz inputs), plus the native-rate
+        length the host must pad the wire buffer to so the in-graph
+        resampler produces at least ``target_model`` samples."""
+        sr = self.cfg.sample_rate
+        n_model = -(-n_native * sr // input_rate)  # ceil
+        n_valid = num_patches(n_model, self.cfg)
+        target_model = self._target_length(n_model)
+        target_native = -(-target_model * input_rate // sr)
+        return n_valid, n_model, target_model, target_native
+
     # --- public API ------------------------------------------------------------
-    def predict(self, samples: np.ndarray) -> np.ndarray:
-        """16 kHz mono float32 samples -> (n_patches, n_classes) activations."""
+    def predict(self, samples: np.ndarray,
+                input_rate: int = None) -> np.ndarray:
+        """Mono float32 samples -> (n_patches, n_classes) activations.
+
+        Samples are 16 kHz unless ``input_rate`` says otherwise, in which
+        case they ship native and resample on-device."""
         if 'head' not in self.params:
             raise ValueError('this bundle has no classifier head; use embed()')
-        samples = np.asarray(samples)
-        n_valid = num_patches(len(samples), self.cfg)
-        target = self._target_length(len(samples))
-        wav = self._pad_to(samples, target)
-        if self.sharding is not None:
-            wav = jax.device_put(wav, self.sharding)
-        out = _classify_padded(self._device_params(), wav, self.cfg,
-                               self.compute_dtype, self.mesh, self.frontend)
+        out, n_valid = self.predict_async(samples, input_rate=input_rate)
         return np.asarray(out)[:n_valid]
 
-    def predict_async(self, samples: np.ndarray):
+    def predict_async(self, samples: np.ndarray, input_rate: int = None):
         """Dispatch without blocking; returns (device_array, n_valid).
 
         JAX dispatch is asynchronous — the returned array materializes on
@@ -275,6 +324,16 @@ class ChunkClassifier:
         stream->infer queue overlap).
         """
         samples = np.asarray(samples)
+        if input_rate and input_rate != self.cfg.sample_rate:
+            n_valid, n_model, t_model, t_native = self._plan_native(
+                len(samples), input_rate)
+            wav = jax.device_put(self._pad_to(samples, t_native),
+                                 self.sharding)
+            out = _classify_padded(self._device_params(), wav, self.cfg,
+                                   self.compute_dtype, self.mesh,
+                                   self.frontend, int(input_rate),
+                                   int(t_model), jnp.int32(n_model))
+            return out, n_valid
         n_valid = num_patches(len(samples), self.cfg)
         wav = self._pad_to(samples, self._target_length(len(samples)))
         # explicit async device_put: the transfer enters the stream now and
@@ -285,15 +344,30 @@ class ChunkClassifier:
                                self.compute_dtype, self.mesh, self.frontend)
         return out, n_valid
 
-    def predict_async_batch(self, samples_list):
+    def predict_async_batch(self, samples_list, input_rate: int = None):
         """Dispatch several chunks as ONE device call.
 
-        All chunks pad to a common compiled length (the largest needed).
+        All chunks pad to a common compiled length (the largest needed) and,
+        when ``input_rate`` is given, share that native rate.
         Returns (scores_device (B, P, C), [n_valid per chunk]).
         """
         if 'head' not in self.params:
             raise ValueError('this bundle has no classifier head')
         arrs = [np.asarray(s) for s in samples_list]
+        if input_rate and input_rate != self.cfg.sample_rate:
+            sr = self.cfg.sample_rate
+            n_models = [-(-len(a) * sr // input_rate) for a in arrs]
+            n_valids = [num_patches(n, self.cfg) for n in n_models]
+            t_model = self._target_length(max(n_models))
+            t_native = -(-t_model * input_rate // sr)
+            batch = np.stack([self._pad_to(a, t_native) for a in arrs])
+            batch = jax.device_put(batch, self.sharding)
+            valid = jnp.asarray(n_models, jnp.int32)[:, None]  # (B, 1)
+            out = _classify_padded_batch(self._device_params(), batch,
+                                         self.cfg, self.compute_dtype,
+                                         self.mesh, int(input_rate),
+                                         int(t_model), valid)
+            return out, n_valids
         n_valids = [num_patches(len(a), self.cfg) for a in arrs]
         target = self._target_length(max(len(a) for a in arrs))
         batch = np.stack([self._pad_to(a, target) for a in arrs])

@@ -44,6 +44,8 @@ class AssignChunk:
     results: object = None         # device array or np.ndarray (n_frames, n_classes)
     n_valid: int = None            # valid result rows (rest is shape padding)
     delivered: bool = False        # True once handed to the writer (put_write)
+    input_rate: int = None         # samples' native rate when they ship
+                                   # unresampled for on-device resampling
 
 
 @dataclass

@@ -78,11 +78,13 @@ class WorkerInferer:
                  'DEBUG')
 
     def process_chunk(self, a_chunk: AssignChunk):
+        kw = ({'input_rate': a_chunk.input_rate}
+              if a_chunk.input_rate else {})
         if hasattr(self.model, 'predict_async'):
             a_chunk.results, a_chunk.n_valid = self.model.predict_async(
-                a_chunk.samples)
+                a_chunk.samples, **kw)
         else:  # python-plugin models: synchronous predict
-            a_chunk.results = self.model.predict(a_chunk.samples)
+            a_chunk.results = self.model.predict(a_chunk.samples, **kw)
         a_chunk.samples = None  # release decode buffer early
         self.coordinator.put_write(a_chunk)
         a_chunk.delivered = True
@@ -97,6 +99,7 @@ class WorkerInferer:
         sizes would compile B=2,3,5,7... programs; {1,2,4,8} bounds it.
         """
         batch = [first]
+        mixed = []
         exit_seen = False
         while len(batch) < self.batch_chunks:
             try:
@@ -106,15 +109,22 @@ class WorkerInferer:
             if item == 'exit':
                 exit_seen = True
                 break
+            if item.input_rate != first.input_rate:
+                # a batch dispatch shares one resample program; chunks at a
+                # different native rate go out as their own dispatches
+                mixed.append(item)
+                continue
             batch.append(item)
         pow2 = 1
         while pow2 * 2 <= len(batch):
             pow2 *= 2
-        return batch[:pow2], batch[pow2:], exit_seen
+        return batch[:pow2], batch[pow2:] + mixed, exit_seen
 
     def process_batch(self, batch):
+        kw = ({'input_rate': batch[0].input_rate}
+              if batch[0].input_rate else {})
         out, n_valids = self.model.predict_async_batch(
-            [c.samples for c in batch])
+            [c.samples for c in batch], **kw)
         for i, a_chunk in enumerate(batch):
             a_chunk.results = out[i]
             a_chunk.n_valid = n_valids[i]

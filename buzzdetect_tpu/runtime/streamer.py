@@ -23,13 +23,20 @@ from buzzdetect_tpu.write.coverage import (coverage_from_csv, get_gaps,
 
 
 class WorkerStreamer:
-    def __init__(self, id_streamer, model, chunklength, coordinator):
+    def __init__(self, id_streamer, model, chunklength, coordinator,
+                 resample_on_device=False):
         self.id_streamer = id_streamer
         self.model = model
         self.coordinator = coordinator
         self.chunklength = chunklength
         self.framelength_s = model.embedder.framelength_s
         self.resample_rate = model.embedder.samplerate
+        # with on-device resampling the decoder keeps the file's native rate
+        # (target_rate=0) and chunks ride the wire unresampled; the model's
+        # jit graph resamples on the accelerator (ops/resample.py) — zero
+        # host CPU spent on resampling (the GPU-era decode ceiling,
+        # reference docs/source/tuning.rst:57-62)
+        self.decode_rate = 0 if resample_on_device else self.resample_rate
 
     def __call__(self):
         self.run()
@@ -67,7 +74,7 @@ class WorkerStreamer:
             return
 
         a_file.track = build_track(a_file.path_audio,
-                                   target_rate=self.resample_rate)
+                                   target_rate=self.decode_rate)
         a_file.duration_audio = get_duration(a_file.track)
 
         if not os.path.exists(a_file.path_results_partial):
@@ -132,7 +139,9 @@ class WorkerStreamer:
             continue_file = True
 
         a_chunk = AssignChunk(file=a_file, chunk=chunk, samples=samples,
-                              last_chunk=force_last or not continue_file)
+                              last_chunk=force_last or not continue_file,
+                              input_rate=(rate if rate != self.resample_rate
+                                          else None))
         self.coordinator.put_analyze(a_chunk)
         return continue_file
 

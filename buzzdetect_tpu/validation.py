@@ -170,4 +170,5 @@ validate_map = {
     'verbosity_log': validate_verbosity,
     'log_progress': numeric_rule(kind=int, minimum=0, maximum=1),
     'transfer_dtype': validate_transfer_dtype,
+    'resample_on_device': numeric_rule(kind=int, minimum=0, maximum=1),
 }
