@@ -43,15 +43,67 @@ def load_metrics(modelname: str):
         f'buzzdetect_tpu.train.evaluate on a labeled test set to generate them')
 
 
+def _bracket(metrics: dict, precision_requested: float):
+    """The nearest metrics rows strictly above and below the requested
+    precision: (idx_over, idx_under), either of which may be None."""
+    delta = metrics['precision'] - precision_requested
+    over = np.where(delta > 0)[0]
+    under = np.where(delta < 0)[0]
+    idx_over = over[np.argmin(delta[over])] if over.size else None
+    idx_under = under[np.argmax(delta[under])] if under.size else None
+    return idx_over, idx_under
+
+
 def calculate_threshold(modelname: str, precision_requested: float,
                         tolerance: float = 0.01) -> float:
-    """Mean threshold over metrics rows with |precision - requested| <= tolerance/2."""
+    """Mean threshold over metrics rows with |precision - requested| <=
+    tolerance/2; when no row lands inside the tolerance band but rows exist
+    on BOTH sides, fall back to the bracketing midpoint (the reference's
+    `sx` interpolation, `src/write/thresholds.py:9-22`). A precision outside
+    the table's range still raises — extrapolating a calibration would
+    silently promise a precision the model was never measured at."""
     metrics = load_metrics(modelname)
     delta = np.abs(metrics['precision'] - precision_requested)
     mask = delta <= tolerance / 2
-    if not mask.any():
-        raise ValueError(
-            f'no metrics rows within ±{tolerance / 2} of precision '
-            f'{precision_requested}; available precision range is '
-            f'[{metrics["precision"].min():.3f}, {metrics["precision"].max():.3f}]')
-    return float(metrics['threshold'][mask].mean())
+    if mask.any():
+        return float(metrics['threshold'][mask].mean())
+    idx_over, idx_under = _bracket(metrics, precision_requested)
+    if idx_over is not None and idx_under is not None:
+        t_over = metrics['threshold'][idx_over]
+        t_under = metrics['threshold'][idx_under]
+        return float(t_over + (t_under - t_over) / 2)
+    raise ValueError(
+        f'no metrics rows within ±{tolerance / 2} of precision '
+        f'{precision_requested}; available precision range is '
+        f'[{metrics["precision"].min():.3f}, {metrics["precision"].max():.3f}]')
+
+
+def threshold_at_precision(modelname: str, precision_requested: float) -> dict:
+    """Bracketing threshold lookup (the reference's `sx`,
+    `src/write/thresholds.py:9-26`): midpoint of the nearest thresholds
+    above/below the requested precision, clamped to the edge row when the
+    request falls past one end of the table.
+
+    Returns ``{'threshold', 'precision', 'sensitivity'}`` rounded to 2
+    digits like the reference. Sensitivity comes from the metrics table
+    (mean of the bracket rows) rather than a per-sample re-count — the
+    table is what the bundle ships."""
+    metrics = load_metrics(modelname)
+    idx_over, idx_under = _bracket(metrics, precision_requested)
+    if idx_over is None and idx_under is None:
+        raise ValueError(f'empty metrics table for "{modelname}"')
+    if idx_over is None:
+        threshold = metrics['threshold'][idx_under]
+        sens = metrics['sensitivity'][idx_under]
+    elif idx_under is None:
+        threshold = metrics['threshold'][idx_over]
+        sens = metrics['sensitivity'][idx_over]
+    else:
+        t_over = metrics['threshold'][idx_over]
+        t_under = metrics['threshold'][idx_under]
+        threshold = t_over + (t_under - t_over) / 2
+        sens = (metrics['sensitivity'][idx_over]
+                + metrics['sensitivity'][idx_under]) / 2
+    return {'threshold': round(float(threshold), 2),
+            'precision': round(float(precision_requested), 2),
+            'sensitivity': round(float(sens), 2)}

@@ -75,5 +75,19 @@ def test_threshold_calibration(tmp_path, monkeypatch):
     # rows within ±0.005: all three around 0.95 → mean of thresholds
     assert thr == pytest.approx((-1.3 + -1.2 + -1.1) / 3)
 
+    # nothing inside the band but bracketed → interpolating midpoint
+    # (requested 0.97 sits between the .951 and .99 rows)
+    thr = thresholds.calculate_threshold('m', 0.97, tolerance=0.01)
+    assert thr == pytest.approx((-1.1 + -0.5) / 2)
+
+    # outside the measured range still refuses (no extrapolation)
     with pytest.raises(ValueError):
         thresholds.calculate_threshold('m', 0.80, tolerance=0.01)
+
+    # the sx-analog bracketing lookup: midpoint + mean sensitivity
+    out = thresholds.threshold_at_precision('m', 0.97)
+    assert out == {'threshold': pytest.approx(-0.8), 'precision': 0.97,
+                   'sensitivity': round((0.25 + 0.1) / 2, 2)}
+    # past the table's ends it clamps to the edge row (reference behavior)
+    assert thresholds.threshold_at_precision('m', 0.80)['threshold'] == -1.3
+    assert thresholds.threshold_at_precision('m', 0.999)['threshold'] == -0.5
