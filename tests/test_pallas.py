@@ -45,3 +45,49 @@ def test_classifier_pallas_frontend_matches_xla():
         pl_out = ChunkClassifier(arrays, framehop_prop=1.0,
                                  frontend='pallas').predict(wav)
     np.testing.assert_allclose(pl_out, xla_out, atol=1e-3)
+
+
+def _tiny_arrays(seed=6, n_classes=3):
+    from buzzdetect_tpu.models import yamnet as yam
+    from buzzdetect_tpu.models.heads import init_head
+    folded = yam.fold_batchnorm(yam.init_raw_params(seed=seed))
+    arrays = {f'yamnet/{k}': v for k, v in folded.items()}
+    arrays.update(init_head(1024, n_classes, seed=seed))
+    return arrays
+
+
+def test_frontend_auto_resolves_by_backend():
+    """'auto' (the default) picks pallas on TPU, xla elsewhere; this CPU
+    suite must see xla so tests never depend on the Mosaic toolchain."""
+    from buzzdetect_tpu.models.classifier import ChunkClassifier
+    clf = ChunkClassifier(_tiny_arrays())
+    expected = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+    assert clf.frontend == expected
+    assert clf._frontend_auto
+
+    with pytest.raises(ValueError):
+        ChunkClassifier(_tiny_arrays(), frontend='tensorflow')
+
+
+def test_frontend_auto_falls_back_when_pallas_fails():
+    """If the auto-selected pallas kernel cannot compile (Mosaic fault),
+    the classifier degrades to the XLA frontend once and keeps working.
+    On CPU a non-interpreted pallas compile fails naturally, which is
+    exactly the failure mode being exercised."""
+    from buzzdetect_tpu.models.classifier import ChunkClassifier
+    arrays = _tiny_arrays()
+    wav = (RNG.standard_normal(int(2.0 * 16000)) * 0.1).astype(np.float32)
+    want = ChunkClassifier(arrays).predict(wav)
+
+    clf = ChunkClassifier(arrays)
+    clf.frontend = 'pallas'       # simulate auto-resolution to pallas
+    clf._frontend_auto = True
+    got = clf.predict(wav)
+    assert clf.frontend == 'xla'  # one-way fallback happened
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # an EXPLICIT pallas request must not silently degrade
+    strict = ChunkClassifier(arrays, frontend='pallas')
+    assert not strict._frontend_auto
+    with pytest.raises(Exception):
+        strict.predict(wav)
