@@ -50,7 +50,11 @@ class Analyzer:
                  mesh=None,
                  batch_chunks: int = 1,
                  transfer_dtype: str = None,
-                 resample_on_device: bool = False):
+                 resample_on_device: bool = False,
+                 model=None,
+                 watch_state: dict = None,
+                 quiet_startup: bool = False,
+                 path_log: str = None):
         self.modelname = modelname
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
@@ -60,11 +64,23 @@ class Analyzer:
         self.profile_dir = profile_dir
         self.batch_chunks = batch_chunks
         self.coordinator = coordinator or Coordinator()
+        # watch mode (see analyze(watch=...)): a dict carried across cycles
+        # mapping audio path -> os.stat signature, used to re-examine
+        # finalized files only when the recording actually changed on disk
+        self.watch_state = watch_state
+        self.quiet_startup = quiet_startup
+        self.path_log = path_log
 
         kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
-        self.model = load_model(modelname, framehop_prop=framehop_prop,
-                                initialize=False, compute_dtype=compute_dtype,
-                                mesh=mesh, **kw)
+        if model is not None:
+            # watch cycles share one model so device params/compiled programs
+            # upload once, not once per polling cycle
+            self.model = model
+        else:
+            self.model = load_model(modelname, framehop_prop=framehop_prop,
+                                    initialize=False,
+                                    compute_dtype=compute_dtype,
+                                    mesh=mesh, **kw)
         if resample_on_device and not getattr(
                 self.model, 'supports_device_resample', False):
             raise ValueError(
@@ -109,7 +125,7 @@ class Analyzer:
 
     # --- worker lifecycle ---------------------------------------------------
     def _launch_logger(self):
-        path_log = os.path.join(
+        path_log = self.path_log or os.path.join(
             self.dir_out,
             f"{self.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}.log")
         os.makedirs(os.path.dirname(path_log), exist_ok=True)
@@ -128,6 +144,8 @@ class Analyzer:
                 AssignLog(message=FRAMEHOP_WARNING, level_str='WARNING'))
 
     def _log_startup(self):
+        if self.quiet_startup:
+            return
         self.coordinator.q_log.put(AssignLog(message=(
             f'Model: {self.modelname}\n'
             f'Frame hop: {self.framehop_prop}\n'
@@ -198,12 +216,16 @@ class Analyzer:
                        dir_results=self.dir_out)
             for p in search_dir(self.dir_audio, list(driver_map.keys()))
         ]
+        watching = self.watch_state is not None
         if not assignments:
             self.coordinator.exit_analysis(ExitSignal(
                 message=(f'Exiting analysis: no compatible audio files found '
                          f'in raw directory {self.dir_audio}.\naudio format '
                          f'must be one of: \n{", ".join(driver_map.keys())}'),
-                level='WARNING', end_reason='no files'))
+                # in watch mode an empty directory is the normal state while
+                # waiting for a recorder to start writing — don't warn
+                level='DEBUG' if watching else 'WARNING',
+                end_reason='no files'))
             return False
 
         # files whose idents collide (same name, different extension) would
@@ -223,19 +245,71 @@ class Analyzer:
                          f'must be renamed before they can be analyzed.'),
                 level_str='WARNING'))
 
-        unfinished = [a for a in assignments
-                      if a.ident not in conflicting
-                      and not os.path.exists(a.path_results_complete)]
+        unfinished, finalized = [], []
+        for a in assignments:
+            if a.ident in conflicting:
+                continue
+            if os.path.exists(a.path_results_complete):
+                finalized.append(a)
+            else:
+                unfinished.append(a)
+        if watching:
+            unfinished.extend(self._demote_grown(finalized))
         if not unfinished:
             self.coordinator.exit_analysis(ExitSignal(
                 message=(f'All files in {self.dir_audio} are fully analyzed; '
                          f'exiting analysis'),
-                level='INFO', end_reason='fully analyzed'))
+                level='DEBUG' if watching else 'INFO',
+                end_reason='fully analyzed'))
             return False
 
         for a_file in unfinished:
             self.coordinator.q_stream.put(a_file)
         return True
+
+    def _demote_grown(self, finalized):
+        """Watch mode: a finalized recording whose audio file has since grown
+        (a recorder appending to it) is demoted back to a partial result so
+        the gap-resume machinery analyzes the new tail. Files are only
+        re-examined when their on-disk stat signature changed since the last
+        look, so a static file — including one finalized early over a corrupt
+        tail — is inspected at most once, not every polling cycle."""
+        from buzzdetect_tpu.audio import build_track, get_duration
+        from buzzdetect_tpu.write.coverage import (coverage_from_csv,
+                                                   get_gaps, smooth_gaps)
+        grown = []
+        fl = self.model.embedder.framelength_s
+        for a in finalized:
+            try:
+                st = os.stat(a.path_audio)
+                sig = (st.st_size, st.st_mtime_ns)
+                if self.watch_state.get(a.path_audio) == sig:
+                    continue
+                self.watch_state[a.path_audio] = sig
+                track = build_track(a.path_audio)
+                try:
+                    duration = get_duration(track)
+                finally:
+                    track.close()
+                coverage = coverage_from_csv(a.path_results_complete, fl)
+                gaps = smooth_gaps(get_gaps((0, duration), coverage),
+                                   (0, duration), framelength=fl,
+                                   gap_tolerance=fl / 4)
+                if not gaps:
+                    continue
+                os.replace(a.path_results_complete, a.path_results_partial)
+                grown.append(a)
+                self.coordinator.q_log.put(AssignLog(
+                    message=(f'{a.shortpath_audio} grew to '
+                             f'{round(duration, 1)}s since it was finalized; '
+                             f'analyzing the new audio'),
+                    level_str='INFO'))
+            except Exception as e:
+                self.coordinator.q_log.put(AssignLog(
+                    message=(f'could not re-examine finalized file '
+                             f'{a.shortpath_audio}: {e}'),
+                    level_str='WARNING'))
+        return grown
 
     # --- run ------------------------------------------------------------------
     def run(self):
@@ -321,7 +395,11 @@ def analyze(modelname: str,
             mesh=None,
             batch_chunks: int = 1,
             transfer_dtype: str = None,
-            resample_on_device: bool = False):
+            resample_on_device: bool = False,
+            watch: bool = False,
+            watch_interval: float = 30.0,
+            watch_stop=None,
+            watch_cycles: int = None):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -361,22 +439,61 @@ def analyze(modelname: str,
         docs/source/tuning.rst:57-62) at the cost of proportionally more
         wire bytes for rates above 16 kHz. Each distinct native rate
         compiles its own program; homogeneous-rate corpora pay one compile.
+    watch : live-monitoring mode — after each pass over ``dir_audio``, wait
+        ``watch_interval`` seconds and rescan, analyzing files that appeared
+        and (via the gap-resume machinery) the newly recorded tail of files
+        that grew since they were finalized. Runs until ``watch_stop`` (a
+        ``threading.Event``) is set, ``watch_cycles`` passes complete, or
+        Ctrl-C. Completed passes leave the output directory in the exact
+        state a non-watch run would — stopping the watcher never loses work.
     """
-    coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
-                              analyzers_gpu=analyzers_gpu,
-                              streamers_total=n_streamers,
-                              depth=stream_buffer_depth,
-                              q_gui=q_gui,
-                              event_analysisdone=event_stopanalysis)
-    analyzer = Analyzer(modelname=modelname, classes_out=classes_out,
-                        precision=precision, framehop_prop=framehop_prop,
-                        chunklength=chunklength, dir_audio=dir_audio,
-                        dir_out=dir_out, verbosity_print=verbosity_print,
-                        verbosity_log=verbosity_log, log_progress=log_progress,
-                        coordinator=coordinator, compute_dtype=compute_dtype,
-                        profile_dir=profile_dir, mesh=mesh,
-                        batch_chunks=batch_chunks,
-                        transfer_dtype=transfer_dtype,
-                        resample_on_device=resample_on_device)
-    analyzer.run()
+    def one_pass(**extra):
+        coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
+                                  analyzers_gpu=analyzers_gpu,
+                                  streamers_total=n_streamers,
+                                  depth=stream_buffer_depth,
+                                  q_gui=q_gui,
+                                  event_analysisdone=event_stopanalysis)
+        analyzer = Analyzer(modelname=modelname, classes_out=classes_out,
+                            precision=precision, framehop_prop=framehop_prop,
+                            chunklength=chunklength, dir_audio=dir_audio,
+                            dir_out=dir_out, verbosity_print=verbosity_print,
+                            verbosity_log=verbosity_log,
+                            log_progress=log_progress,
+                            coordinator=coordinator,
+                            compute_dtype=compute_dtype,
+                            profile_dir=profile_dir, mesh=mesh,
+                            batch_chunks=batch_chunks,
+                            transfer_dtype=transfer_dtype,
+                            resample_on_device=resample_on_device, **extra)
+        analyzer.run()
+        return analyzer
+
+    if not watch:
+        return one_pass()
+
+    kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
+    shared_model = load_model(modelname, framehop_prop=framehop_prop,
+                              initialize=False, compute_dtype=compute_dtype,
+                              mesh=mesh, **kw)
+    stop = watch_stop if watch_stop is not None else threading.Event()
+    state, cycles, analyzer, path_log = {}, 0, None, None
+    while not stop.is_set():
+        analyzer = one_pass(model=shared_model, watch_state=state,
+                            quiet_startup=cycles > 0, path_log=path_log)
+        # every cycle appends to the first cycle's log file
+        path_log = path_log or os.path.join(
+            analyzer.dir_out,
+            f"{analyzer.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}"
+            f".log")
+        cycles += 1
+        if analyzer.coordinator.end_reason in ('interrupted',
+                                               'manifest mismatch'):
+            break
+        if watch_cycles is not None and cycles >= watch_cycles:
+            break
+        try:
+            stop.wait(watch_interval)
+        except KeyboardInterrupt:
+            break
     return analyzer

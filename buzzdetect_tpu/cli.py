@@ -128,6 +128,14 @@ def build_parser():
     parser.add_argument('--bf16', action='store_true',
                         help='Run the CNN in bfloat16 for throughput '
                              '(scores may deviate beyond 1e-3)')
+    parser.add_argument('--watch', action='store_true',
+                        help='Live monitoring: keep rescanning dir_audio, '
+                             'analyzing files that appear and the growing '
+                             'tail of recordings in progress; Ctrl-C to stop '
+                             '(finished work is always checkpointed)')
+    parser.add_argument('--watch_interval', required=False, default=30.0,
+                        type=float,
+                        help='Seconds between rescans in --watch mode')
     parser.add_argument('--yes', action='store_true',
                         help='Answer yes to interactive prompts (resume '
                              'reconciliation)')
@@ -168,7 +176,9 @@ def main(argv=None):
             log_progress=args.log_progress,
             compute_dtype=compute_dtype,
             transfer_dtype=args.transfer_dtype,
-            resample_on_device=args.resample_on_device)
+            resample_on_device=args.resample_on_device,
+            watch=args.watch,
+            watch_interval=args.watch_interval)
 
 
 if __name__ == '__main__':

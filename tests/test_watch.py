@@ -1,0 +1,161 @@
+"""Watch mode: live monitoring of a recording directory.
+
+``analyze(watch=True)`` repeatedly rescans ``dir_audio``, analyzing files
+that appear between passes and — via the same gap-resume machinery that
+powers interrupt/resume — the newly recorded tail of files that grew after
+being finalized. (Capability beyond the reference, which is strictly
+offline; built on its resume design, `src/stream/worker.py:61-107`.)
+"""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.models.convert import build_model_bundle
+from tests.audio_fixtures import make_tone, write_wav
+
+CLASSES = ['ins_buzz', 'ambient_noise', 'human']
+
+
+@pytest.fixture(scope='module')
+def dir_models(tmp_path_factory):
+    root = tmp_path_factory.mktemp('watch_models')
+    build_model_bundle(str(root / 'watchmodel'), classes=CLASSES, seed=11)
+    return str(root)
+
+
+@pytest.fixture()
+def patched_models(dir_models, monkeypatch):
+    monkeypatch.setattr(cfg, 'DIR_MODELS', dir_models)
+
+
+def _read_rows(path):
+    import csv
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    return rows[0], {float(r[0]): [float(v) for v in r[1:]] for r in rows[1:]}
+
+
+def test_watch_picks_up_new_files(patched_models, tmp_path):
+    """A file dropped into the directory between passes gets analyzed."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    dir_out = str(tmp_path / 'out')
+    write_wav(dir_audio / 'first.wav', make_tone(2.0, 16000, 220), 16000)
+
+    stop = threading.Event()
+    done_first = os.path.join(dir_out, 'first_buzzdetect.csv')
+    done_second = os.path.join(dir_out, 'second_buzzdetect.csv')
+
+    def feeder():
+        deadline = time.monotonic() + 120
+        while not os.path.exists(done_first):
+            if time.monotonic() > deadline:
+                stop.set()
+                return
+            time.sleep(0.02)
+        write_wav(dir_audio / 'second.wav', make_tone(2.0, 16000, 440), 16000)
+        while not os.path.exists(done_second):
+            if time.monotonic() > deadline:
+                break
+            time.sleep(0.02)
+        stop.set()
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio), dir_out=dir_out,
+            chunklength=2.0, verbosity_print='ERROR',
+            watch=True, watch_interval=0.05, watch_stop=stop)
+    t.join(timeout=10)
+    assert os.path.exists(done_first)
+    assert os.path.exists(done_second), 'new file was not picked up'
+
+
+def test_watch_analyzes_grown_file_tail(patched_models, tmp_path):
+    """A finalized recording that grew is demoted and its tail analyzed; the
+    final rows match a from-scratch analysis of the full file (except at most
+    the single seam row, whose pass-1 patch saw zero-padding where the later
+    audio now exists — inherent to the reference's padding semantics too)."""
+    from buzzdetect_tpu.analysis import analyze
+    full = make_tone(6.0, 16000, 330)
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    dir_out = str(tmp_path / 'out')
+    write_wav(dir_audio / 'rec.wav', full[:3 * 16000], 16000)
+
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio), dir_out=dir_out,
+            chunklength=2.0, verbosity_print='ERROR')
+    path_result = os.path.join(dir_out, 'rec_buzzdetect.csv')
+    assert os.path.exists(path_result)
+    _, rows_short = _read_rows(path_result)
+
+    # the recorder appends: same prefix, more audio
+    write_wav(dir_audio / 'rec.wav', full, 16000)
+    a = analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+                watch=True, watch_cycles=1)
+    assert a.coordinator.end_reason == 'completed'
+    assert os.path.exists(path_result)
+    assert not os.path.exists(os.path.join(dir_out, 'rec_buzzpart.csv'))
+    _, rows_watch = _read_rows(path_result)
+    assert len(rows_watch) > len(rows_short), 'tail was not analyzed'
+
+    # oracle: fresh analysis of the full file
+    dir_oracle = str(tmp_path / 'oracle_out')
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+            dir_out=dir_oracle, chunklength=2.0, verbosity_print='ERROR')
+    _, rows_fresh = _read_rows(os.path.join(dir_oracle, 'rec_buzzdetect.csv'))
+
+    assert set(rows_watch) == set(rows_fresh), 'row starts differ from oracle'
+    mismatched = [s for s in rows_fresh
+                  if not np.allclose(rows_watch[s], rows_fresh[s], atol=0.011)]
+    assert len(mismatched) <= 1, f'rows beyond the seam differ: {mismatched}'
+
+
+def test_watch_static_files_left_alone(patched_models, tmp_path):
+    """Idle passes never touch finalized results — including a file whose
+    coverage is incomplete but whose bytes haven't changed (e.g. finalized
+    early over a corrupt tail): it is re-examined at most once."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    dir_out = str(tmp_path / 'out')
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 220), 16000)
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio), dir_out=dir_out,
+            chunklength=2.0, verbosity_print='ERROR')
+    path_result = os.path.join(dir_out, 'rec_buzzdetect.csv')
+    before = open(path_result).read()
+
+    a = analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+                watch=True, watch_cycles=3, watch_interval=0.01)
+    assert a.coordinator.end_reason == 'fully analyzed'
+    assert open(path_result).read() == before
+    # the stat signature is cached, so later passes skip even the re-check
+    assert str(dir_audio / 'rec.wav') in a.watch_state
+
+
+def test_watch_empty_directory_waits_quietly(patched_models, tmp_path):
+    """Watching an empty directory (recorder not started yet) just idles."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    a = analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                dir_out=str(tmp_path / 'out'), verbosity_print='ERROR',
+                watch=True, watch_cycles=2, watch_interval=0.01)
+    assert a.coordinator.end_reason == 'no files'
+
+
+def test_cli_exposes_watch_flags():
+    from buzzdetect_tpu.cli import build_parser
+    args = build_parser().parse_args(
+        ['--modelname', 'm', '--watch', '--watch_interval', '5'])
+    assert args.watch is True
+    assert args.watch_interval == 5.0
+    args = build_parser().parse_args(['--modelname', 'm'])
+    assert args.watch is False
