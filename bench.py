@@ -82,9 +82,8 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
     # syncing via host materialization of the final output (device stream
     # ordering makes that a full barrier). block_until_ready is NOT used:
     # through the axon tunnel it returns before execution completes.
-    clf = getattr(model, 'classifier', None)
     compute_rtf = None
-    if clf is not None:
+    if clf is not None and n_chunks > 2:
         devs = [jax.device_put(
             clf._pad_to(c, clf._target_length(len(c)))) for c in chunks]
 

@@ -125,13 +125,14 @@ class Analyzer:
 
     # --- worker lifecycle ---------------------------------------------------
     def _launch_logger(self):
-        path_log = self.path_log or os.path.join(
+        # store the resolved path so watch cycles can reuse the exact file
+        self.path_log = self.path_log or os.path.join(
             self.dir_out,
             f"{self.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}.log")
-        os.makedirs(os.path.dirname(path_log), exist_ok=True)
+        os.makedirs(os.path.dirname(self.path_log), exist_ok=True)
         self.thread_logger = threading.Thread(
             target=run_worker, name='logger', daemon=True,
-            kwargs=dict(workerclass=WorkerLogger, path_log=path_log,
+            kwargs=dict(workerclass=WorkerLogger, path_log=self.path_log,
                         verbosity_print=self.verbosity_print,
                         verbosity_log=self.verbosity_log,
                         log_progress=self.log_progress,
@@ -285,7 +286,6 @@ class Analyzer:
                 sig = (st.st_size, st.st_mtime_ns)
                 if self.watch_state.get(a.path_audio) == sig:
                     continue
-                self.watch_state[a.path_audio] = sig
                 track = build_track(a.path_audio)
                 try:
                     duration = get_duration(track)
@@ -295,21 +295,48 @@ class Analyzer:
                 gaps = smooth_gaps(get_gaps((0, duration), coverage),
                                    (0, duration), framelength=fl,
                                    gap_tolerance=fl / 4)
-                if not gaps:
-                    continue
-                os.replace(a.path_results_complete, a.path_results_partial)
-                grown.append(a)
-                self.coordinator.q_log.put(AssignLog(
-                    message=(f'{a.shortpath_audio} grew to '
-                             f'{round(duration, 1)}s since it was finalized; '
-                             f'analyzing the new audio'),
-                    level_str='INFO'))
+                if gaps:
+                    # drop trailing rows whose patch window may have scored
+                    # zero padding past the then-EOF (padding extends less
+                    # than one patch window beyond it), so the seam is
+                    # re-scored against the real audio — otherwise each
+                    # grow/finalize cycle would bake in one padded row
+                    self._demote_to_partial(a, fl)
+                    grown.append(a)
+                    self.coordinator.q_log.put(AssignLog(
+                        message=(f'{a.shortpath_audio} grew to '
+                                 f'{round(duration, 1)}s since it was '
+                                 f'finalized; analyzing the new audio'),
+                        level_str='INFO'))
+                # record the signature only after the examination (and any
+                # demotion) succeeded — a transient IO error must leave the
+                # file eligible for re-examination next cycle
+                self.watch_state[a.path_audio] = sig
             except Exception as e:
                 self.coordinator.q_log.put(AssignLog(
                     message=(f'could not re-examine finalized file '
                              f'{a.shortpath_audio}: {e}'),
                     level_str='WARNING'))
+        # deleted/rotated recordings must not pin state entries forever
+        for path in [p for p in self.watch_state if not os.path.exists(p)]:
+            del self.watch_state[path]
         return grown
+
+    @staticmethod
+    def _demote_to_partial(a, framelength):
+        """Turn a finalized result back into a partial, dropping rows whose
+        window starts within one patch window of the last covered start —
+        those may have scored zero padding past the audio's then-EOF."""
+        with open(a.path_results_complete) as f:
+            lines = f.read().splitlines()
+        header, rows = lines[0], lines[1:]
+        starts = [float(r.split(',', 1)[0]) for r in rows]
+        if starts:
+            cutoff = max(starts) - framelength + 1e-9
+            rows = [r for r, s in zip(rows, starts) if s < cutoff]
+        with open(a.path_results_partial, 'w') as f:
+            f.write('\n'.join([header] + rows) + '\n')
+        os.remove(a.path_results_complete)
 
     # --- run ------------------------------------------------------------------
     def run(self):
@@ -481,15 +508,22 @@ def analyze(modelname: str,
     while not stop.is_set():
         analyzer = one_pass(model=shared_model, watch_state=state,
                             quiet_startup=cycles > 0, path_log=path_log)
-        # every cycle appends to the first cycle's log file
-        path_log = path_log or os.path.join(
-            analyzer.dir_out,
-            f"{analyzer.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}"
-            f".log")
+        # every cycle appends to the first cycle's log file (the Analyzer
+        # stores the path it actually resolved)
+        path_log = path_log or analyzer.path_log
         cycles += 1
         if analyzer.coordinator.end_reason in ('interrupted',
                                                'manifest mismatch'):
             break
+        # the pipeline sets event_stopanalysis at the END of every pass to
+        # signal 'analysis done' (GUI contract); carried into the next
+        # cycle's coordinator still set, it would read as a stop request
+        # and kill the watcher after one pass. Clear the pipeline's own
+        # completion signal; an external stop request raised from here on
+        # still lands (seen either mid-sleep via watch_stop or at the next
+        # pass as 'interrupted').
+        if event_stopanalysis is not None:
+            event_stopanalysis.clear()
         if watch_cycles is not None and cycles >= watch_cycles:
             break
         try:

@@ -214,6 +214,9 @@ class ChunkClassifier:
         if self._frontend_auto:
             frontend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
         self.frontend = frontend
+        # set once the pallas kernel has compiled+dispatched successfully;
+        # gates the auto fallback to first-dispatch (compile-time) faults
+        self._pallas_proven = False
         # 'mulaw' rides int8 on the wire; linear int8 is deliberately not
         # offered (mu-law strictly dominates it for audio at the same size)
         self.transfer_name = str(transfer_dtype)
@@ -312,15 +315,21 @@ class ChunkClassifier:
 
     def _classify(self, wav_device, *resample_args):
         """Run the jitted classify graph, honoring the auto-frontend
-        contract: if the pallas kernel was auto-selected and fails to
-        compile (e.g. a Mosaic toolchain fault), fall back to the XLA
-        frontend permanently for this classifier and re-dispatch."""
+        contract: if the auto-selected pallas kernel fails on its FIRST
+        dispatch (a compile/toolchain fault — once the kernel has executed
+        successfully, later errors are the caller's problem and must not
+        silently demote throughput ~20x), fall back to the XLA frontend
+        permanently for this classifier and re-dispatch."""
         try:
-            return _classify_padded(self._device_params(), wav_device,
-                                    self.cfg, self.compute_dtype, self.mesh,
-                                    self.frontend, *resample_args)
+            out = _classify_padded(self._device_params(), wav_device,
+                                   self.cfg, self.compute_dtype, self.mesh,
+                                   self.frontend, *resample_args)
+            self._pallas_proven = self._pallas_proven or \
+                self.frontend == 'pallas'
+            return out
         except Exception:
-            if not (self._frontend_auto and self.frontend == 'pallas'):
+            if not (self._frontend_auto and self.frontend == 'pallas'
+                    and not self._pallas_proven):
                 raise
             import logging
             logging.getLogger(__name__).warning(

@@ -91,3 +91,20 @@ def test_frontend_auto_falls_back_when_pallas_fails():
     assert not strict._frontend_auto
     with pytest.raises(Exception):
         strict.predict(wav)
+
+
+def test_frontend_no_fallback_once_proven():
+    """After the pallas kernel has dispatched successfully, later errors
+    (device OOM, malformed plugin input, transient runtime faults) must
+    surface to the caller — not silently demote the run to the ~20x-slower
+    XLA frontend under a misleading 'failed to compile' warning."""
+    from buzzdetect_tpu.models.classifier import ChunkClassifier
+    arrays = _tiny_arrays()
+    clf = ChunkClassifier(arrays)
+    clf.frontend = 'pallas'
+    clf._frontend_auto = True
+    clf._pallas_proven = True  # as if the kernel had been running for hours
+    wav = (RNG.standard_normal(int(2.0 * 16000)) * 0.1).astype(np.float32)
+    with pytest.raises(Exception):
+        clf.predict(wav)        # CPU pallas compile failure stands in for
+    assert clf.frontend == 'pallas'  # any post-proof fault: no silent demote
