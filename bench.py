@@ -173,8 +173,8 @@ def main():
     ap.add_argument('--frontend', choices=['auto', 'xla', 'pallas'],
                     default=None,
                     help='device mode: frontend implementation (default '
-                         'auto = the fused pallas kernel on TPU, with xla '
-                         'fallback)')
+                         'auto = the hop-banked XLA frontend, the fastest '
+                         'measured; pallas = the fused kernel)')
     args = ap.parse_args()
 
     record = {

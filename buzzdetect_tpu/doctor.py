@@ -24,6 +24,10 @@ def _check(name, fn):
 
 def main(modelname: str = None):
     from buzzdetect_tpu import config as cfg
+    # importing the classifier applies the JAX_PLATFORMS pin before any
+    # check initializes a backend (the image's preloaded TPU plugin would
+    # otherwise override the user's env var — see _honor_platform_env)
+    import buzzdetect_tpu.models.classifier  # noqa: F401
     modelname = modelname or cfg.DEFAULT_MODEL
     print('buzzdetect-tpu doctor')
     ok = True
@@ -66,7 +70,11 @@ def main(modelname: str = None):
         from buzzdetect_tpu.models.registry import load_model
         model = load_model(modelname, initialize=True)
         out = model.predict(np.zeros(16000, np.float32))
-        return f'1 s inference -> {out.shape} scores'
+        clf = getattr(model, 'classifier', None)
+        # report which log-mel frontend actually ran ('auto' resolves to the
+        # fused pallas kernel on TPU; a fallback to xla would show up here)
+        frontend = f', frontend={clf.frontend}' if clf is not None else ''
+        return f'1 s inference -> {out.shape} scores{frontend}'
     ok &= _check('end-to-end inference', check_inference)
 
     def check_threshold():

@@ -206,17 +206,18 @@ class ChunkClassifier:
             raise ValueError("frontend must be 'auto', 'xla' or 'pallas'")
         # 'pallas' selects the fused kernel (ops/pallas_frontend.py) for the
         # single-chunk path; the batch path always uses the XLA frontend.
-        # 'auto' (the default) resolves to pallas on TPU — the kernel's
-        # frontend is ~20x faster than the XLA one, which dominates the
-        # graph (343 -> 17 ms per 960 s chunk measured on v5e) — with a
-        # one-way fallback to xla if the kernel ever fails to compile.
+        # 'auto' (the default) currently resolves to 'xla' on every backend:
+        # the frontend dominates the classify graph, and after the hop-banked
+        # (gather-free) rewrite the XLA frontend out-measures the fused
+        # pallas kernel on a real v5e — 13.6 vs 16.9 ms per 960 s chunk in
+        # f32, 6.0 vs 9.6 ms in bf16 (dispatch-slope method; the original
+        # gather formulation took 343 ms). 'auto' is kept as the stable
+        # default name so the resolution can be re-tuned per backend without
+        # touching callers.
         self._frontend_auto = frontend == 'auto'
         if self._frontend_auto:
-            frontend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+            frontend = 'xla'
         self.frontend = frontend
-        # set once the pallas kernel has compiled+dispatched successfully;
-        # gates the auto fallback to first-dispatch (compile-time) faults
-        self._pallas_proven = False
         # 'mulaw' rides int8 on the wire; linear int8 is deliberately not
         # offered (mu-law strictly dominates it for audio at the same size)
         self.transfer_name = str(transfer_dtype)
@@ -314,31 +315,11 @@ class ChunkClassifier:
         return n_valid, n_model, target_model, target_native
 
     def _classify(self, wav_device, *resample_args):
-        """Run the jitted classify graph, honoring the auto-frontend
-        contract: if the auto-selected pallas kernel fails on its FIRST
-        dispatch (a compile/toolchain fault — once the kernel has executed
-        successfully, later errors are the caller's problem and must not
-        silently demote throughput ~20x), fall back to the XLA frontend
-        permanently for this classifier and re-dispatch."""
-        try:
-            out = _classify_padded(self._device_params(), wav_device,
-                                   self.cfg, self.compute_dtype, self.mesh,
-                                   self.frontend, *resample_args)
-            self._pallas_proven = self._pallas_proven or \
-                self.frontend == 'pallas'
-            return out
-        except Exception:
-            if not (self._frontend_auto and self.frontend == 'pallas'
-                    and not self._pallas_proven):
-                raise
-            import logging
-            logging.getLogger(__name__).warning(
-                'pallas frontend failed to compile; falling back to the XLA '
-                'frontend', exc_info=True)
-            self.frontend = 'xla'
-            return _classify_padded(self._device_params(), wav_device,
-                                    self.cfg, self.compute_dtype, self.mesh,
-                                    self.frontend, *resample_args)
+        """Run the jitted classify graph with the selected frontend. An
+        explicit frontend choice fails loudly — no silent substitution."""
+        return _classify_padded(self._device_params(), wav_device,
+                                self.cfg, self.compute_dtype, self.mesh,
+                                self.frontend, *resample_args)
 
     # --- public API ------------------------------------------------------------
     def predict(self, samples: np.ndarray,

@@ -151,11 +151,11 @@ class BundleModel(BaseModel):
         self._transfer_dtype = (transfer_dtype
                                 or self.config.get('transfer_dtype')
                                 or 'int16')
-        # frontend implementation: 'auto' (default — pallas on TPU with a
-        # one-way xla fallback), 'xla', or 'pallas'. The fused kernel's
-        # frontend is ~20x faster on a real v5e (tools/pallas_tpu_probe) and
-        # the XLA frontend dominates the whole graph, so auto-selecting it
-        # raises compute-bound throughput ~20x (343 -> 17 ms per 960 s chunk).
+        # frontend implementation: 'auto' (default), 'xla', or 'pallas'.
+        # 'auto' resolves to the hop-banked XLA frontend, which out-measures
+        # the fused pallas kernel on a real v5e (13.6 vs 16.9 ms per 960 s
+        # chunk f32; the original gather formulation took 343 ms) — see
+        # ChunkClassifier.__init__ for the measurements.
         self._frontend = frontend or self.config.get('frontend') or 'auto'
         self.classifier = None
         # one model instance is shared by every inferer thread; initialize()

@@ -146,8 +146,11 @@ def _dft_mel_constants(cfg: FrontendConfig):
     matmuls over *contiguous reshapes* of the signal — no (n_frames, 400)
     gather is ever materialized. This is the same bank trick as the Pallas
     kernel (ops/pallas_frontend.py), expressed in plain XLA; it turned the
-    frontend from the dominant cost of the whole classify graph into noise
-    (the gather-based formulation spent ~95% of graph time on TPU).
+    frontend from the dominant cost of the whole classify graph (the gather
+    formulation: 343 of ~344 ms per 960 s chunk on v5e) into the fastest
+    implementation measured — 13.6 ms f32 / 6.0 ms bf16 per chunk, beating
+    even the fused Pallas kernel (16.9 / 9.6 ms), because XLA fuses the
+    banked matmuls straight into the downstream conv stack.
     """
     w_real, w_imag = mel_lib.windowed_rdft_matrices(cfg.window_samples,
                                                     cfg.fft_length)

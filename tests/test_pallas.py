@@ -56,55 +56,28 @@ def _tiny_arrays(seed=6, n_classes=3):
     return arrays
 
 
-def test_frontend_auto_resolves_by_backend():
-    """'auto' (the default) picks pallas on TPU, xla elsewhere; this CPU
-    suite must see xla so tests never depend on the Mosaic toolchain."""
+def test_frontend_auto_resolves_to_banked_xla():
+    """'auto' (the default) resolves to the hop-banked XLA frontend on every
+    backend — it out-measures the fused pallas kernel on a real v5e (13.6 vs
+    16.9 ms per 960 s chunk f32; 6.0 vs 9.6 ms bf16, dispatch-slope method).
+    'auto' stays the default name so resolution can be re-tuned per backend
+    without touching callers."""
     from buzzdetect_tpu.models.classifier import ChunkClassifier
     clf = ChunkClassifier(_tiny_arrays())
-    expected = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
-    assert clf.frontend == expected
+    assert clf.frontend == 'xla'
     assert clf._frontend_auto
 
     with pytest.raises(ValueError):
         ChunkClassifier(_tiny_arrays(), frontend='tensorflow')
 
 
-def test_frontend_auto_falls_back_when_pallas_fails():
-    """If the auto-selected pallas kernel cannot compile (Mosaic fault),
-    the classifier degrades to the XLA frontend once and keeps working.
-    On CPU a non-interpreted pallas compile fails naturally, which is
-    exactly the failure mode being exercised."""
+def test_frontend_explicit_pallas_fails_loudly_off_tpu():
+    """An EXPLICIT pallas request must never silently substitute another
+    frontend: on CPU (no Mosaic compiler) it raises."""
     from buzzdetect_tpu.models.classifier import ChunkClassifier
-    arrays = _tiny_arrays()
     wav = (RNG.standard_normal(int(2.0 * 16000)) * 0.1).astype(np.float32)
-    want = ChunkClassifier(arrays).predict(wav)
-
-    clf = ChunkClassifier(arrays)
-    clf.frontend = 'pallas'       # simulate auto-resolution to pallas
-    clf._frontend_auto = True
-    got = clf.predict(wav)
-    assert clf.frontend == 'xla'  # one-way fallback happened
-    np.testing.assert_allclose(got, want, rtol=0, atol=0)
-
-    # an EXPLICIT pallas request must not silently degrade
-    strict = ChunkClassifier(arrays, frontend='pallas')
+    strict = ChunkClassifier(_tiny_arrays(), frontend='pallas')
     assert not strict._frontend_auto
     with pytest.raises(Exception):
         strict.predict(wav)
-
-
-def test_frontend_no_fallback_once_proven():
-    """After the pallas kernel has dispatched successfully, later errors
-    (device OOM, malformed plugin input, transient runtime faults) must
-    surface to the caller — not silently demote the run to the ~20x-slower
-    XLA frontend under a misleading 'failed to compile' warning."""
-    from buzzdetect_tpu.models.classifier import ChunkClassifier
-    arrays = _tiny_arrays()
-    clf = ChunkClassifier(arrays)
-    clf.frontend = 'pallas'
-    clf._frontend_auto = True
-    clf._pallas_proven = True  # as if the kernel had been running for hours
-    wav = (RNG.standard_normal(int(2.0 * 16000)) * 0.1).astype(np.float32)
-    with pytest.raises(Exception):
-        clf.predict(wav)        # CPU pallas compile failure stands in for
-    assert clf.frontend == 'pallas'  # any post-proof fault: no silent demote
+    assert strict.frontend == 'pallas'
