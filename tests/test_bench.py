@@ -1,0 +1,51 @@
+"""Smoke tests for bench.py — the driver runs it unattended on real TPU
+hardware to produce the recorded benchmark artifact, so its code paths must
+never rot. Tiny shapes on CPU; the numbers are meaningless here, only the
+plumbing (JSON record shape, slope math, pipeline warmup) is under test."""
+
+import json
+import subprocess
+import sys
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(*args):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'bench.py'), *args],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, 'JAX_PLATFORMS': 'cpu'}, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+@pytest.mark.slow
+def test_bench_device_mode_record_shape():
+    rec = _run_bench('--mode', 'device', '--chunklength', '2',
+                     '--chunks', '4', '--reps', '1')
+    assert rec['metric'] == 'realtime_factor_device'
+    assert rec['value'] > 0
+    assert rec['vs_baseline'] == pytest.approx(rec['value'] / 100.0, rel=1e-3)
+    # the compute-slope field must be present and sane on a working backend
+    assert 'device_compute' in rec and rec['device_compute'] > 0
+
+
+@pytest.mark.slow
+def test_bench_device_mode_small_chunks_no_crash():
+    # --chunks 2 used to divide by zero in the slope math
+    rec = _run_bench('--mode', 'device', '--chunklength', '2',
+                     '--chunks', '2', '--reps', '1')
+    assert rec['value'] > 0
+    assert 'device_compute' not in rec  # too few chunks for a slope
+
+
+@pytest.mark.slow
+def test_bench_pipeline_mode_record_shape():
+    rec = _run_bench('--mode', 'pipeline', '--chunklength', '2',
+                     '--files', '1', '--seconds-per-file', '4')
+    assert rec['metric'] == 'realtime_factor_pipeline'
+    assert rec['value'] > 0
