@@ -202,3 +202,62 @@ def build_model_bundle(dir_out: str,
     }
     save_bundle(dir_out, arrays, config)
     return arrays, config
+
+
+def build_ensemble_bundle(member_dirs: list, dir_out: str):
+    """Merge several bundles sharing ONE embedder into a single multi-head
+    bundle: one pass over the corpus scores every member's classes at
+    near-zero extra compute (the embedder dominates; each extra head is one
+    (1024, n_classes) matmul column block). The expert-parallel analog the
+    reference README sketches as future work, realized as plain head
+    concatenation over shared embeddings.
+
+    Members MUST carry identical embedder weights — heads are only
+    meaningful in the embedding space they were trained in; mismatched
+    embedders raise. Output classes are prefixed ``<membername>.<class>``
+    (so column names never collide), and metrics tables are not carried
+    over: detections-mode threshold calibration is per-member, so run
+    detections mode against the member bundle instead.
+    """
+    if len(member_dirs) < 2:
+        raise ValueError('an ensemble needs at least two member bundles')
+    ref_arrays = ref_name = None
+    kernels, biases, classes, notes = [], [], [], []
+    digits = None
+    for d in member_dirs:
+        arrays, config = load_bundle(d)
+        name = os.path.basename(os.path.normpath(d))
+        emb = {k: v for k, v in arrays.items()
+               if k.startswith(('yamnet_raw/', 'yamnet/'))}
+        if ref_arrays is None:
+            ref_arrays, ref_name = emb, name
+        else:
+            same = (set(emb) == set(ref_arrays)
+                    and all(np.array_equal(emb[k], ref_arrays[k])
+                            for k in emb))
+            if not same:
+                raise ValueError(
+                    f'{name} and {ref_name} carry different embedder '
+                    f'weights; ensemble heads must share one embedding '
+                    f'space')
+        if 'head/kernel' not in arrays:
+            raise ValueError(f'{name} has no classifier head')
+        kernels.append(np.asarray(arrays['head/kernel'], np.float32))
+        biases.append(np.asarray(arrays['head/bias'], np.float32))
+        classes.extend(f'{name}.{c}' for c in config['classes'])
+        digits = (config.get('digits_results', 2) if digits is None
+                  else min(digits, config.get('digits_results', 2)))
+        notes.append(f'{name}: {len(config["classes"])} classes')
+
+    arrays = dict(ref_arrays)
+    arrays['head/kernel'] = np.concatenate(kernels, axis=1)
+    arrays['head/bias'] = np.concatenate(biases)
+    config = {
+        'classes': classes,
+        'embeddername': 'yamnet',
+        'digits_results': digits,
+        'n_embeddings': yamnet_lib.N_EMBEDDINGS,
+        'provenance': 'ensemble of [' + '; '.join(notes) + ']',
+    }
+    save_bundle(dir_out, arrays, config)
+    return arrays, config

@@ -26,7 +26,12 @@ def _run_bench(*args):
 @pytest.mark.slow
 def test_bench_device_mode_record_shape():
     rec = _run_bench('--mode', 'device', '--chunklength', '2',
-                     '--chunks', '4', '--reps', '1')
+                     '--chunks', '8', '--reps', '1')
+    if 'device_compute' not in rec:
+        # a loaded CPU host can produce a non-positive slope (short run
+        # slower than the long run per-chunk); one retry de-flakes it
+        rec = _run_bench('--mode', 'device', '--chunklength', '2',
+                         '--chunks', '8', '--reps', '1')
     assert rec['metric'] == 'realtime_factor_device'
     assert rec['value'] > 0
     assert rec['vs_baseline'] == pytest.approx(rec['value'] / 100.0, rel=1e-3)

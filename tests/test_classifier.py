@@ -197,3 +197,47 @@ def test_full_pipeline_parity_vs_tf_halfhop(arrays):
 
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, atol=1e-3)
+
+
+def test_ensemble_bundle(tmp_path, monkeypatch):
+    """Multi-head ensemble: one pass scores every member's classes, and each
+    member's column block matches that member's own predictions."""
+    import json
+    from buzzdetect_tpu import config as cfg_mod
+    from buzzdetect_tpu.models.convert import (build_model_bundle,
+                                               build_ensemble_bundle,
+                                               load_bundle, save_bundle)
+    from buzzdetect_tpu.models.heads import init_head
+    from buzzdetect_tpu.models.registry import load_model
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'ma'), classes=['x', 'y'], seed=5)
+    # same embedder (same seed), different head
+    build_model_bundle(str(dir_models / 'mb'), classes=['p', 'q', 'r'],
+                       seed=5)
+    arrays, config = load_bundle(str(dir_models / 'mb'))
+    arrays.update(init_head(1024, 3, seed=77))
+    save_bundle(str(dir_models / 'mb'), arrays, config)
+
+    build_ensemble_bundle([str(dir_models / 'ma'), str(dir_models / 'mb')],
+                          str(dir_models / 'ens'))
+    ens_config = json.load(open(dir_models / 'ens' / 'config_model.json'))
+    assert ens_config['classes'] == ['ma.x', 'ma.y', 'mb.p', 'mb.q', 'mb.r']
+
+    monkeypatch.setattr(cfg_mod, 'DIR_MODELS', str(dir_models))
+    wav = (np.random.default_rng(8).standard_normal(2 * 16000) * 0.1
+           ).astype(np.float32)
+    ens = load_model('ens', initialize=True).predict(wav)
+    a = load_model('ma', initialize=True).predict(wav)
+    b = load_model('mb', initialize=True).predict(wav)
+    # 1e-6-level deviation: the wider concatenated kernel tiles the matmul
+    # differently; scores round identically at the 2-decimal output digits
+    np.testing.assert_allclose(ens[:, :2], a, atol=1e-5)
+    np.testing.assert_allclose(ens[:, 2:], b, atol=1e-5)
+
+    # mismatched embedders must refuse to merge
+    build_model_bundle(str(dir_models / 'mc'), classes=['z'], seed=9)
+    with pytest.raises(ValueError, match='different embedder'):
+        build_ensemble_bundle([str(dir_models / 'ma'),
+                               str(dir_models / 'mc')],
+                              str(dir_models / 'bad'))
