@@ -474,13 +474,13 @@ def analyze(modelname: str,
         Ctrl-C. Completed passes leave the output directory in the exact
         state a non-watch run would — stopping the watcher never loses work.
     """
-    def one_pass(**extra):
+    def one_pass(event=event_stopanalysis, **extra):
         coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
                                   analyzers_gpu=analyzers_gpu,
                                   streamers_total=n_streamers,
                                   depth=stream_buffer_depth,
                                   q_gui=q_gui,
-                                  event_analysisdone=event_stopanalysis)
+                                  event_analysisdone=event)
         analyzer = Analyzer(modelname=modelname, classes_out=classes_out,
                             precision=precision, framehop_prop=framehop_prop,
                             chunklength=chunklength, dir_audio=dir_audio,
@@ -493,8 +493,11 @@ def analyze(modelname: str,
                             batch_chunks=batch_chunks,
                             transfer_dtype=transfer_dtype,
                             resample_on_device=resample_on_device, **extra)
+        _current_pass['coordinator'] = analyzer.coordinator
         analyzer.run()
         return analyzer
+
+    _current_pass = {}
 
     if not watch:
         return one_pass()
@@ -504,10 +507,29 @@ def analyze(modelname: str,
                               initialize=False, compute_dtype=compute_dtype,
                               mesh=mesh, **kw)
     stop = watch_stop if watch_stop is not None else threading.Event()
+    # The pipeline sets event_stopanalysis at the END of every pass to
+    # signal 'analysis done' (the GUI contract), so the caller's event
+    # cannot be handed to each cycle's coordinator directly — carried into
+    # the next cycle still set, the completion signal would read as a stop
+    # request and kill the watcher after one pass. Instead every cycle gets
+    # a fresh internal event, and a monitor thread forwards a genuine
+    # external stop (e.g. the GUI stop button) the moment it arrives: it
+    # ends the loop and interrupts whatever pass is running.
+    if event_stopanalysis is not None:
+        def _forward_external_stop():
+            event_stopanalysis.wait()
+            stop.set()
+            coordinator = _current_pass.get('coordinator')
+            if coordinator is not None:
+                coordinator.event_exitanalysis.set()
+        threading.Thread(target=_forward_external_stop, daemon=True,
+                         name='watch_stop_forwarder').start()
+
     state, cycles, analyzer, path_log = {}, 0, None, None
     while not stop.is_set():
-        analyzer = one_pass(model=shared_model, watch_state=state,
-                            quiet_startup=cycles > 0, path_log=path_log)
+        analyzer = one_pass(event=threading.Event(), model=shared_model,
+                            watch_state=state, quiet_startup=cycles > 0,
+                            path_log=path_log)
         # every cycle appends to the first cycle's log file (the Analyzer
         # stores the path it actually resolved)
         path_log = path_log or analyzer.path_log
@@ -515,15 +537,6 @@ def analyze(modelname: str,
         if analyzer.coordinator.end_reason in ('interrupted',
                                                'manifest mismatch'):
             break
-        # the pipeline sets event_stopanalysis at the END of every pass to
-        # signal 'analysis done' (GUI contract); carried into the next
-        # cycle's coordinator still set, it would read as a stop request
-        # and kill the watcher after one pass. Clear the pipeline's own
-        # completion signal; an external stop request raised from here on
-        # still lands (seen either mid-sleep via watch_stop or at the next
-        # pass as 'interrupted').
-        if event_stopanalysis is not None:
-            event_stopanalysis.clear()
         if watch_cycles is not None and cycles >= watch_cycles:
             break
         try:

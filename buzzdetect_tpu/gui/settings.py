@@ -11,7 +11,8 @@ from tkinter import ttk
 
 from buzzdetect_tpu.gui import config as gui_cfg
 from buzzdetect_tpu.gui.viewmodel import (SettingsModel, BASIC_FIELDS,
-                                          ADVANCED_FIELDS, coerce_field)
+                                          ADVANCED_FIELDS, coerce_field,
+                                          field_types)
 from buzzdetect_tpu.gui.widgets import (TextEntry, FilePathEntry,
                                         CheckBoxEntry, DropDownEntry)
 from buzzdetect_tpu.loglevels import loglevels
@@ -65,7 +66,7 @@ class AnalysisSettings(tk.Tk):
         if name in ('verbosity_print', 'verbosity_log'):
             return DropDownEntry(parent, name, list(loglevels), validator,
                                  self._on_change)
-        if name == 'log_progress':
+        if field_types().get(name) is bool:
             return CheckBoxEntry(parent, name, None, self._on_change)
         return TextEntry(parent, name, validator, self._on_change)
 

@@ -22,7 +22,8 @@ BASIC_FIELDS = ('modelname', 'dir_audio', 'dir_out', 'classes_out',
                 'precision', 'framehop_prop')
 ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
                    'n_streamers', 'stream_buffer_depth', 'verbosity_print',
-                   'verbosity_log', 'log_progress')
+                   'verbosity_log', 'log_progress', 'watch',
+                   'watch_interval')
 
 
 def analysis_defaults():

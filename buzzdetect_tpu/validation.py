@@ -171,4 +171,6 @@ validate_map = {
     'log_progress': numeric_rule(kind=int, minimum=0, maximum=1),
     'transfer_dtype': validate_transfer_dtype,
     'resample_on_device': numeric_rule(kind=int, minimum=0, maximum=1),
+    'watch': numeric_rule(kind=int, minimum=0, maximum=1),
+    'watch_interval': numeric_rule(kind=float, exclusive_min=0),
 }

@@ -130,9 +130,9 @@ def test_watch_analyzes_grown_file_tail(patched_models, tmp_path):
 
 def test_watch_survives_gui_done_event(patched_models, tmp_path):
     """The pipeline sets event_stopanalysis at the end of every pass (the
-    'analysis done' GUI signal); the watch loop must clear it between
-    cycles or the stale event reads as a stop request and kills the
-    watcher after one pass."""
+    'analysis done' GUI signal); watch cycles therefore run on fresh
+    internal events — otherwise the stale completion signal reads as a
+    stop request and kills the watcher after one pass."""
     from buzzdetect_tpu.analysis import analyze
     dir_audio = tmp_path / 'audio'
     dir_audio.mkdir()
@@ -144,6 +144,34 @@ def test_watch_survives_gui_done_event(patched_models, tmp_path):
                 watch=True, watch_cycles=3, watch_interval=0.01)
     # pre-fix this was 'interrupted' on cycle 2 and the loop broke early
     assert a.coordinator.end_reason == 'fully analyzed'
+
+
+def test_watch_external_stop_ends_watcher(patched_models, tmp_path):
+    """A genuine external stop (the GUI stop button's event) must end the
+    watch loop promptly — including from the idle sleep between passes."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 220), 16000)
+    ev = threading.Event()
+    done = os.path.join(str(tmp_path / 'out'), 'rec_buzzdetect.csv')
+
+    def stopper():
+        deadline = time.monotonic() + 120
+        while not os.path.exists(done) and time.monotonic() < deadline:
+            time.sleep(0.02)
+        time.sleep(0.1)  # let the watcher reach its idle sleep
+        ev.set()
+
+    t = threading.Thread(target=stopper, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+            dir_out=str(tmp_path / 'out'), chunklength=2.0,
+            verbosity_print='ERROR', event_stopanalysis=ev,
+            watch=True, watch_interval=3600)  # would sleep an hour w/o stop
+    assert time.monotonic() - t0 < 60, 'external stop did not end the watch'
+    assert os.path.exists(done)
 
 
 def test_watch_transient_error_retries_next_cycle(patched_models, tmp_path,
