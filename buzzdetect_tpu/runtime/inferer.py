@@ -101,7 +101,13 @@ class WorkerInferer:
         batch = [first]
         mixed = []
         exit_seen = False
-        while len(batch) < self.batch_chunks:
+        # different-rate chunks count toward the drain budget too: without
+        # that, a mixed-rate corpus with scarce same-rate chunks would keep
+        # this loop sweeping the entire bounded prefetch ring into the
+        # unbounded `mixed` list (streamers refill the ring immediately),
+        # roughly doubling peak decoded-chunk memory past the documented
+        # queue-depth bound
+        while len(batch) + len(mixed) < self.batch_chunks:
             try:
                 item = self.coordinator.q_analyze.get_nowait()
             except queue.Empty:

@@ -61,6 +61,11 @@ class WorkerLogger:
         if self._file_admits(record):
             line = render_line(record)
             self._logfile.write(line + '\n')
+            # per-record flush: the run log's whole point is crash triage
+            # (SIGKILL/power loss), so the newest records must be on disk,
+            # and a live `tail -f` must see them — file-admitted volume is
+            # low (PROGRESS is dropped by default)
+            self._logfile.flush()
         if record.level_int >= self._min_console:
             line = line if line is not None else render_line(record)
             print(line, file=sys.stderr, flush=True)

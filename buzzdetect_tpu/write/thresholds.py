@@ -25,7 +25,9 @@ def load_metrics(modelname: str):
     path_csv = os.path.join(dir_model, cfg.SUBDIR_TESTS, cfg.FNAME_METRICS)
     if os.path.exists(path_csv):
         data = np.genfromtxt(path_csv, delimiter=',', names=True)
-        return {name: np.asarray(data[name], dtype=np.float64)
+        # a single-row CSV parses as a 0-d structured scalar; every
+        # consumer expects 1-D columns
+        return {name: np.atleast_1d(np.asarray(data[name], dtype=np.float64))
                 for name in data.dtype.names}
 
     path_npz = os.path.join(dir_model, 'model.npz')
@@ -89,6 +91,15 @@ def threshold_at_precision(modelname: str, precision_requested: float) -> dict:
     (mean of the bracket rows) rather than a per-sample re-count — the
     table is what the bundle ships."""
     metrics = load_metrics(modelname)
+    # an exact-precision row is the measured answer — bracketing around it
+    # would average in its neighbors (or, for a one-row table, find nothing)
+    exact = np.where(metrics['precision'] == precision_requested)[0]
+    if exact.size:
+        return {'threshold': round(float(
+                    metrics['threshold'][exact].mean()), 2),
+                'precision': round(float(precision_requested), 2),
+                'sensitivity': round(float(
+                    metrics['sensitivity'][exact].mean()), 2)}
     idx_over, idx_under = _bracket(metrics, precision_requested)
     if idx_over is None and idx_under is None:
         raise ValueError(f'empty metrics table for "{modelname}"')

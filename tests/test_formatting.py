@@ -91,3 +91,25 @@ def test_threshold_calibration(tmp_path, monkeypatch):
     # past the table's ends it clamps to the edge row (reference behavior)
     assert thresholds.threshold_at_precision('m', 0.80)['threshold'] == -1.3
     assert thresholds.threshold_at_precision('m', 0.999)['threshold'] == -0.5
+
+    # a request EXACTLY equal to a measured row returns that row's
+    # threshold — bracketing would skip the row and average its neighbors
+    out = thresholds.threshold_at_precision('m', 0.99)
+    assert out['threshold'] == -0.5
+    assert out['sensitivity'] == 0.1
+
+
+def test_threshold_at_precision_single_exact_row(tmp_path, monkeypatch):
+    """A one-row table whose precision equals the request must return that
+    row, not raise 'empty metrics table' (the exact row used to fall out of
+    both brackets)."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.write import thresholds
+    d = tmp_path / 'models' / 'one' / 'tests'
+    d.mkdir(parents=True)
+    (d / 'metrics.csv').write_text(
+        'threshold,precision,sensitivity,fpr\n-1.2,0.95,0.28,0.003\n')
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+    out = thresholds.threshold_at_precision('one', 0.95)
+    assert out == {'threshold': -1.2, 'precision': 0.95,
+                   'sensitivity': 0.28}

@@ -75,3 +75,25 @@ def test_timestamps_have_milliseconds(tmp_path):
     text = run_logger(tmp_path, [AssignLog(message='x', level_str='INFO')])
     assert re.search(r'\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3} \[INFO\]',
                      text)
+
+
+def test_file_sink_flushes_per_record(tmp_path):
+    """Crash triage depends on the newest records being ON DISK before
+    termination — the sink must flush per record, not on close (a SIGKILL
+    mid-run would otherwise lose the stdio buffer's tail, exactly the most
+    diagnostic lines)."""
+    coord = FakeCoordinator()
+    path = str(tmp_path / 'run.log')
+    w = WorkerLogger(path_log=path, coordinator=coord)
+    coord.q_log.put(AssignLog(message='landed', level_str='INFO'))
+    t = threading.Thread(target=w.run, daemon=True)
+    t.start()
+    deadline = 50
+    while deadline and 'landed' not in open(path).read():
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    # read BEFORE the terminate record (which closes/flushes everything)
+    assert 'landed' in open(path).read()
+    coord.q_log.put(AssignLog(message='', level_str='INFO', terminate=True))
+    t.join(timeout=10)

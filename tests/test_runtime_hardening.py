@@ -129,3 +129,26 @@ def test_inferer_batch_error_delivers_results_bearing_chunks():
     assert len(coord.written) == 2
     assert {id(c) for c in coord.written} == {id(c) for c in chunks}
     assert all(c.delivered for c in chunks)
+
+
+def test_drain_batch_budget_counts_mixed_rates():
+    """Different-rate chunks count toward the drain budget: a mixed-rate
+    corpus must not let _drain_batch sweep the whole bounded prefetch ring
+    into its unbounded worker-local `mixed` list."""
+    first = _chunk('a', (0.0, 1.0))
+    first.input_rate = 16000
+    others = []
+    for i in range(12):
+        c = _chunk(f'm{i}', (0.0, 1.0))
+        c.input_rate = 48000  # never matches `first`
+        others.append(c)
+    coord = FakeCoordinator(others)
+    w = WorkerInferer(id_analyzer=0, model=FakeModel(), coordinator=coord,
+                      batch_chunks=4)
+    batch, leftover, exit_seen = w._drain_batch(first)
+    drained = len(batch) + len(leftover)
+    # budget is batch_chunks (4): first + at most 3 drained items; the
+    # other 9 mixed-rate chunks stay in the bounded ring
+    assert drained <= 4
+    assert coord.q_analyze.qsize() >= 9
+    assert not exit_seen
