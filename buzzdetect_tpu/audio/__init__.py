@@ -10,6 +10,8 @@ the native stage handles everything else.
 import importlib.util
 import os
 
+import numpy as np
+
 from buzzdetect_tpu.audio.driver import AudioDriver
 from buzzdetect_tpu.audio.ffi import NativeStream, DecodeError  # noqa: F401 (DecodeError re-exported)
 
@@ -44,7 +46,9 @@ class NativeDriver(AudioDriver):
         self.codec = self._s.codec
 
     def read(self, n, dtype=None):
-        return self._s.read(n)
+        # honor the AudioDriver contract's dtype (NativeStream dispatches
+        # int16 to the fused native path; anything else converts)
+        return self._s.read(n, dtype=dtype or np.float32)
 
     def read_s16(self, n):
         # decode straight to the int16 wire format (fused in the C stage) —

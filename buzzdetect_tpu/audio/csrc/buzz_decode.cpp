@@ -207,6 +207,20 @@ void close_internal(BzStream* s) {
     if (s->fmt) avformat_close_input(&s->fmt);
 }
 
+// Drop pending post-seek warmup OUTPUT samples from the fifo head. Must run
+// after every swr_convert that appends output — including the EOF tail
+// flush: the resampler's delay line can still hold warmup input when the
+// decoder hits EOF, so the flushed tail may carry warmup output that would
+// otherwise be mislabeled as target-position audio.
+void apply_out_drop(BzStream* s) {
+    if (s->out_drop > 0) {
+        size_t avail = s->fifo.size() - s->fifo_head;
+        size_t drop = std::min<size_t>(avail, (size_t)s->out_drop);
+        s->fifo_head += drop;
+        s->out_drop -= drop;
+    }
+}
+
 // Feed one decoded frame through discard/swr into the fifo.
 int push_frame(BzStream* s, AVFrame* fr) {
     int in_n = fr->nb_samples;
@@ -247,13 +261,7 @@ int push_frame(BzStream* s, AVFrame* fr) {
     s->fifo.resize(base + got);
     s->native_pos += in_n;
 
-    // drop post-seek warmup output
-    if (s->out_drop > 0) {
-        size_t avail = s->fifo.size() - s->fifo_head;
-        size_t drop = std::min<size_t>(avail, (size_t)s->out_drop);
-        s->fifo_head += drop;
-        s->out_drop -= drop;
-    }
+    apply_out_drop(s);
     return 0;
 }
 
@@ -319,6 +327,7 @@ int fill_fifo(BzStream* s, int64_t want) {
             uint8_t* out_planes[1] = {(uint8_t*)(s->fifo.data() + base)};
             int got = swr_convert(s->swr, out_planes, (int)max_out, nullptr, 0);
             s->fifo.resize(base + (got > 0 ? got : 0));
+            apply_out_drop(s);
             s->eof_out = true;
             break;
         }
@@ -599,7 +608,7 @@ void bz_close(BzStream* s) {
 // seek-verification experiments the reference documents but does not ship.
 int bz_encode_fixture(const char* path, const char* codec_name,
                       int sample_rate, int channels, double seconds,
-                      char* errbuf, int errlen) {
+                      char* errbuf, int errlen, int vbr) {
     av_log_set_level(AV_LOG_ERROR);
     AVFormatContext* fmt = nullptr;
     AVCodecContext* enc = nullptr;
@@ -625,7 +634,14 @@ int bz_encode_fixture(const char* path, const char* codec_name,
     av_channel_layout_default(&enc->ch_layout, channels);
     enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
                                          : AV_SAMPLE_FMT_FLTP;
-    enc->bit_rate = 128000;
+    if (vbr) {
+        // true VBR (e.g. lame -V): frame sizes vary with signal complexity,
+        // exercising the seek paths where byte-interpolated timestamps lie
+        enc->flags |= AV_CODEC_FLAG_QSCALE;
+        enc->global_quality = 5 * FF_QP2LAMBDA;
+    } else {
+        enc->bit_rate = 128000;
+    }
     enc->time_base = AVRational{1, sample_rate};
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
         enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -666,6 +682,7 @@ int bz_encode_fixture(const char* path, const char* codec_name,
         }
     };
 
+    uint32_t lcg = 0x2545F491u;  // deterministic "noise" for the vbr signal
     while (pos < total) {
         int n = (int)std::min<int64_t>(frame_size, total - pos);
         for (int i = 0; i < n; ++i) {
@@ -673,6 +690,18 @@ int bz_encode_fixture(const char* path, const char* codec_name,
             float v = (float)(0.30 * sin(2 * M_PI * 210.0 * t)
                               + 0.15 * sin(2 * M_PI * 523.0 * t)
                               + 0.05 * sin(2 * M_PI * 1277.0 * t));
+            if (vbr) {
+                // alternate quiet tone / dense noise every 0.25 s so the
+                // encoder's per-frame bitrate genuinely varies
+                bool busy = ((int64_t)(t * 4.0)) & 1;
+                if (busy) {
+                    lcg = lcg * 1664525u + 1013904223u;
+                    v = 0.25f * v
+                        + 0.5f * ((float)(lcg >> 8) / 8388608.0f - 1.0f);
+                } else {
+                    v *= 0.05f;
+                }
+            }
             for (int c = 0; c < channels; ++c)
                 buf[(size_t)i * channels + c] = v;
         }

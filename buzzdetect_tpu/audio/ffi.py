@@ -28,12 +28,29 @@ class DecodeError(RuntimeError):
 
 
 def _build():
-    try:
-        subprocess.run(['make', '-C', _CSRC, '-s'], check=True,
-                       capture_output=True, text=True)
-    except subprocess.CalledProcessError as e:
-        raise DecodeError(
-            f'failed to build native decoder:\n{e.stdout}\n{e.stderr}') from e
+    """Rebuild the .so, serialized ACROSS processes with a file lock (two
+    pytest workers or CLI+doctor starting together must not compile
+    concurrently); the Makefile itself writes via compile-to-temp + atomic
+    rename so even an unlocked reader can never dlopen a half-written
+    library."""
+    lock_path = os.path.join(_CSRC, '.build.lock')
+    with open(lock_path, 'w') as lock_f:
+        try:
+            import fcntl
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: atomic rename still protects loads
+            pass
+        src = os.path.join(_CSRC, 'buzz_decode.cpp')
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(src)):
+            return  # another process built it while we waited on the lock
+        try:
+            subprocess.run(['make', '-C', _CSRC, '-s'], check=True,
+                           capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            raise DecodeError(
+                f'failed to build native decoder:\n{e.stdout}\n{e.stderr}'
+            ) from e
 
 
 def get_lib():
@@ -94,7 +111,7 @@ def get_lib():
         lib.bz_encode_fixture.restype = ctypes.c_int
         lib.bz_encode_fixture.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.c_char_p, ctypes.c_int]
+            ctypes.c_double, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
 
         _lib = lib
         return _lib
@@ -131,12 +148,18 @@ def mulaw_s8(samples: np.ndarray) -> np.ndarray:
 
 
 def encode_fixture(path: str, codec: str, sample_rate: int = 48000,
-                   channels: int = 1, seconds: float = 5.0):
-    """Write a deterministic multi-tone test file (tests/tools only)."""
+                   channels: int = 1, seconds: float = 5.0,
+                   vbr: bool = False):
+    """Write a deterministic multi-tone test file (tests/tools only).
+
+    ``vbr=True`` encodes in true variable-bitrate mode with a
+    complexity-modulated signal, for exercising seek paths where
+    byte-interpolated timestamps lie (VBR MP3)."""
     lib = get_lib()
     err = ctypes.create_string_buffer(256)
     ret = lib.bz_encode_fixture(path.encode(), codec.encode(),
-                                sample_rate, channels, seconds, err, 256)
+                                sample_rate, channels, seconds, err, 256,
+                                1 if vbr else 0)
     if ret != 0:
         raise DecodeError(f'encode_fixture({codec}) failed: '
                           f'{err.value.decode(errors="replace")}')
@@ -163,12 +186,20 @@ class NativeStream:
         self.frames = int(self._lib.bz_duration_samples(self._h))
         self.codec = self._lib.bz_codec(self._h).decode()
 
+    def _handle(self):
+        """The live native handle; a closed stream must raise a catchable
+        error, not pass NULL into C (which dereferences unconditionally)."""
+        if not self._h:
+            raise DecodeError(f'stream is closed: {self.path}')
+        return self._h
+
     def read(self, n: int, dtype=np.float32) -> np.ndarray:
         if np.dtype(dtype) == np.int16:
             return self.read_s16(n)
         out = np.empty(int(n), dtype=np.float32)
         got = self._lib.bz_read(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._handle(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             int(n))
         if got < 0:
             raise DecodeError(f'read failed: {self.last_error()}')
@@ -179,7 +210,8 @@ class NativeStream:
         (no float materialization in Python at all)."""
         out = np.empty(int(n), dtype=np.int16)
         got = self._lib.bz_read_s16(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            self._handle(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             int(n))
         if got < 0:
             raise DecodeError(f'read failed: {self.last_error()}')
@@ -189,20 +221,21 @@ class NativeStream:
         """Read companded to the mu-law int8 wire format (one native pass)."""
         out = np.empty(int(n), dtype=np.int8)
         got = self._lib.bz_read_mulaw(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            self._handle(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             int(n))
         if got < 0:
             raise DecodeError(f'read failed: {self.last_error()}')
         return out[:got]
 
     def seek(self, sample: int):
-        ret = self._lib.bz_seek(self._h, int(sample))
+        ret = self._lib.bz_seek(self._handle(), int(sample))
         if ret < 0:
             raise DecodeError(f'seek({sample}) failed: {self.last_error()}')
         return int(sample)
 
     def tell(self) -> int:
-        return int(self._lib.bz_tell(self._h))
+        return int(self._lib.bz_tell(self._handle()))
 
     def last_error(self) -> str:
         buf = ctypes.create_string_buffer(512)

@@ -400,3 +400,87 @@ def test_mulaw_codebook_self_consistent():
     from buzzdetect_tpu.models.classifier import _to_float
     dev = np.asarray(_to_float(jnp.asarray(q)))
     np.testing.assert_allclose(dev, x, atol=1e-6)
+
+
+def test_vbr_mp3_seek_matches_linear_decode(tmp_path):
+    """True-VBR MP3 (lame QSCALE mode, complexity-modulated signal): the
+    mp3 demuxer's post-seek timestamps must still land seeks exactly. VBR
+    frame sizes defeat naive byte interpolation, so this guards the
+    SEEK_PTS classification of MP3 against demuxer regressions (measured:
+    modern FFmpeg + the Xing/LAME header keep it sample-exact)."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    path = str(tmp_path / 'vbr.mp3')
+    encode_fixture(path, 'libmp3lame', 48000, 1, 20.0, vbr=True)
+    # sanity: the encode really was VBR (way below the 128k CBR default)
+    kbps = os.path.getsize(path) * 8 / 20.0 / 1000
+    assert kbps < 100, f'fixture unexpectedly CBR-sized ({kbps:.0f} kbps)'
+
+    t = build_track(path, target_rate=0)
+    linear = t.read(48000 * 21)
+    rng = np.random.default_rng(11)
+    for target in rng.integers(0, len(linear) - 4096, size=15):
+        t.seek(int(target))
+        got = t.read(4096)
+        assert np.array_equal(got, linear[target:target + 4096]), target
+    t.close()
+
+
+def test_resampled_seek_near_eof_applies_warmup_drop(tmp_path):
+    """Seeking close to EOF of a rate-converted stream: the resampler's
+    warmup output can arrive via the EOF tail flush, which must still apply
+    the pending post-seek drop — otherwise pre-target samples are served as
+    target-position audio (silently shifted final-chunk results)."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    path = str(tmp_path / 'fx.flac')
+    encode_fixture(path, 'flac', 48000, 1, 3.0)
+
+    t = build_track(path, target_rate=16000)
+    linear = t.read(16000 * 4)
+    n = len(linear)
+    assert n >= int(2.9 * 16000)
+    # targets inside the final ~150 output samples, where EOF interrupts
+    # the warmup feed and the tail flush carries the remainder
+    for back in (5, 17, 40, 90, 150):
+        target = n - back
+        t.seek(target)
+        got = t.read(back + 10)
+        ref = linear[target:]
+        assert len(got) == len(ref), (back, len(got), len(ref))
+        assert np.array_equal(got, ref), f'eof-seek -{back} shifted'
+    t.close()
+
+
+def test_closed_stream_raises_not_crashes(tmp_path):
+    """read/seek/tell on a closed stream must raise DecodeError — passing
+    the NULL handle into the C stage would segfault the whole process."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture, NativeStream, \
+        DecodeError
+    path = str(tmp_path / 'fx.wav')
+    encode_fixture(path, 'pcm_s16le', 16000, 1, 1.0)
+    t = NativeStream(path, target_rate=0)
+    t.read(100)
+    t.close()
+    for call in (lambda: t.read(10), lambda: t.read_s16(10),
+                 lambda: t.read_mulaw(10), lambda: t.seek(0),
+                 lambda: t.tell()):
+        with pytest.raises(DecodeError, match='closed'):
+            call()
+    t.close()  # double-close stays a no-op
+
+
+def test_native_driver_read_honors_dtype(tmp_path):
+    """The AudioDriver contract is read(n, dtype); the native driver must
+    forward it (int16 rides the fused native path)."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    from buzzdetect_tpu.audio import NativeDriver
+    path = str(tmp_path / 'fx.wav')
+    encode_fixture(path, 'pcm_s16le', 16000, 1, 1.0)
+    d = NativeDriver(path, target_rate=16000)
+    f32 = d.read(1000)
+    assert f32.dtype == np.float32
+    d.seek(0)
+    i16 = d.read(1000, dtype=np.int16)
+    assert i16.dtype == np.int16
+    np.testing.assert_allclose(i16.astype(np.float32) / 32767.0, f32,
+                               atol=1.0 / 32000)
+    d.close()
