@@ -121,6 +121,14 @@ class Analyzer:
     def _setup_threshold(self, precision):
         if precision is None:
             return None
+        if 'ins_buzz' not in self.model.config['classes']:
+            # fail fast: detections mode thresholds the ins_buzz class; a
+            # model without it would otherwise burn the whole run and fail
+            # per-chunk inside the writer
+            raise ValueError(
+                f'model {self.modelname} has no "ins_buzz" class; '
+                f'detections mode (precision=...) requires one — use '
+                f'activations mode instead')
         return calculate_threshold(self.modelname, precision)
 
     # --- worker lifecycle ---------------------------------------------------
@@ -193,7 +201,6 @@ class Analyzer:
                         classes=self.model.config['classes'],
                         framehop_s=self.model.embedder.framehop_s,
                         digits_time=self.model.embedder.digits_time,
-                        dir_audio=self.dir_audio, dir_out=self.dir_out,
                         digits_results=self.model.config.get(
                             'digits_results', 2),
                         coordinator=self.coordinator))

@@ -59,6 +59,7 @@ class Coordinator:
         self.q_gui = q_gui
 
         self.assigned_chunks = {}
+        self.failed_streams = set()
         self._lock = threading.Lock()
         self._exit_lock = threading.Lock()
 
@@ -156,6 +157,19 @@ class Coordinator:
         with self._lock:
             tracker = self.assigned_chunks.setdefault(ident, StreamTracker())
             tracker.stream_in_progress = False
+
+    def mark_stream_failed(self, ident: str):
+        """A streamer aborted this file with chunks possibly missing (an
+        unexpected decode/IO error mid-file): the writer must never promote
+        it to a complete result — already-analyzed chunks checkpoint into
+        the partial, and a later run re-analyzes the hole."""
+        with self._lock:
+            self.failed_streams.add(ident)
+        self.mark_stream_finished(ident)
+
+    def stream_failed(self, ident: str) -> bool:
+        with self._lock:
+            return ident in self.failed_streams
 
     # --- exit protocol -----------------------------------------------------
     def _poison(self, q, n, consumers_done=None):

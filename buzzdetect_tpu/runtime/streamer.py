@@ -80,8 +80,12 @@ class WorkerStreamer:
         if not os.path.exists(a_file.path_results_partial):
             gaps = [(0.0, a_file.duration_audio)]
         else:
+            # framehop-aware: at sparse hops (> framelength) a row attests
+            # its whole stride, and torn rows force their frame's re-analysis
             coverage = coverage_from_csv(a_file.path_results_partial,
-                                         self.framelength_s)
+                                         self.framelength_s,
+                                         framehop=self.model.embedder
+                                         .framehop_s)
             gaps = get_gaps((0, a_file.duration_audio), coverage)
             gaps = smooth_gaps(gaps, (0, a_file.duration_audio),
                                framelength=self.framelength_s,
@@ -131,7 +135,11 @@ class WorkerStreamer:
 
         if len(samples) < read_size:
             self.handle_bad_read(a_file)
-            chunk = (chunk[0], round(chunk[0] + len(samples) / rate, 1))
+            # 2 decimals like every other chunk boundary, and never below
+            # the chunk start (a 1-decimal round here used to produce
+            # inverted chunks and negative audio-seconds accounting)
+            chunk = (chunk[0],
+                     max(chunk[0], round(chunk[0] + len(samples) / rate, 2)))
             continue_file = False
             if len(samples) == 0:
                 return False
@@ -163,8 +171,13 @@ class WorkerStreamer:
                     self.coordinator.mark_stream_finished(a_file.ident)
                     break
         except Exception as e:  # corrupt containers must not kill the worker
-            self.log(f'error streaming {a_file.shortpath_audio}: {e}', 'ERROR')
-            self.coordinator.mark_stream_finished(a_file.ident)
+            self.log(f'error streaming {a_file.shortpath_audio}: {e}; '
+                     f'finished chunks checkpoint, the rest resumes on a '
+                     f'later run', 'ERROR')
+            # FAILED, not merely finished: chunks after the error were never
+            # queued, so the writer must leave the file a resumable partial
+            # instead of promoting a silently truncated complete result
+            self.coordinator.mark_stream_failed(a_file.ident)
         finally:
             if a_file.track is not None:
                 a_file.track.close()

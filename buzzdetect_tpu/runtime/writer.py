@@ -20,34 +20,30 @@ def finalize_partial(path_partial: str, path_complete: str):
     """Sort a partial result CSV by start time and promote it to complete.
 
     Torn rows (a SIGKILL can interrupt an append mid-line) are dropped — the
-    resume logic never counted them as covered, so a complete replacement row
-    exists by the time finalization runs.
+    resume logic never counted them as covered (and subtracts their span),
+    so a complete replacement row exists by the time finalization runs.
+
+    Promotion is ATOMIC (write to temp + rename): a crash or disk-full
+    mid-promotion must never leave a truncated complete file, because every
+    later run trusts a complete file's existence and would skip the file
+    forever.
     """
-    with open(path_partial, 'r', newline='') as f:
-        reader = csv.reader(f)
-        header = next(reader)
-        n_cols = len(header)
-        rows = []
-        for r in reader:
-            if len(r) != n_cols:
-                continue
-            try:
-                [float(c) for c in r]
-            except ValueError:
-                continue
-            rows.append(r)
+    from buzzdetect_tpu.write.coverage import read_result_rows
+    header, rows, _torn = read_result_rows(path_partial)
     idx = header.index('start')
     rows.sort(key=lambda r: float(r[idx]))
-    with open(path_complete, 'w', newline='') as f:
+    path_tmp = path_complete + '.tmp'
+    with open(path_tmp, 'w', newline='') as f:
         w = csv.writer(f)
         w.writerow(header)
         w.writerows(rows)
+    os.replace(path_tmp, path_complete)
     os.remove(path_partial)
 
 
 class WorkerWriter:
     def __init__(self, classes_out, threshold, classes, framehop_s,
-                 digits_time, dir_audio, dir_out, digits_results, coordinator):
+                 digits_time, digits_results, coordinator):
         self.coordinator = coordinator
         self.digits_time = digits_time
         # aggregate throughput accounting (audio-seconds actually landed)
@@ -99,9 +95,19 @@ class WorkerWriter:
             path_partial = a_chunk.file.path_results_partial
             os.makedirs(os.path.dirname(path_partial) or '.', exist_ok=True)
             file_exists = os.path.exists(path_partial)
+            text = table.render_csv(self.digits_time,
+                                    include_header=not file_exists)
+            if file_exists and os.path.getsize(path_partial) > 0:
+                # a SIGKILL-torn previous append may have left the file
+                # without a trailing newline; appending directly would glue
+                # the torn line to this table's FIRST row — which is exactly
+                # the torn frame's replacement — and finalize would drop both
+                with open(path_partial, 'rb') as rf:
+                    rf.seek(-1, os.SEEK_END)
+                    if rf.read(1) != b'\n':
+                        text = '\n' + text
             with open(path_partial, 'a', newline='') as f:
-                f.write(table.render_csv(self.digits_time,
-                                         include_header=not file_exists))
+                f.write(text)
             seconds = a_chunk.chunk[1] - a_chunk.chunk[0]
             self.audio_seconds_written += seconds
             self.chunks_written += 1
@@ -109,6 +115,7 @@ class WorkerWriter:
 
         if (fully_analyzed
                 and a_chunk.file.ident not in self.failed_idents
+                and not self.coordinator.stream_failed(a_chunk.file.ident)
                 and os.path.exists(a_chunk.file.path_results_partial)):
             finalize_partial(a_chunk.file.path_results_partial,
                              a_chunk.file.path_results_complete)

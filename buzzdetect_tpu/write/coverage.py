@@ -109,35 +109,84 @@ def gaps_to_chunklist(gaps_in, chunklength: float, decimals: int = 2):
     return [(float(a), float(b)) for a, b in chunklist]
 
 
-def coverage_from_csv(path: str, framelength: float):
-    """Read a (partial) result CSV and return merged covered intervals.
+def read_result_rows(path: str):
+    """Torn-row-tolerant result-CSV reader — the ONE definition of what
+    counts as a valid row, shared by resume coverage and finalization (two
+    divergent copies would desynchronize what resume re-analyzes from what
+    finalization keeps).
 
-    Only the ``start`` column matters; every row attests one analyzed frame.
-    A SIGKILL mid-append can tear the final line — unparseable trailing rows
-    are dropped (that frame simply gets re-analyzed), never fatal.
+    Returns ``(header, rows, torn_starts)``: ``rows`` are the complete
+    validated rows (right column count, every cell float-parseable);
+    ``torn_starts`` are the start times of INCOMPLETE rows whose start cell
+    still parsed (an append tears at the end of a line, so the leading
+    start cell usually survives) — resume uses them to force the torn
+    frame's re-analysis even when overlapping neighbors cover its span.
     """
     import csv
-    starts = []
+    rows, torn_starts = [], []
     with open(path, 'r', newline='') as f:
         reader = csv.reader(f)
         header = next(reader, None)
         if header is None:
-            return []
+            return None, [], []
         idx = header.index('start')
         n_cols = len(header)
         for row in reader:
             if not row:
                 continue
-            # a row only attests coverage if it is COMPLETE: right column
-            # count and every cell parseable (a torn row may still have a
-            # readable start cell)
-            if len(row) != n_cols:
-                continue
-            try:
-                values = [float(c) for c in row]
-            except ValueError:
-                continue
-            starts.append(values[idx])
-    if not starts:
+            complete = len(row) == n_cols
+            if complete:
+                try:
+                    [float(c) for c in row]
+                except ValueError:
+                    complete = False
+            if complete:
+                rows.append(row)
+            else:
+                try:
+                    torn_starts.append(float(row[idx]))
+                except (ValueError, IndexError):
+                    pass  # even the start cell is gone; nothing to locate
+    return header, rows, torn_starts
+
+
+def subtract_interval(coverage, lo, hi):
+    """Remove [lo, hi) from a merged coverage list."""
+    out = []
+    for s, e in coverage:
+        if e <= lo or s >= hi:
+            out.append((s, e))
+            continue
+        if s < lo:
+            out.append((s, lo))
+        if e > hi:
+            out.append((hi, e))
+    return out
+
+
+def coverage_from_csv(path: str, framelength: float,
+                      framehop: float = None):
+    """Read a (partial) result CSV and return merged covered intervals.
+
+    Only the ``start`` column matters; every row attests one analyzed frame.
+    A SIGKILL mid-append can tear the final line — unparseable trailing rows
+    are dropped AND their span is subtracted from the coverage, so the torn
+    frame is re-analyzed even at overlapping framehops (< 1), where
+    neighboring rows would otherwise cover its span and finalization would
+    drop it without a replacement.
+
+    ``framehop`` (seconds): at sparse framehops (> framelength) a row
+    attests the whole stride to the next expected row — melting with only
+    the framelength would read every inter-row stride as a gap and resume
+    would re-analyze an already-sampled sparse run frame by frame.
+    """
+    header, rows, torn_starts = read_result_rows(path)
+    if header is None or not rows:
         return []
-    return melt_coverage(np.array(starts), framelength=framelength)
+    idx = header.index('start')
+    starts = np.array([float(r[idx]) for r in rows])
+    span = max(framelength, framehop or 0.0)
+    coverage = melt_coverage(starts, framelength=span)
+    for s in torn_starts:
+        coverage = subtract_interval(coverage, s, s + span)
+    return coverage

@@ -1,0 +1,215 @@
+"""Durability of the checkpoint/finalization machinery under faults:
+mid-file decode failures, SIGKILL-torn appends, non-atomic promotion, and
+resume coverage at non-default framehops. (Review-driven regression tests;
+the happy paths live in test_pipeline.py / test_writer_unit.py.)"""
+
+import os
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.models.convert import build_model_bundle
+from buzzdetect_tpu.write.coverage import (coverage_from_csv, get_gaps,
+                                           subtract_interval)
+from tests.audio_fixtures import make_tone, write_wav
+
+CLASSES = ['ins_buzz', 'ambient_noise']
+
+
+@pytest.fixture(scope='module')
+def dir_models(tmp_path_factory):
+    root = tmp_path_factory.mktemp('dur_models')
+    build_model_bundle(str(root / 'durmodel'), classes=CLASSES, seed=13)
+    return str(root)
+
+
+@pytest.fixture()
+def patched_models(dir_models, monkeypatch):
+    monkeypatch.setattr(cfg, 'DIR_MODELS', dir_models)
+
+
+# --- coverage math ----------------------------------------------------------
+
+def _write_csv(path, lines):
+    with open(path, 'w') as f:
+        f.write('\n'.join(lines))
+
+
+def test_torn_row_span_subtracted_for_overlapping_framehop(tmp_path):
+    """At framehop < 1 the torn frame's neighbors cover its span, so without
+    explicit subtraction the torn row would never be re-analyzed and
+    finalization would drop it forever."""
+    p = str(tmp_path / 'x_buzzpart.csv')
+    _write_csv(p, ['start,activation_a', '0.0,1.0', '0.48,1.0', '1.44,1.0',
+                   '0.96,'])  # torn final append at start=0.96
+    coverage = coverage_from_csv(p, framelength=0.96, framehop=0.48)
+    gaps = get_gaps((0, 2.4), coverage)
+    assert any(lo <= 0.96 < hi for lo, hi in gaps), \
+        f'torn frame 0.96 not re-analyzable: coverage={coverage} gaps={gaps}'
+
+
+def test_sparse_framehop_rows_attest_their_stride(tmp_path):
+    """framehop > framelength (sparse sampling): resume must not read the
+    stride between consecutive rows as a gap — that would re-analyze the
+    whole already-sampled run off-grid."""
+    p = str(tmp_path / 'x_buzzpart.csv')
+    _write_csv(p, ['start,activation_a', '0.0,1.0', '1.44,1.0', '2.88,1.0'])
+    coverage = coverage_from_csv(p, framelength=0.96, framehop=1.44)
+    assert coverage == [(0.0, 2.88 + 1.44)]
+    assert get_gaps((0, 4.32), coverage) == []
+
+
+def test_subtract_interval_splits_and_clips():
+    cov = [(0.0, 5.0), (7.0, 9.0)]
+    assert subtract_interval(cov, 2.0, 3.0) == [(0.0, 2.0), (3.0, 5.0),
+                                                (7.0, 9.0)]
+    assert subtract_interval(cov, 4.0, 8.0) == [(0.0, 4.0), (8.0, 9.0)]
+    assert subtract_interval(cov, 10.0, 11.0) == cov
+
+
+# --- writer append/promotion -------------------------------------------------
+
+def _writer(coordinator=None):
+    import queue
+    import threading
+    from buzzdetect_tpu.runtime.writer import WorkerWriter
+
+    class Coord:
+        def __init__(self):
+            self.q_log = queue.Queue()
+            self.q_write = queue.Queue()
+            self.writer_done = threading.Event()
+
+        def record_written(self, seconds):
+            pass
+
+        def stream_failed(self, ident):
+            return False
+
+    return WorkerWriter(classes_out=['a'], threshold=None, classes=['a'],
+                        framehop_s=0.96, digits_time=2, digits_results=2,
+                        coordinator=coordinator or Coord())
+
+
+def test_append_after_torn_line_inserts_newline(tmp_path):
+    """A torn append leaves no trailing newline; the next append must not
+    glue its first row (the torn frame's REPLACEMENT) onto the torn line."""
+    from buzzdetect_tpu.runtime.assignments import AssignFile, AssignChunk
+    from buzzdetect_tpu.runtime.writer import finalize_partial
+
+    a_file = AssignFile(path_audio=str(tmp_path / 'x.wav'),
+                        dir_audio=str(tmp_path),
+                        dir_results=str(tmp_path / 'out'))
+    os.makedirs(tmp_path / 'out')
+    partial = a_file.path_results_partial
+    with open(partial, 'w') as f:
+        f.write('start,activation_a\n0.0,1.0\n0.96,')  # torn, no newline
+
+    w = _writer()
+    chunk = AssignChunk(file=a_file, chunk=(0.96, 1.92),
+                        samples=None, last_chunk=True)
+    chunk.results = np.array([[0.5]], dtype=np.float32)
+    chunk.n_valid = 1
+    w.write_results(chunk, fully_analyzed=False)
+
+    lines = open(partial).read().splitlines()
+    assert lines[0] == 'start,activation_a'
+    assert any(line.startswith('0.96,0.5') for line in lines), lines
+    finalize_partial(partial, a_file.path_results_complete)
+    final = open(a_file.path_results_complete).read().splitlines()
+    starts = [line.split(',')[0] for line in final[1:]]
+    assert starts == ['0.0', '0.96']  # torn dropped, replacement kept
+
+
+def test_finalize_failure_leaves_consistent_state(tmp_path, monkeypatch):
+    """A crash mid-promotion (simulated at the rename) must leave NO
+    complete file — a truncated complete would be trusted forever — and
+    keep the partial for a later retry."""
+    from buzzdetect_tpu.runtime.writer import finalize_partial
+    partial = str(tmp_path / 'x_buzzpart.csv')
+    complete = str(tmp_path / 'x_buzzdetect.csv')
+    _write_csv(partial, ['start,activation_a', '0.96,1.0', '0.0,1.0'])
+
+    real_replace = os.replace
+    monkeypatch.setattr(os, 'replace',
+                        lambda *a: (_ for _ in ()).throw(OSError('boom')))
+    with pytest.raises(OSError):
+        finalize_partial(partial, complete)
+    assert not os.path.exists(complete)
+    assert os.path.exists(partial)
+
+    monkeypatch.setattr(os, 'replace', real_replace)
+    finalize_partial(partial, complete)
+    rows = open(complete).read().splitlines()
+    assert [r.split(',')[0] for r in rows[1:]] == ['0.0', '0.96']  # sorted
+    assert not os.path.exists(partial)
+
+
+# --- streamer mid-file failure ----------------------------------------------
+
+def test_midfile_decode_error_never_finalizes_truncated(patched_models,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """A transient decode error after some chunks were analyzed must leave
+    the file a resumable PARTIAL — promoting it would permanently skip the
+    never-analyzed tail on every later run. The rerun then completes it,
+    matching a clean fresh analysis."""
+    from buzzdetect_tpu import analysis as analysis_mod
+    from buzzdetect_tpu.runtime import streamer as streamer_mod
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.audio import build_track as real_build_track
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(6.0, 16000, 260), 16000)
+    dir_out = str(tmp_path / 'out')
+
+    class FailingTrack:
+        """Delegates to the real track; read() dies on the second call."""
+
+        def __init__(self, inner):
+            self._t = inner
+            self._reads = 0
+
+        def __getattr__(self, name):
+            return getattr(self._t, name)
+
+        def _maybe_fail(self):
+            self._reads += 1
+            if self._reads == 2:
+                raise RuntimeError('simulated transient decode failure')
+
+        def read(self, n, dtype=None):
+            self._maybe_fail()
+            return self._t.read(n, dtype=dtype or np.float32)
+
+        def read_s16(self, n):  # the fused wire path the streamer prefers
+            self._maybe_fail()
+            return self._t.read_s16(n)
+
+    def failing_build_track(path, **kw):
+        return FailingTrack(real_build_track(path, **kw))
+
+    monkeypatch.setattr(streamer_mod, 'build_track', failing_build_track)
+    analyze(modelname='durmodel', dir_audio=str(dir_audio), dir_out=dir_out,
+            chunklength=2.0, n_streamers=1, verbosity_print='ERROR')
+
+    partial = os.path.join(dir_out, 'rec_buzzpart.csv')
+    complete = os.path.join(dir_out, 'rec_buzzdetect.csv')
+    assert os.path.exists(partial), 'first chunk should have checkpointed'
+    assert not os.path.exists(complete), \
+        'truncated result must NOT be promoted to complete'
+
+    # recovery run (healthy decode) completes the file
+    monkeypatch.setattr(streamer_mod, 'build_track', real_build_track)
+    analyze(modelname='durmodel', dir_audio=str(dir_audio), dir_out=dir_out,
+            chunklength=2.0, verbosity_print='ERROR')
+    assert os.path.exists(complete) and not os.path.exists(partial)
+
+    dir_oracle = str(tmp_path / 'oracle')
+    analyze(modelname='durmodel', dir_audio=str(dir_audio),
+            dir_out=dir_oracle, chunklength=2.0, verbosity_print='ERROR')
+    got = open(complete).read()
+    want = open(os.path.join(dir_oracle, 'rec_buzzdetect.csv')).read()
+    assert got == want

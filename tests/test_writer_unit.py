@@ -25,12 +25,14 @@ class FakeCoordinator:
     def record_written(self, seconds):
         self.audio += seconds
 
+    def stream_failed(self, ident):
+        return False
+
 
 def _writer(tmp_path):
     coord = FakeCoordinator()
     w = WorkerWriter(classes_out='all', threshold=None, classes=['a', 'b'],
-                     framehop_s=0.96, digits_time=2, dir_audio=str(tmp_path),
-                     dir_out=str(tmp_path), digits_results=2,
+                     framehop_s=0.96, digits_time=2, digits_results=2,
                      coordinator=coord)
     return w, coord
 
