@@ -144,9 +144,12 @@ def load_bundle(dir_model: str):
 
 
 def metrics_from_csv(path: str):
-    """Pack a threshold/precision/sensitivity/fpr CSV into bundle arrays."""
+    """Pack a threshold/precision/sensitivity/fpr CSV into bundle arrays.
+
+    atleast_1d: a single-row CSV parses as a 0-d structured scalar, and 0-d
+    metrics arrays crash threshold calibration's bracketing indexers."""
     data = np.genfromtxt(path, delimiter=',', names=True)
-    return {f'metrics_{n}': np.asarray(data[n], np.float64)
+    return {f'metrics_{n}': np.atleast_1d(np.asarray(data[n], np.float64))
             for n in data.dtype.names}
 
 
@@ -224,9 +227,15 @@ def build_ensemble_bundle(member_dirs: list, dir_out: str):
     ref_arrays = ref_name = None
     kernels, biases, classes, notes = [], [], [], []
     digits = None
+    seen_names = set()
     for d in member_dirs:
         arrays, config = load_bundle(d)
         name = os.path.basename(os.path.normpath(d))
+        if name in seen_names:
+            raise ValueError(
+                f'two ensemble members share the directory name "{name}"; '
+                f'prefixed class columns would collide — rename one')
+        seen_names.add(name)
         emb = {k: v for k, v in arrays.items()
                if k.startswith(('yamnet_raw/', 'yamnet/'))}
         if ref_arrays is None:

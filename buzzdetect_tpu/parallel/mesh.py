@@ -23,13 +23,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int = None, axis: str = 'data',
-              devices=None) -> Mesh:
-    """A 1-D data-parallel mesh over local (or given) devices."""
+              devices=None, shape=None, axes=None) -> Mesh:
+    """A device mesh over local (or given) devices.
+
+    Default: 1-D data-parallel over ``axis``. For the trainer's DPxTP
+    sharding pass a 2-D layout, e.g.
+    ``make_mesh(shape=(4, 2), axes=('data', 'model'))`` — without this the
+    package's own mesh factory could not build the mesh its own train step
+    requires.
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.array(devices), (axis,))
+    devices = np.array(devices)
+    if shape is not None:
+        if axes is None or len(axes) != len(shape):
+            raise ValueError('axes must name every dim of shape')
+        return Mesh(devices[:int(np.prod(shape))].reshape(shape),
+                    tuple(axes))
+    return Mesh(devices, (axis,))
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = 'data',
@@ -44,13 +57,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_files(paths, host_id: int = None, n_hosts: int = None):
+def shard_files(paths, host_id: int = None, n_hosts: int = None,
+                root: str = None):
     """Deterministically assign files to this host (multi-host DP).
 
     Stable across runs and independent of listing order, so interrupted
     multi-host jobs resume with the same assignment. Hosts need no
     communication: completion state lives in the shared output directory.
+
+    Pass ``root`` (the audio directory) so the hash covers the path
+    RELATIVE to it: hosts that mount or spell the corpus directory
+    differently (/data/audio vs /mnt/shared/audio) then still agree on
+    every file's owner. Hashing absolute paths would silently assign some
+    files to no host at all when spellings differ.
     """
+    import os
     if host_id is None:
         host_id = jax.process_index()
     if n_hosts is None:
@@ -59,7 +80,8 @@ def shard_files(paths, host_id: int = None, n_hosts: int = None):
         return list(paths)
     mine = []
     for p in paths:
-        digest = hashlib.sha1(str(p).encode()).digest()
+        key = os.path.relpath(str(p), root) if root else str(p)
+        digest = hashlib.sha1(key.encode()).digest()
         if int.from_bytes(digest[:4], 'big') % n_hosts == host_id:
             mine.append(p)
     return mine

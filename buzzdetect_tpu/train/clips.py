@@ -16,7 +16,8 @@ from buzzdetect_tpu.train.data import translate_labels
 
 
 def clip_spans(events, duration: float, clip_seconds: float,
-               negatives_per_positive: float = 1.0, seed: int = 0):
+               negatives_per_positive: float = 1.0, seed: int = 0,
+               overlap_prop: float = 0.2):
     """Plan clip extraction for one file.
 
     Returns a list of (start_seconds, labels) where labels is the list of
@@ -41,11 +42,23 @@ def clip_spans(events, duration: float, clip_seconds: float,
 
     # label each clip with EVERY event it overlaps — time-overlapping events
     # must not produce contradictory rows (clip marked 'bee' with car=0 while
-    # a car event covers the same second)
+    # a car event covers the same second). An overlap only counts when it
+    # covers >= overlap_prop of the clip (the same 0.2 rule as
+    # annotations.frames_to_labels): the final tile of an event otherwise
+    # gets labeled positive on an arbitrarily small sliver, training on
+    # clips that are almost entirely unannotated audio.
+    # (an event SHORTER than the threshold still counts when it lies
+    # inside the clip — brief transient buzzes must not vanish from the
+    # training set)
+    min_overlap = overlap_prop * clip_seconds
     spans = []
     for start in sorted(starts):
         end = start + clip_seconds
-        labels = sorted({lb for s, e, lb in clipped if s < end and e > start})
+        labels = sorted({lb for s, e, lb in clipped
+                         if (min(e, end) - max(s, start)
+                             >= min(min_overlap, e - s))})
+        if not labels:
+            continue  # sliver-only tile: no event meaningfully present
         spans.append((start, labels))
 
     n_neg = int(round(len(spans) * negatives_per_positive))

@@ -19,8 +19,16 @@ def load_translation(path_csv: str) -> dict:
     mapping = {}
     with open(path_csv, newline='') as f:
         reader = csv.reader(f)
-        header = next(reader)
-        for row in reader:
+        first = next(reader, None)
+        if first is None:
+            raise ValueError(f'empty translation file: {path_csv}')
+        # a header row is optional (the reference's translation.csv has
+        # one); detect it by its conventional column names rather than
+        # silently discarding a headerless file's first mapping
+        looks_like_header = (first[0].strip().lower()
+                             in ('raw', 'label', 'from', 'annotation'))
+        rows = reader if looks_like_header else [first] + list(reader)
+        for row in rows:
             if not row or not row[0]:
                 continue
             target = row[1].strip() if len(row) > 1 else ''

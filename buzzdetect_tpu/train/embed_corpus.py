@@ -58,9 +58,17 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
     from buzzdetect_tpu.audio import driver_map
     from buzzdetect_tpu.models.registry import load_model
 
-    model = load_model(modelname or cfg.DEFAULT_MODEL,
-                       framehop_prop=framehop_prop, initialize=True)
-    classifier = model.classifier
+    # lazy: a fully-resumed corpus (every npz present) must not pay the
+    # model load / device placement just to skip every file
+    classifier = None
+
+    def get_classifier():
+        nonlocal classifier
+        if classifier is None:
+            model = load_model(modelname or cfg.DEFAULT_MODEL,
+                               framehop_prop=framehop_prop, initialize=True)
+            classifier = model.classifier
+        return classifier
 
     written = []
     for path in search_dir(dir_audio, list(driver_map.keys())):
@@ -69,7 +77,7 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
         if os.path.exists(path_out):
             continue
         os.makedirs(os.path.dirname(path_out) or '.', exist_ok=True)
-        starts, embeddings = embed_file(classifier, path, chunklength)
+        starts, embeddings = embed_file(get_classifier(), path, chunklength)
         # write-then-rename: the skip-if-exists resume above must never
         # adopt a truncated npz left by a mid-write crash
         path_tmp = path_out + '.tmp.npz'  # savez appends .npz otherwise

@@ -26,8 +26,16 @@ def threshold_sweep(scores, labels, thresholds=None):
         thresholds = np.unique(np.round(scores, 2))
 
     rows = {'threshold': [], 'precision': [], 'sensitivity': [], 'fpr': []}
-    n_pos = max(int(labels.sum()), 1)
-    n_neg = max(int((~labels).sum()), 1)
+    n_pos = int(labels.sum())
+    n_neg = int((~labels).sum())
+    if n_pos == 0 or n_neg == 0:
+        # a one-sided eval set cannot calibrate anything: silently clamping
+        # would bake an all-zero sensitivity (or fpr) column into the bundle
+        # and later drive precision->threshold calibration off nonsense
+        raise ValueError(
+            f'evaluation set is one-sided ({n_pos} positive / {n_neg} '
+            f'negative frames); a threshold sweep needs both classes — '
+            f'grow or rebalance the holdout split')
     for t in np.sort(thresholds):
         pred = scores > t
         tp = int((pred & labels).sum())
@@ -65,10 +73,29 @@ def evaluate_model_on_clips(classifier, clips, labels, classes,
 
     ``clips``: iterable of 16 kHz mono waveforms; ``labels``: (N, C) multi-hot.
     Each clip contributes its max per-class activation (clip-level decision).
+
+    Clips dispatch asynchronously (and same-length runs batch into single
+    device calls) — a blocking predict per clip would make large eval sets
+    dispatch-latency-bound for no reason.
     """
-    scores = []
-    for clip in clips:
-        act = classifier.predict(clip)
-        scores.append(act.max(axis=0))
+    clips = list(clips)
+    scores = [None] * len(clips)
+    batcher = getattr(classifier, 'predict_async_batch', None)
+    i = 0
+    while i < len(clips):
+        j = i + 1
+        if batcher is not None:
+            while (j < len(clips) and j - i < 128
+                   and len(clips[j]) == len(clips[i])):
+                j += 1
+        if batcher is not None and j - i > 1:
+            out, n_valids = batcher(clips[i:j])
+            out = np.asarray(out)
+            for k in range(i, j):
+                scores[k] = out[k - i][:n_valids[k - i]].max(axis=0)
+        else:
+            act, n_valid = classifier.predict_async(clips[i])
+            scores[i] = np.asarray(act)[:n_valid].max(axis=0)
+        i = j
     scores = np.stack(scores)
     return evaluate_scores(scores, np.asarray(labels), classes, target_class)

@@ -78,6 +78,11 @@ def train_head(embeddings, labels, n_classes=None, *, epochs=10,
     """
     embeddings = np.asarray(embeddings, np.float32)
     labels = np.asarray(labels, np.float32)
+    if len(embeddings) == 0:
+        # training on nothing yields all-NaN params with no error (empty
+        # mean -> NaN loss/grads); fail like train_full_model does
+        raise ValueError('no embeddings to train on — check the labels/'
+                         'corpus produced at least one frame')
     n_classes = n_classes or labels.shape[1]
     params = init_head(embeddings.shape[1], n_classes, seed=seed)
     params = {k: jnp.asarray(v) for k, v in params.items()}

@@ -34,11 +34,17 @@ def load_metrics(modelname: str):
     if os.path.exists(path_npz):
         with np.load(path_npz) as z:
             if 'metrics_threshold' in z:
+                # atleast_1d: bundles built before metrics_from_csv guarded
+                # single-row tables may carry 0-d arrays
                 return {
-                    'threshold': z['metrics_threshold'].astype(np.float64),
-                    'precision': z['metrics_precision'].astype(np.float64),
-                    'sensitivity': z['metrics_sensitivity'].astype(np.float64),
-                    'fpr': z['metrics_fpr'].astype(np.float64),
+                    'threshold': np.atleast_1d(
+                        z['metrics_threshold'].astype(np.float64)),
+                    'precision': np.atleast_1d(
+                        z['metrics_precision'].astype(np.float64)),
+                    'sensitivity': np.atleast_1d(
+                        z['metrics_sensitivity'].astype(np.float64)),
+                    'fpr': np.atleast_1d(
+                        z['metrics_fpr'].astype(np.float64)),
                 }
     raise FileNotFoundError(
         f'metrics not available for model "{modelname}"; run '

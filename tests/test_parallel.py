@@ -141,3 +141,30 @@ def test_analyze_with_mesh(tmp_path, monkeypatch):
     a = open(tmp_path / 'single' / 't_buzzdetect.csv').read()
     b = open(tmp_path / 'meshed' / 't_buzzdetect.csv').read()
     assert a == b
+
+
+def test_shard_files_root_relative_agreement():
+    """Hosts mounting the corpus at different absolute paths must agree on
+    every file's owner — the hash covers the root-relative path."""
+    rel = [f'site{i}/rec{j}.wav' for i in range(3) for j in range(5)]
+    a = [f'/data/audio/{r}' for r in rel]
+    b = [f'/mnt/shared/audio/{r}' for r in rel]
+    for host in range(4):
+        mine_a = shard_files(a, host_id=host, n_hosts=4, root='/data/audio')
+        mine_b = shard_files(b, host_id=host, n_hosts=4,
+                             root='/mnt/shared/audio')
+        assert ([p[len('/data/audio/'):] for p in mine_a]
+                == [p[len('/mnt/shared/audio/'):] for p in mine_b])
+
+
+def test_make_mesh_2d_for_trainer():
+    """make_mesh must be able to build the DPxTP ('data','model') mesh the
+    trainer's sharding requires."""
+    import jax
+    n = len(jax.devices())
+    if n < 4:
+        import pytest
+        pytest.skip('needs >= 4 virtual devices')
+    mesh = make_mesh(shape=(n // 2, 2), axes=('data', 'model'))
+    assert mesh.axis_names == ('data', 'model')
+    assert mesh.devices.shape == (n // 2, 2)

@@ -229,8 +229,17 @@ def test_clip_extraction_and_full_train(tmp_path):
                        negatives_per_positive=1.0)
     pos = [s for s in spans if s[1]]
     neg = [s for s in spans if not s[1]]
-    assert len(pos) == 3  # ceil(2.0 / 0.975)
-    assert len(neg) == 3
+    # tiles at 1.0 and 1.975 overlap the event substantially; the third
+    # tile at 2.95 would cover only a 0.05 s sliver (< the 0.2-overlap
+    # rule) and is dropped — a positive label on 95% unannotated audio
+    # would only add label noise
+    assert len(pos) == 2
+    assert len(neg) == 2
+    # a short transient event still yields its clip (full containment
+    # overrides the proportional rule)
+    short = clip_spans([(5.0, 5.05, 'tick')], duration=10.0,
+                       clip_seconds=0.975, negatives_per_positive=0.0)
+    assert [s for s in short if s[1]] == [(5.0, ['tick'])]
     for start, _ in neg:
         assert start + 0.975 <= 1.0 or start >= 3.0
 

@@ -158,8 +158,13 @@ def main():
         hold_lab = np.concatenate([per_file[i][2] for i in hold_idx])
         ci = args.classes.index('ins_buzz')
         scores = hold_emb @ head['head/kernel'] + head['head/bias']
-        metrics = threshold_sweep(scores[:, ci], hold_lab[:, ci])
-        print(f'      {len(metrics["threshold"])} threshold rows')
+        try:
+            metrics = threshold_sweep(scores[:, ci], hold_lab[:, ci])
+            print(f'      {len(metrics["threshold"])} threshold rows')
+        except ValueError as e:
+            # one-sided holdout (random split can land only-negative files):
+            # ship the bundle without metrics rather than with nonsense ones
+            print(f'      WARNING: no metrics table — {e}')
 
     print('[5/5] writing bundle ...')
     base_arrays, _cfg = load_bundle(
