@@ -96,8 +96,8 @@ class Analyzer:
 
         self.timer_total = Timer()
 
-        self.dir_out = dir_out if dir_out is not None else os.path.join(
-            cfg.resolve_dir(cfg.DIR_MODELS), modelname, cfg.SUBDIR_OUTPUT)
+        self.dir_out = (dir_out if dir_out is not None
+                        else cfg.default_dir_out(modelname))
 
         self.thread_logger = None
         self.thread_writer = None

@@ -27,8 +27,7 @@ def str2bool(v):
 def _resolve_dir_out(dir_out, modelname):
     if dir_out is not None:
         return dir_out
-    return os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), modelname,
-                        cfg.SUBDIR_OUTPUT)
+    return cfg.default_dir_out(modelname)
 
 
 def _resolve_classes_out(modelname, classes_out):
@@ -149,8 +148,13 @@ def main(argv=None):
     if isinstance(classes_out, list) and classes_out == ['all']:
         classes_out = 'all'
 
+    # Pin dir_out to the folder being RECONCILED before adoption can change
+    # the modelname: with --dir_out unset, adopting a manifest recording a
+    # different model would otherwise re-derive the default output folder
+    # from the adopted name and write somewhere the user never reconciled.
+    dir_out = _resolve_dir_out(args.dir_out, args.modelname)
     modelname, classes_out, precision, framehop_prop = reconcile_with_manifest(
-        modelname=args.modelname, dir_out=args.dir_out,
+        modelname=args.modelname, dir_out=dir_out,
         classes_out=classes_out, precision=args.precision,
         framehop_prop=args.framehop_prop, assume_yes=args.yes)
 
@@ -170,7 +174,7 @@ def main(argv=None):
             n_streamers=args.n_streamers,
             stream_buffer_depth=args.stream_buffer_depth,
             dir_audio=args.dir_audio,
-            dir_out=args.dir_out,
+            dir_out=dir_out,
             verbosity_print=args.verbosity_print,
             verbosity_log=args.verbosity_log,
             log_progress=args.log_progress,

@@ -48,3 +48,13 @@ def resolve_dir(d: str) -> str:
     if os.path.isdir(d):
         return os.path.abspath(d)
     return os.path.join(DIR_REPO, d)
+
+
+def default_dir_out(modelname: str) -> str:
+    """The default output directory for a model (models/<name>/output).
+
+    The ONE definition of the rule — the CLI's manifest reconciliation, the
+    GUI's manifest locking, and the Analyzer must all resolve the same
+    folder or they reconcile against a different directory than the one
+    results land in."""
+    return os.path.join(resolve_dir(DIR_MODELS), modelname, SUBDIR_OUTPUT)

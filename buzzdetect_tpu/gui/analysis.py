@@ -16,9 +16,21 @@ from buzzdetect_tpu.gui import config as gui_cfg
 
 
 def run_analysis(kwargs, q_gui, event_stop):
-    """Child-process entry point: run analyze() with GUI hooks attached."""
+    """Child-process entry point: run analyze() with GUI hooks attached.
+
+    Failures raised BEFORE the logger worker exists (model load, threshold
+    calibration, bad kwargs) would otherwise die on the child's stderr with
+    the window showing nothing — forward them to the GUI queue directly."""
     from buzzdetect_tpu.analysis import analyze
-    analyze(q_gui=q_gui, event_stopanalysis=event_stop, **kwargs)
+    try:
+        analyze(q_gui=q_gui, event_stopanalysis=event_stop, **kwargs)
+    except BaseException as e:
+        from buzzdetect_tpu.runtime.assignments import AssignLog
+        import traceback
+        q_gui.put(AssignLog(
+            message=f'analysis failed: {e}\n{traceback.format_exc()}',
+            level_str='ERROR'))
+        raise
 
 
 class AnalysisWindow(tk.Toplevel):
@@ -87,7 +99,18 @@ class AnalysisWindow(tk.Toplevel):
                     'chunks are saved and the run can be resumed later.'):
                 return
             self.event_stop.set()
-            self.process.join(timeout=15)
+            # keep draining q_gui while waiting: a child with a large
+            # undrained log backlog blocks on the full queue pipe at exit
+            # and would otherwise always hit the timeout and be terminated
+            import time
+            deadline = time.monotonic() + 15
+            while self.process.is_alive() and time.monotonic() < deadline:
+                try:
+                    while True:
+                        self.q_gui.get_nowait()
+                except queue_mod.Empty:
+                    pass
+                self.process.join(timeout=0.2)
             if self.process.is_alive():
                 self.process.terminate()
         if self._poll_handle is not None:

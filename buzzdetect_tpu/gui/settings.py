@@ -129,9 +129,18 @@ class AnalysisSettings(tk.Tk):
             self.model.values[name] = coerce_field(name, w.get())
 
     def launch(self):
+        # one analysis window at a time: two children appending to the same
+        # partial CSVs would violate the checkpoint format's single-writer
+        # assumption (a double-click must not double-analyze)
+        existing = getattr(self, '_analysis_window', None)
+        if existing is not None and existing.winfo_exists():
+            existing.lift()
+            existing.focus_set()
+            return
         self._pull_values()
         if not all(w.validate() for w in self.entries.values()):
             return
         self.model.save_cache()
         from buzzdetect_tpu.gui.analysis import AnalysisWindow
-        AnalysisWindow(self, self.model.analyze_kwargs())
+        self._analysis_window = AnalysisWindow(self,
+                                               self.model.analyze_kwargs())

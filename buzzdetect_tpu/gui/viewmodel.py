@@ -136,13 +136,25 @@ class SettingsModel:
         if self.values.get('dir_out'):
             return self.values['dir_out']
         model = self.values.get('modelname') or cfg.DEFAULT_MODEL
-        return os.path.join(cfg.resolve_dir(cfg.DIR_MODELS), model,
-                            cfg.SUBDIR_OUTPUT)
+        return cfg.default_dir_out(model)
 
     def locked_fields(self):
         """Schema-determining fields that must not change because the output
-        folder already holds results; returns {} when unconstrained."""
-        manifest = read_manifest(self.resolved_dir_out())
+        folder already holds results; returns {} when unconstrained.
+
+        The manifest read is cached by (path, stat signature): this runs on
+        every keystroke via the change handler, and re-opening a (possibly
+        network-mounted) manifest file per keypress stalls the Tk loop."""
+        path = self.resolved_dir_out()
+        try:
+            st = os.stat(os.path.join(path, 'buzzdetect_manifest.json'))
+            sig = (path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            sig = (path, None, None)
+        if getattr(self, '_manifest_sig', None) != sig:
+            self._manifest_sig = sig
+            self._manifest_cache = read_manifest(path)
+        manifest = self._manifest_cache
         if manifest is None:
             return {}
         locked = {}
@@ -152,10 +164,15 @@ class SettingsModel:
         return locked
 
     def apply_manifest_lock(self):
-        """Adopt locked values from the existing manifest into the form."""
+        """Adopt locked values from the existing manifest into the form.
+
+        None IS a meaningful pin (precision=None = activations mode): a
+        cached non-None precision must be overwritten, or the widget locks
+        displaying a value the manifest forbids and the launch dies on a
+        manifest mismatch the user cannot edit away."""
         locked = self.locked_fields()
         for key, value in locked.items():
-            if value is not None and key in self.values:
+            if key in self.values:
                 self.values[key] = value
         return locked
 
@@ -169,6 +186,12 @@ class SettingsModel:
         """
         fields = set(BASIC_FIELDS) | set(ADVANCED_FIELDS)
         kwargs = {k: v for k, v in self.values.items() if k in fields}
+        # ' all ' / 'All' mean 'all' — a near-miss would pass validation,
+        # pin classes_out=['all'] into the folder's manifest, then fail in
+        # the writer
+        if isinstance(kwargs.get('classes_out'), str) \
+                and kwargs['classes_out'].strip().lower() == 'all':
+            kwargs['classes_out'] = 'all'
         if isinstance(kwargs.get('classes_out'), str) \
                 and kwargs['classes_out'] != 'all':
             kwargs['classes_out'] = [s for s in

@@ -75,11 +75,18 @@ def _manifest_path(dir_out):
 
 
 def read_manifest(dir_out):
-    """The stored manifest dict, or None when the folder has none."""
+    """The stored manifest dict, or None when the folder has none.
+
+    An UNREADABLE manifest (truncated by a mid-write crash, dir_out
+    pointing at a file, permission trouble) also reads as None: a raw
+    JSONDecodeError here would crash the CLI reconcile prompt and fire
+    inside the GUI's per-keystroke change handler. The next successful run
+    rewrites a valid manifest."""
     try:
         with open(_manifest_path(dir_out)) as f:
             return json.load(f)
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError, IsADirectoryError,
+            PermissionError, json.JSONDecodeError):
         return None
 
 

@@ -179,3 +179,32 @@ def test_settings_window_manifest_lock_no_recursion(tmp_path, monkeypatch):
         assert win.model.values['chunklength'] == 60.0
     finally:
         win.destroy()
+
+
+def test_manifest_lock_adopts_none_pins(tmp_path):
+    """precision=None is a meaningful pin (activations mode): a cached
+    non-None precision must be overwritten when the manifest pins None, or
+    the widget locks on a value the manifest forbids and every launch dies
+    on a manifest mismatch the user cannot edit away."""
+    from buzzdetect_tpu.gui.viewmodel import SettingsModel
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+
+    dir_out = str(tmp_path / 'out')
+    write_manifest(dir_out, build_manifest(
+        modelname='m', framehop_prop=1.0, precision=None,
+        classes_out=['ins_buzz']))
+    model = SettingsModel(path_cache=str(tmp_path / 'guisettings.json'))
+    model.values['dir_out'] = dir_out
+    model.values['precision'] = 0.95  # stale cached value
+    locked = model.apply_manifest_lock()
+    assert 'precision' in locked
+    assert model.values['precision'] is None
+
+
+def test_analyze_kwargs_normalizes_all_token(tmp_path):
+    """' All ' must mean 'all', not a one-item class list that pins a bogus
+    manifest and then dies in the writer."""
+    from buzzdetect_tpu.gui.viewmodel import SettingsModel
+    model = SettingsModel(path_cache=str(tmp_path / 'guisettings.json'))
+    model.values['classes_out'] = ' All '
+    assert model.analyze_kwargs()['classes_out'] == 'all'

@@ -56,3 +56,18 @@ def test_write_creates_dir(tmp_path):
     d = str(tmp_path / 'nested' / 'out')
     write_manifest(d, {'x': 1})
     assert read_manifest(d) == {'x': 1}
+
+
+def test_read_manifest_tolerates_corrupt_json(tmp_path):
+    """A manifest truncated by a mid-write crash must read as None (no
+    manifest) — a raw JSONDecodeError would crash the CLI reconcile prompt
+    and fire inside the GUI's per-keystroke change handler."""
+    from buzzdetect_tpu.manifest import read_manifest
+    d = str(tmp_path)
+    with open(tmp_path / 'buzzdetect_manifest.json', 'w') as f:
+        f.write('{"modelname": "m", "framehop')  # torn mid-write
+    assert read_manifest(d) is None
+    # dir_out pointing at a FILE is survivable too
+    p_file = tmp_path / 'not_a_dir'
+    p_file.write_text('x')
+    assert read_manifest(str(p_file)) is None
