@@ -76,7 +76,7 @@ def init_raw_params(seed: int = 0):
         std = float(np.sqrt(2.0 / fan_in))
         k = rng.standard_normal(shape).astype(np.float32) * std
         np.clip(k, -2 * std, 2 * std, out=k)
-        ch = shape[3] if kind != 'depthwise' else shape[3]
+        ch = shape[3]
         params[f'{key}/kernel'] = k
         params[f'{key}/bn_beta'] = np.zeros(ch, np.float32)
         params[f'{key}/bn_mean'] = np.zeros(ch, np.float32)

@@ -73,20 +73,23 @@ class FrontendConfig:
 
     @property
     def patch_hop_samples(self) -> int:
-        return int(self.patch_hop_seconds * self.sample_rate)
+        # MUST stay consistent with patch_hop_frames (which rounds): a
+        # truncating int(seconds * rate) here landed one sample short of a
+        # frame boundary at framehops like 1/3, silently dropping the final
+        # patch of every chunk from analysis
+        return self.patch_hop_frames * self.hop_samples
 
     def with_framehop(self, framehop_prop: float) -> 'FrontendConfig':
-        return FrontendConfig(
-            sample_rate=self.sample_rate,
-            stft_window_seconds=self.stft_window_seconds,
-            stft_hop_seconds=self.stft_hop_seconds,
-            mel_bands=self.mel_bands,
-            mel_min_hz=self.mel_min_hz,
-            mel_max_hz=self.mel_max_hz,
-            log_offset=self.log_offset,
-            patch_window_seconds=self.patch_window_seconds,
-            patch_hop_seconds=self.patch_window_seconds * framehop_prop,
-        )
+        import dataclasses
+        cfg = dataclasses.replace(
+            self, patch_hop_seconds=self.patch_window_seconds * framehop_prop)
+        if cfg.patch_hop_frames < 1:
+            raise ValueError(
+                f'framehop_prop={framehop_prop} is below the spectrogram '
+                f'resolution (one {self.stft_hop_seconds * 1000:.0f} ms '
+                f'frame); the smallest usable value is '
+                f'{self.stft_hop_seconds / self.patch_window_seconds:.4f}')
+        return cfg
 
 
 # --- static length math (host side) ----------------------------------------
@@ -120,6 +123,10 @@ def num_stft_frames(n_padded: int, cfg: FrontendConfig) -> int:
 
 def num_patches(n_samples: int, cfg: FrontendConfig) -> int:
     """Patch count produced for a waveform of ``n_samples`` (pre-padding)."""
+    if cfg.patch_hop_frames < 1:
+        # with_framehop refuses these, but a hand-built config must fail
+        # with the reason, not a ZeroDivisionError
+        raise ValueError('patch hop is below one spectrogram frame')
     n_frames = num_stft_frames(padded_length(n_samples, cfg), cfg)
     return 1 + (n_frames - cfg.patch_frames) // cfg.patch_hop_frames
 
@@ -136,9 +143,22 @@ def pad_waveform(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
 
 # --- constant operands ------------------------------------------------------
 
-@lru_cache(maxsize=8)
 def _dft_mel_constants(cfg: FrontendConfig):
     """Hop-banked windowed-DFT operands and the mel matrix.
+
+    Cached on the SPECTRAL fields only — patch framing (framehop) plays no
+    part in these constants, and keying on the whole config would rebuild
+    and store the ~1.6 MB set once per framehop variant."""
+    return _dft_mel_constants_impl(
+        cfg.window_samples, cfg.fft_length, cfg.hop_samples, cfg.mel_bands,
+        cfg.fft_bins, cfg.sample_rate, cfg.mel_min_hz, cfg.mel_max_hz)
+
+
+@lru_cache(maxsize=8)
+def _dft_mel_constants_impl(window_samples, fft_length, hop_samples,
+                            mel_bands, fft_bins, sample_rate, mel_min_hz,
+                            mel_max_hz):
+    """See _dft_mel_constants.
 
     The (400, 2*bins) fused DFT operand is split into hop-sized row banks
     (400 = 160+160+80, the last zero-padded to 160): the STFT of hop-strided
@@ -152,18 +172,17 @@ def _dft_mel_constants(cfg: FrontendConfig):
     even the fused Pallas kernel (16.9 / 9.6 ms), because XLA fuses the
     banked matmuls straight into the downstream conv stack.
     """
-    w_real, w_imag = mel_lib.windowed_rdft_matrices(cfg.window_samples,
-                                                    cfg.fft_length)
+    w_real, w_imag = mel_lib.windowed_rdft_matrices(window_samples,
+                                                    fft_length)
     dft = np.concatenate([w_real, w_imag], axis=1)  # (400, 514)
-    hop, win = cfg.hop_samples, cfg.window_samples
+    hop, win = hop_samples, window_samples
     n_banks = -(-win // hop)
     banks = np.zeros((n_banks, hop, dft.shape[1]), np.float32)
     for b in range(n_banks):
         lo, hi = b * hop, min((b + 1) * hop, win)
         banks[b, :hi - lo] = dft[lo:hi]
-    mel = mel_lib.mel_weight_matrix(cfg.mel_bands, cfg.fft_bins,
-                                    cfg.sample_rate, cfg.mel_min_hz,
-                                    cfg.mel_max_hz)
+    mel = mel_lib.mel_weight_matrix(mel_bands, fft_bins,
+                                    sample_rate, mel_min_hz, mel_max_hz)
     return banks, mel
 
 

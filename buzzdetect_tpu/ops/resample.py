@@ -77,7 +77,10 @@ def resample(x: jnp.ndarray, orig_sr: int, target_sr: int,
     scipy.signal.resample_poly / librosa.resample convention).
     """
     if orig_sr == target_sr:
-        return x
+        # same dtype contract as the converting paths (float32 out);
+        # returning the input unchanged would make the output dtype depend
+        # on the rate pair
+        return jnp.asarray(x, jnp.float32)
     g = gcd(int(orig_sr), int(target_sr))
     up, down = target_sr // g, orig_sr // g
 
@@ -89,15 +92,15 @@ def resample(x: jnp.ndarray, orig_sr: int, target_sr: int,
     n_m = -(-n_out // up)  # conv rows needed (may overshoot; trimmed below)
 
     # pad so VALID conv yields >= n_m windows of x[m*down + i0_min : +width]
-    pad_lo = max(0, -i0_min)
-    effective = n + pad_lo - max(0, i0_min)
-    pad_hi = max(0, (n_m - 1) * down + width - effective)
+    # i0_min = ceil(-half/up) <= 0 always (the kernel half-width covers at
+    # least one up-phase), so the head pad is simply its negation
+    assert i0_min <= 0, i0_min
+    pad_lo = -i0_min
+    pad_hi = max(0, (n_m - 1) * down + width - (n + pad_lo))
 
     batch = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
     lhs = jnp.pad(x.reshape(batch, 1, n).astype(jnp.float32),
                   ((0, 0), (0, 0), (pad_lo, pad_hi)))
-    if i0_min > 0:  # windows start past the signal head: drop the lead-in
-        lhs = lhs[:, :, i0_min:]
 
     out = jax.lax.conv_general_dilated(
         lhs, jnp.asarray(K),

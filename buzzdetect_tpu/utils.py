@@ -85,6 +85,8 @@ class Timer:
 
     def restart(self):
         self._t0 = time.monotonic()
+        self._t1 = self._t0  # a get_total() before the next stop() must
+        # never report a negative (pre-restart) duration
 
     def stop(self):
         self._t1 = time.monotonic()
@@ -103,8 +105,8 @@ def search_dir(dir_in: str, extensions=None):
     e.g. ``['wav', 'mp3']``.
     """
     if extensions is not None:
-        if not isinstance(extensions, (list, tuple)) or (
-                extensions and not isinstance(extensions[0], str)):
+        if not isinstance(extensions, (list, tuple)) or not all(
+                isinstance(e, str) for e in extensions):
             raise ValueError('extensions should be None or a list of strings')
         wanted = {e.lower().lstrip('.').rstrip('$') for e in extensions}
 
@@ -122,7 +124,11 @@ def build_ident(path: str, root_dir: str, tag: str = None) -> str:
     extension (and an optional tag substring). Used to name result files."""
     path = os.path.normpath(path)
     root_dir = os.path.normpath(root_dir)
-    rel = os.path.relpath(path, root_dir) if path.startswith(root_dir) else path
+    # component-wise containment, NOT a string prefix: '/data/audio2/x.wav'
+    # is no child of '/data/audio', and a prefix check would hand relpath a
+    # '../audio2/...' ident whose result file lands OUTSIDE dir_results
+    inside = path == root_dir or path.startswith(root_dir + os.sep)
+    rel = os.path.relpath(path, root_dir) if inside else path
     ident = os.path.splitext(rel)[0]
     if tag is not None:
         ident = ident.replace(tag, '')

@@ -13,7 +13,7 @@ import pytest
 from buzzdetect_tpu.ops import mel as mel_lib
 from buzzdetect_tpu.ops.frontend import (
     FrontendConfig, padded_length, num_patches, pad_waveform,
-    log_mel_spectrogram, log_mel_patches)
+    log_mel_spectrogram, log_mel_patches, min_waveform_samples)
 
 tf = pytest.importorskip('tensorflow')
 
@@ -145,3 +145,25 @@ def test_batched_frontend():
     single = np.asarray(log_mel_patches(wav[1], CFG_WHOLE))
     assert out.shape[0] == 3
     np.testing.assert_allclose(out[1], single, atol=1e-6)
+
+
+def test_framehop_one_third_hop_consistency():
+    """patch_hop_samples must equal patch_hop_frames * hop_samples: a
+    truncating seconds->samples conversion at framehop 1/3 landed one
+    sample short of a frame boundary and silently dropped the final patch
+    of every chunk."""
+    cfg = FrontendConfig().with_framehop(1.0 / 3.0)
+    assert cfg.patch_hop_samples == cfg.patch_hop_frames * cfg.hop_samples
+    n = min_waveform_samples(cfg) + 1  # one sample past one patch
+    # a consistent hop yields exactly one extra patch hop of padding
+    assert (padded_length(n, cfg) - min_waveform_samples(cfg)
+            == cfg.patch_hop_samples)
+    assert num_patches(n, cfg) == 2
+
+
+def test_framehop_below_frame_resolution_rejected():
+    """A framehop finer than one spectrogram frame cannot be represented;
+    it must fail with a clear error, not a ZeroDivisionError mid-run."""
+    import pytest
+    with pytest.raises(ValueError, match='resolution'):
+        FrontendConfig().with_framehop(0.004)

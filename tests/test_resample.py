@@ -48,7 +48,13 @@ def test_tone_preserved_through_resample():
 
 def test_identity_when_rates_equal():
     x = RNG.standard_normal(1000).astype(np.float32)
-    assert resample(x, 16000, 16000) is x
+    y = resample(x, 16000, 16000)
+    assert y.dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(y), x)
+    # the dtype contract must not depend on the rate pair: every path
+    # returns float32, including the passthrough
+    yi = resample(x.astype(np.int16), 16000, 16000)
+    assert yi.dtype == np.float32
 
 
 def test_batched():
