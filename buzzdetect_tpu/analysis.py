@@ -95,6 +95,9 @@ class Analyzer:
         self.threshold = self._setup_threshold(precision)
 
         self.timer_total = Timer()
+        # native rate hint so inferer warmup pre-compiles the resampling
+        # program the run will dispatch (set by queue_assignments)
+        self.warmup_rate = None
 
         self.dir_out = (dir_out if dir_out is not None
                         else cfg.default_dir_out(modelname))
@@ -186,6 +189,7 @@ class Analyzer:
                 kwargs=dict(workerclass=WorkerInferer, id_analyzer=a,
                             model=self.model, coordinator=self.coordinator,
                             batch_chunks=self.batch_chunks,
+                            warmup_rate=self.warmup_rate,
                             warmup_samples=int(
                                 self.chunklength
                                 * self.model.embedder.samplerate)))
@@ -259,6 +263,15 @@ class Analyzer:
                 continue
             if os.path.exists(a.path_results_complete):
                 finalized.append(a)
+                # a crash between finalization's promote and its partial
+                # removal leaves a stale partial behind the complete file;
+                # left alone it would silently resurrect old coverage if the
+                # user deletes the complete CSV to force re-analysis
+                if os.path.exists(a.path_results_partial):
+                    try:
+                        os.remove(a.path_results_partial)
+                    except OSError:
+                        pass
             else:
                 unfinished.append(a)
         if watching:
@@ -270,6 +283,23 @@ class Analyzer:
                 level='DEBUG' if watching else 'INFO',
                 end_reason='fully analyzed'))
             return False
+
+        if self.resample_on_device and unfinished:
+            # probe the first file's native rate so warmup compiles the
+            # resampling program this run will actually dispatch — otherwise
+            # the first real chunk pays the full XLA compile mid-run (a
+            # mixed-rate corpus still pays one compile per additional rate)
+            try:
+                from buzzdetect_tpu.audio import build_track
+                track = build_track(unfinished[0].path_audio, target_rate=0)
+                try:
+                    rate = track.samplerate
+                finally:
+                    track.close()
+                if rate != self.model.embedder.samplerate:
+                    self.warmup_rate = rate
+            except Exception:
+                pass  # a corrupt first file fails loudly later, in its streamer
 
         for a_file in unfinished:
             self.coordinator.q_stream.put(a_file)

@@ -24,7 +24,11 @@ def _resolve_model(model, modelname, framehop_prop):
                                          else framehop_prop),
                           initialize=True)
     if framehop_prop is not None:
-        actual = model.embedder.framehop_s / model.embedder.framelength_s
+        # compare the configured proportion, NOT framehop_s/framelength_s:
+        # framehop_s snaps to the spectrogram grid (ops/frontend.py
+        # with_framehop), so the back-derived ratio differs from the
+        # requested prop whenever 96*prop is not an integer
+        actual = model.embedder.framehop_prop
         if abs(actual - framehop_prop) > 1e-9:
             raise ValueError(
                 f'framehop_prop={framehop_prop} conflicts with the passed '

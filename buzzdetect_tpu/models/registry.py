@@ -86,6 +86,14 @@ class EmbedderYamnet(BaseEmbedder):
 
     def __init__(self, framehop_prop: float = 1.0, arrays: dict = None):
         super().__init__(framehop_prop)
+        # the graph's patch hop is a whole number of 10 ms spectrogram
+        # frames; advertise THAT stride (snapped by with_framehop), not the
+        # raw framelength*prop product, so writer timestamps and resume
+        # coverage match the frames actually extracted (they diverge
+        # whenever 96*framehop_prop is not an integer, e.g. prop=0.1)
+        from buzzdetect_tpu.ops.frontend import FrontendConfig
+        self.framehop_s = FrontendConfig().with_framehop(
+            framehop_prop).patch_hop_seconds
         self._arrays = arrays
         self._classifier = None
         self._init_lock = threading.Lock()

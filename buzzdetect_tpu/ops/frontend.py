@@ -89,7 +89,13 @@ class FrontendConfig:
                 f'resolution (one {self.stft_hop_seconds * 1000:.0f} ms '
                 f'frame); the smallest usable value is '
                 f'{self.stft_hop_seconds / self.patch_window_seconds:.4f}')
-        return cfg
+        # Snap the seconds value to the spectrogram grid: the graph extracts
+        # patches every patch_hop_frames whole 10 ms frames, so when
+        # 96*framehop_prop is not an integer (e.g. 0.1 -> 9.6 -> 10 frames)
+        # the requested seconds would desynchronize result timestamps and
+        # resume coverage from the frames the model actually analyzed.
+        return dataclasses.replace(
+            cfg, patch_hop_seconds=cfg.patch_hop_samples / cfg.sample_rate)
 
 
 # --- static length math (host side) ----------------------------------------

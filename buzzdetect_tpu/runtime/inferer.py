@@ -19,13 +19,17 @@ from buzzdetect_tpu.utils import Timer
 
 class WorkerInferer:
     def __init__(self, id_analyzer, model, coordinator, processor='TPU',
-                 batch_chunks: int = 1, warmup_samples: int = None):
+                 batch_chunks: int = 1, warmup_samples: int = None,
+                 warmup_rate: int = None):
         self.id_analyzer = id_analyzer
         self.processor = processor
         self.model = model
         self.coordinator = coordinator
         self.batch_chunks = max(1, batch_chunks)
         self.warmup_samples = warmup_samples
+        # native sample rate of the corpus (resample_on_device runs): warmup
+        # compiles the resampling program, not just the model-rate one
+        self.warmup_rate = warmup_rate
         self.timer_analysis = Timer()
         self.timer_bottleneck = Timer()
 
@@ -36,18 +40,25 @@ class WorkerInferer:
         if not self.warmup_samples:
             return
         import numpy as np
-        zeros = np.zeros(self.warmup_samples, np.int16
+        n = self.warmup_samples
+        rate_kw = {}
+        if self.warmup_rate:
+            model_rate = self.model.embedder.samplerate
+            n = int(round(n * self.warmup_rate / model_rate))
+            rate_kw = {'input_rate': self.warmup_rate}
+        zeros = np.zeros(n, np.int16
                          if getattr(self.model, 'transfer_dtype', None)
                          == 'int16' else np.float32)
         try:
             if hasattr(self.model, 'predict_async'):
-                out, _ = self.model.predict_async(zeros)
+                out, _ = self.model.predict_async(zeros, **rate_kw)
                 np.asarray(out)
                 if self.batch_chunks > 1 and hasattr(self.model,
                                                      'predict_async_batch'):
                     b = 2
                     while b <= self.batch_chunks:
-                        out, _ = self.model.predict_async_batch([zeros] * b)
+                        out, _ = self.model.predict_async_batch([zeros] * b,
+                                                                **rate_kw)
                         np.asarray(out)
                         b *= 2
                 self.log('warmup complete', 'DEBUG')
@@ -78,6 +89,19 @@ class WorkerInferer:
                  'DEBUG')
 
     def process_chunk(self, a_chunk: AssignChunk):
+        if a_chunk.samples is not None and len(a_chunk.samples) == 0:
+            # a zero-sample final chunk (the streamer hit EOF exactly at the
+            # gap start — container metadata overstating the duration): no
+            # device dispatch, but the chunk MUST reach the writer so the
+            # file's completion tracking fires and the partial finalizes
+            import numpy as np
+            n_classes = len(self.model.config['classes'])
+            a_chunk.results = np.zeros((0, n_classes), np.float32)
+            a_chunk.n_valid = 0
+            a_chunk.samples = None
+            self.coordinator.put_write(a_chunk)
+            a_chunk.delivered = True
+            return
         kw = ({'input_rate': a_chunk.input_rate}
               if a_chunk.input_rate else {})
         if hasattr(self.model, 'predict_async'):
@@ -101,6 +125,9 @@ class WorkerInferer:
         batch = [first]
         mixed = []
         exit_seen = False
+        if first.samples is not None and len(first.samples) == 0:
+            # zero-sample chunks never stack into a device batch
+            return batch, mixed, exit_seen
         # different-rate chunks count toward the drain budget too: without
         # that, a mixed-rate corpus with scarce same-rate chunks would keep
         # this loop sweeping the entire bounded prefetch ring into the
@@ -115,9 +142,11 @@ class WorkerInferer:
             if item == 'exit':
                 exit_seen = True
                 break
-            if item.input_rate != first.input_rate:
+            if (item.input_rate != first.input_rate
+                    or (item.samples is not None and len(item.samples) == 0)):
                 # a batch dispatch shares one resample program; chunks at a
-                # different native rate go out as their own dispatches
+                # different native rate — and zero-sample final chunks —
+                # go out as their own dispatches
                 mixed.append(item)
                 continue
             batch.append(item)

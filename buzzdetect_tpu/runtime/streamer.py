@@ -64,6 +64,17 @@ class WorkerStreamer:
         if os.path.exists(a_file.path_results_complete):
             self.log(f'Skipping {a_file.shortpath_audio}; already analyzed',
                      'DEBUG')
+            if os.path.exists(a_file.path_results_partial):
+                # a crash between finalization's promote and its partial
+                # removal leaves a stale partial behind the complete file;
+                # left alone it would silently resurrect old coverage if the
+                # user ever deletes the complete CSV to force re-analysis
+                try:
+                    os.remove(a_file.path_results_partial)
+                    self.log(f'removed stale partial behind finalized '
+                             f'{a_file.shortpath_audio}', 'DEBUG')
+                except OSError:
+                    pass
             a_file.chunklist = []
             return
 
@@ -141,8 +152,11 @@ class WorkerStreamer:
             chunk = (chunk[0],
                      max(chunk[0], round(chunk[0] + len(samples) / rate, 2)))
             continue_file = False
-            if len(samples) == 0:
-                return False
+            # len(samples) == 0 still queues the (empty) chunk below: the
+            # writer must see this ident's last chunk or the file is never
+            # finalized — a partial whose only remaining gap sits at/after
+            # the real data end (container header overstating duration)
+            # would otherwise be re-probed on every run forever
         else:
             continue_file = True
 

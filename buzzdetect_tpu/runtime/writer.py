@@ -30,6 +30,11 @@ def finalize_partial(path_partial: str, path_complete: str):
     """
     from buzzdetect_tpu.write.coverage import read_result_rows
     header, rows, _torn = read_result_rows(path_partial)
+    if header is None:
+        # empty/torn-header partial: promoting it would write a complete
+        # file carrying none of the analysis and skip the file forever
+        raise ValueError(f'partial result {path_partial} has no usable '
+                         f'header; refusing to promote it')
     idx = header.index('start')
     rows.sort(key=lambda r: float(r[idx]))
     path_tmp = path_complete + '.tmp'
@@ -53,6 +58,9 @@ class WorkerWriter:
         # path): they must NEVER be finalized — the partial stays on disk so
         # a later run re-analyzes the hole
         self.failed_idents = set()
+        # partials whose header line was verified intact this run (checked
+        # once per file, on the first append that finds it already on disk)
+        self._verified_partials = set()
 
         if threshold is None:
             def format_func(results, time_start):
@@ -73,6 +81,29 @@ class WorkerWriter:
     def log(self, msg, level_str):
         self.coordinator.q_log.put(AssignLog(message=f'writer: {msg}',
                                              level_str=level_str))
+
+    def _verify_partial(self, path_partial: str, expected_header: str) -> bool:
+        """True if the partial on disk is appendable (header line intact).
+
+        A 0-byte partial (creation torn before the header flushed) is
+        treated as absent so the header is written now; a partial whose
+        first line differs from the header this run writes (torn mid-header,
+        or corrupted) is quarantined to ``<partial>.corrupt`` and restarted
+        — its rows cannot be column-validated against a broken header.
+        """
+        if os.path.getsize(path_partial) == 0:
+            return False
+        with open(path_partial, 'r', newline='') as f:
+            first = f.readline().rstrip('\r\n')
+        if first == expected_header:
+            return True
+        path_corrupt = path_partial + '.corrupt'
+        os.replace(path_partial, path_corrupt)
+        self.log(f'{os.path.basename(path_partial)} has a torn or mismatched '
+                 f'header line; quarantined to '
+                 f'{os.path.basename(path_corrupt)} and restarting the '
+                 f'partial fresh', 'WARNING')
+        return False
 
     def write_results(self, a_chunk: AssignChunk, fully_analyzed: bool):
         if a_chunk.results is None:
@@ -95,6 +126,15 @@ class WorkerWriter:
             path_partial = a_chunk.file.path_results_partial
             os.makedirs(os.path.dirname(path_partial) or '.', exist_ok=True)
             file_exists = os.path.exists(path_partial)
+            if file_exists and path_partial not in self._verified_partials:
+                # a SIGKILL can tear the very first append mid-header (or
+                # before any byte flushed): appending data rows under a
+                # torn header poisons the file — every row mismatches the
+                # header's column count, reads as torn, and finalization
+                # would promote an empty result. Verify once per file.
+                file_exists = self._verify_partial(path_partial,
+                                                   table.header())
+            self._verified_partials.add(path_partial)
             text = table.render_csv(self.digits_time,
                                     include_header=not file_exists)
             if file_exists and os.path.getsize(path_partial) > 0:

@@ -127,7 +127,11 @@ def read_result_rows(path: str):
     with open(path, 'r', newline='') as f:
         reader = csv.reader(f)
         header = next(reader, None)
-        if header is None:
+        if header is None or 'start' not in header:
+            # empty file, or a SIGKILL tore the very first append mid-header:
+            # the file is unusable — report no header so callers treat it as
+            # empty coverage (full re-analysis) instead of raising; the
+            # writer quarantines and rebuilds such partials on next append
             return None, [], []
         idx = header.index('start')
         n_cols = len(header)

@@ -46,7 +46,8 @@ class ResultTable:
             else:
                 cells.extend(repr(float(v)) for v in row)
             lines.append(','.join(cells))
-        return '\n'.join(lines) + '\n'
+        # an empty headerless render must append nothing, not a blank line
+        return '\n'.join(lines) + '\n' if lines else ''
 
 
 def add_time(n_rows: int, time_start: float, framehop_s: float, digits_time: int):

@@ -213,3 +213,153 @@ def test_midfile_decode_error_never_finalizes_truncated(patched_models,
     got = open(complete).read()
     want = open(os.path.join(dir_oracle, 'rec_buzzdetect.csv')).read()
     assert got == want
+
+
+# --- header durability (torn first append) ----------------------------------
+
+def _result_chunk(a_file, chunk, results):
+    from buzzdetect_tpu.runtime.assignments import AssignChunk
+    c = AssignChunk(file=a_file, chunk=chunk, samples=None, last_chunk=True)
+    c.results = np.asarray(results, dtype=np.float32)
+    c.n_valid = len(c.results)
+    return c
+
+
+def _assign_file(tmp_path, name='x.wav'):
+    from buzzdetect_tpu.runtime.assignments import AssignFile
+    a_file = AssignFile(path_audio=str(tmp_path / name),
+                        dir_audio=str(tmp_path),
+                        dir_results=str(tmp_path / 'out'))
+    os.makedirs(tmp_path / 'out', exist_ok=True)
+    return a_file
+
+
+def test_torn_header_partial_quarantined_and_rebuilt(tmp_path):
+    """A SIGKILL can cut the very FIRST append mid-header. Appending data
+    rows under the truncated header makes every row column-mismatch (all
+    read as torn) and finalization would promote an EMPTY complete file —
+    total silent data loss. The writer must quarantine and rebuild."""
+    a_file = _assign_file(tmp_path)
+    partial = a_file.path_results_partial
+    with open(partial, 'w') as f:
+        f.write('start,activ')  # torn mid-header, no newline
+
+    w = _writer()
+    w.write_results(_result_chunk(a_file, (0.0, 0.96), [[0.5]]),
+                    fully_analyzed=True)
+
+    complete = open(a_file.path_results_complete).read().splitlines()
+    assert complete[0] == 'start,activation_a'
+    assert complete[1].startswith('0.0,0.5')
+    assert os.path.exists(partial + '.corrupt')
+    assert not os.path.exists(partial)
+
+
+def test_zero_byte_partial_gets_header(tmp_path):
+    """A SIGKILL between creating the partial and flushing the header leaves
+    a 0-byte file; the next append must write the header — headerless data
+    rows poison the file for every later parse and finalize."""
+    a_file = _assign_file(tmp_path)
+    open(a_file.path_results_partial, 'w').close()  # 0 bytes
+
+    w = _writer()
+    w.write_results(_result_chunk(a_file, (0.0, 0.96), [[0.5]]),
+                    fully_analyzed=False)
+    lines = open(a_file.path_results_partial).read().splitlines()
+    assert lines[0] == 'start,activation_a'
+    assert lines[1].startswith('0.0,0.5')
+
+
+def test_finalize_refuses_unusable_partial(tmp_path):
+    """Promotion of a partial with no usable header would write a complete
+    file carrying none of the analysis and skip the file forever."""
+    from buzzdetect_tpu.runtime.writer import finalize_partial
+    partial = str(tmp_path / 'x_buzzpart.csv')
+    complete = str(tmp_path / 'x_buzzdetect.csv')
+    _write_csv(partial, ['st'])  # torn header that lost even 'start'
+    with pytest.raises(ValueError):
+        finalize_partial(partial, complete)
+    assert not os.path.exists(complete)
+
+
+def test_coverage_tolerates_corrupt_header(tmp_path):
+    """Resume must read a corrupt-header partial as empty coverage (full
+    re-analysis), not raise — raising marks the stream failed on every
+    run and the file is never analyzed again."""
+    p = str(tmp_path / 'x_buzzpart.csv')
+    _write_csv(p, ['st'])  # header lost 'start' entirely
+    assert coverage_from_csv(p, framelength=0.96) == []
+    _write_csv(p, ['start,activ', '0.0,1.0,2.0,3.0'])  # torn header + rows
+    assert coverage_from_csv(p, framelength=0.96) == []
+
+
+def test_stale_partial_behind_complete_removed(patched_models, tmp_path):
+    """A crash between finalization's promote and partial removal leaves a
+    stale partial behind the complete file; the next run must clean it so
+    deleting the complete CSV later forces a genuinely fresh analysis."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 260), 16000)
+    dir_out = tmp_path / 'out'
+    dir_out.mkdir()
+    _write_csv(str(dir_out / 'rec_buzzdetect.csv'),
+               ['start,activation_ins_buzz,activation_ambient_noise',
+                '0.0,1.0,2.0'])
+    stale = str(dir_out / 'rec_buzzpart.csv')
+    _write_csv(stale, ['start,activation_ins_buzz,activation_ambient_noise',
+                       '0.0,9.0,9.0'])
+
+    analyze(modelname='durmodel', dir_audio=str(dir_audio),
+            dir_out=str(dir_out), verbosity_print='ERROR')
+    assert not os.path.exists(stale)
+    # the complete result itself is untouched
+    assert '0.0,1.0,2.0' in open(dir_out / 'rec_buzzdetect.csv').read()
+
+
+def test_overstated_duration_still_finalizes(patched_models, tmp_path,
+                                             monkeypatch):
+    """Container metadata can overstate the duration (truncated recordings):
+    the final gap's read returns ZERO samples. The empty last chunk must
+    still flow to the writer so the file finalizes — otherwise the partial
+    is re-probed on every run forever."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.runtime import streamer as streamer_mod
+    from buzzdetect_tpu.audio import get_duration as real_get_duration
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(4.0, 16000, 260), 16000)
+    dir_out = str(tmp_path / 'out')
+
+    monkeypatch.setattr(streamer_mod, 'get_duration',
+                        lambda t: real_get_duration(t) + 2.0)
+    analyze(modelname='durmodel', dir_audio=str(dir_audio), dir_out=dir_out,
+            chunklength=2.0, n_streamers=1, verbosity_print='ERROR')
+
+    complete = os.path.join(dir_out, 'rec_buzzdetect.csv')
+    partial = os.path.join(dir_out, 'rec_buzzpart.csv')
+    assert os.path.exists(complete), \
+        'file with phantom tail must still finalize'
+    assert not os.path.exists(partial)
+    # all real audio was analyzed: 2 s chunks at hop 0.96 give frame
+    # starts 0, 0.96 | 2.0, 2.96 — the phantom (4, 6) gap adds nothing
+    starts = [line.split(',')[0]
+              for line in open(complete).read().splitlines()[1:]]
+    assert starts[0] == '0.0' and float(starts[-1]) >= 2.88
+
+
+def test_resample_warmup_probes_native_rate(patched_models, tmp_path):
+    """With resample_on_device the warmup must compile the program the run
+    actually dispatches: the corpus's NATIVE rate, not the model rate."""
+    from buzzdetect_tpu.analysis import Analyzer
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(1.0, 44100, 260), 44100)
+    an = Analyzer(modelname='durmodel', dir_audio=str(dir_audio),
+                  dir_out=str(tmp_path / 'out'), resample_on_device=True)
+    assert an.queue_assignments()
+    assert an.warmup_rate == 44100
+    # drain what queue_assignments enqueued so nothing dangles
+    while not an.coordinator.q_stream.empty():
+        an.coordinator.q_stream.get()

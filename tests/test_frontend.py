@@ -167,3 +167,31 @@ def test_framehop_below_frame_resolution_rejected():
     import pytest
     with pytest.raises(ValueError, match='resolution'):
         FrontendConfig().with_framehop(0.004)
+
+
+def test_framehop_snaps_to_spectrogram_grid():
+    """The graph extracts patches every whole 10 ms spectrogram frame;
+    with_framehop must snap patch_hop_seconds to that grid so writer
+    timestamps and resume coverage match the frames actually analyzed
+    (prop=0.1 really strides 0.100 s, not 0.096 s)."""
+    c = FrontendConfig().with_framehop(0.1)
+    assert c.patch_hop_frames == 10
+    assert abs(c.patch_hop_seconds - 0.10) < 1e-12
+    c7 = FrontendConfig().with_framehop(0.7)
+    assert c7.patch_hop_frames == 67
+    assert abs(c7.patch_hop_seconds - 0.67) < 1e-12
+    # grid-aligned hops are untouched
+    assert abs(FrontendConfig().with_framehop(0.5).patch_hop_seconds
+               - 0.48) < 1e-12
+    assert abs(FrontendConfig().with_framehop(1.0).patch_hop_seconds
+               - 0.96) < 1e-12
+
+
+def test_embedder_metadata_matches_graph_stride():
+    """The embedder's advertised framehop_s (used by the writer's timestamps
+    and the streamer's resume coverage) must equal the graph's true patch
+    stride, not framelength * prop."""
+    from buzzdetect_tpu.models.registry import EmbedderYamnet
+    for prop, want in [(0.1, 0.10), (0.7, 0.67), (0.5, 0.48), (1.0, 0.96)]:
+        emb = EmbedderYamnet(framehop_prop=prop)
+        assert abs(emb.framehop_s - want) < 1e-12, (prop, emb.framehop_s)
