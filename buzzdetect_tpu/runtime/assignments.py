@@ -23,6 +23,8 @@ class AssignFile:
     track: object = None
     duration_audio: float = None
     chunklist: list = None
+    has_results: bool = False    # resume: the partial on disk attests data
+    queued_data: bool = False    # a non-empty chunk was queued this run
 
     def __post_init__(self):
         self.ident = build_ident(self.path_audio, self.dir_audio)

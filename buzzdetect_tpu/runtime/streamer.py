@@ -62,19 +62,12 @@ class WorkerStreamer:
     def _chunk_file(self, a_file: AssignFile):
         """Open the track and compute the (resume-aware) chunk list."""
         if os.path.exists(a_file.path_results_complete):
+            # (stale partials behind a complete file are cleaned where
+            # finalized files are filtered out — Analyzer.queue_assignments;
+            # a file only reaches this branch if it finalized between
+            # assignment and streaming)
             self.log(f'Skipping {a_file.shortpath_audio}; already analyzed',
                      'DEBUG')
-            if os.path.exists(a_file.path_results_partial):
-                # a crash between finalization's promote and its partial
-                # removal leaves a stale partial behind the complete file;
-                # left alone it would silently resurrect old coverage if the
-                # user ever deletes the complete CSV to force re-analysis
-                try:
-                    os.remove(a_file.path_results_partial)
-                    self.log(f'removed stale partial behind finalized '
-                             f'{a_file.shortpath_audio}', 'DEBUG')
-                except OSError:
-                    pass
             a_file.chunklist = []
             return
 
@@ -97,20 +90,41 @@ class WorkerStreamer:
                                          self.framelength_s,
                                          framehop=self.model.embedder
                                          .framehop_s)
+            a_file.has_results = bool(coverage)
             gaps = get_gaps((0, a_file.duration_audio), coverage)
             gaps = smooth_gaps(gaps, (0, a_file.duration_audio),
                                framelength=self.framelength_s,
                                gap_tolerance=self.framelength_s / 4)
             if not gaps:
-                # finished but never finalized (e.g. killed mid-cleanup):
-                # self-heal by finalizing now
-                self.log(f'Discovered non-cleaned file at '
-                         f'{a_file.shortpath_audio}; cleaning results', 'DEBUG')
-                from buzzdetect_tpu.runtime.writer import finalize_partial
-                finalize_partial(a_file.path_results_partial,
-                                 a_file.path_results_complete)
-                a_file.chunklist = []
-                return
+                from buzzdetect_tpu.write.coverage import read_result_rows
+                header, rows, _torn = read_result_rows(
+                    a_file.path_results_partial)
+                if header is None or not rows:
+                    # the partial attests NOTHING (0-byte, or a torn header
+                    # whose rows all column-mismatch — SIGKILL debris from
+                    # before the first flush): gaps can still come back
+                    # empty for sub-framelength files because smooth_gaps
+                    # drops end-adjacent gaps. Promoting would mark the
+                    # file complete with zero data; quarantine the debris
+                    # and analyze from scratch instead.
+                    path_corrupt = a_file.path_results_partial + '.corrupt'
+                    os.replace(a_file.path_results_partial, path_corrupt)
+                    self.log(f'{a_file.shortpath_audio}: partial result has '
+                             f'no usable rows; quarantined to '
+                             f'{os.path.basename(path_corrupt)} and '
+                             f'analyzing from scratch', 'WARNING')
+                    gaps = [(0.0, a_file.duration_audio)]
+                else:
+                    # finished but never finalized (e.g. killed mid-cleanup):
+                    # self-heal by finalizing now
+                    self.log(f'Discovered non-cleaned file at '
+                             f'{a_file.shortpath_audio}; cleaning results',
+                             'DEBUG')
+                    from buzzdetect_tpu.runtime.writer import finalize_partial
+                    finalize_partial(a_file.path_results_partial,
+                                     a_file.path_results_complete)
+                    a_file.chunklist = []
+                    return
 
         a_file.chunklist = gaps_to_chunklist(gaps, self.chunklength)
 
@@ -152,11 +166,20 @@ class WorkerStreamer:
             chunk = (chunk[0],
                      max(chunk[0], round(chunk[0] + len(samples) / rate, 2)))
             continue_file = False
-            # len(samples) == 0 still queues the (empty) chunk below: the
-            # writer must see this ident's last chunk or the file is never
-            # finalized — a partial whose only remaining gap sits at/after
-            # the real data end (container header overstating duration)
-            # would otherwise be re-probed on every run forever
+            if (len(samples) == 0 and not a_file.has_results
+                    and not a_file.queued_data):
+                # the very FIRST read of a never-analyzed file produced no
+                # samples (metadata-only container, e.g. truncated-off
+                # mdat): finalizing would promote a header-only complete
+                # and skip 100% of the audio forever. Fail the stream so
+                # nothing promotes and a later run retries.
+                self.coordinator.mark_stream_failed(a_file.ident)
+                return False
+            # otherwise a zero-sample read still queues the (empty) chunk
+            # below: the writer must see this ident's last chunk or the
+            # file is never finalized — a partial whose only remaining gap
+            # sits at/after the real data end (container header overstating
+            # the duration) would be re-probed on every run forever
         else:
             continue_file = True
 
@@ -165,6 +188,8 @@ class WorkerStreamer:
                               input_rate=(rate if rate != self.resample_rate
                                           else None))
         self.coordinator.put_analyze(a_chunk)
+        if len(samples) > 0:
+            a_file.queued_data = True
         return continue_file
 
     def stream_to_queue(self, a_file: AssignFile):

@@ -363,3 +363,76 @@ def test_resample_warmup_probes_native_rate(patched_models, tmp_path):
     # drain what queue_assignments enqueued so nothing dangles
     while not an.coordinator.q_stream.empty():
         an.coordinator.q_stream.get()
+
+
+def test_fully_unreadable_file_not_promoted_empty(patched_models, tmp_path,
+                                                  monkeypatch):
+    """A file whose container reports a duration but whose FIRST read
+    returns zero samples (metadata-only container) must NOT be promoted to
+    a header-only complete file — the stream fails so nothing promotes and
+    a later, possibly healthy, run retries."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.runtime import streamer as streamer_mod
+    from buzzdetect_tpu.audio import build_track as real_build_track
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(4.0, 16000, 260), 16000)
+    dir_out = str(tmp_path / 'out')
+
+    class EmptyTrack:
+        def __init__(self, inner):
+            self._t = inner
+
+        def __getattr__(self, name):
+            return getattr(self._t, name)
+
+        def read(self, n, dtype=None):
+            return np.zeros(0, dtype or np.float32)
+
+        def read_s16(self, n):
+            return np.zeros(0, np.int16)
+
+    monkeypatch.setattr(streamer_mod, 'build_track',
+                        lambda p, **kw: EmptyTrack(real_build_track(p, **kw)))
+    analyze(modelname='durmodel', dir_audio=str(dir_audio), dir_out=dir_out,
+            chunklength=2.0, n_streamers=1, verbosity_print='ERROR')
+    assert not os.path.exists(os.path.join(dir_out, 'rec_buzzdetect.csv')), \
+        'unreadable file must not be marked complete'
+
+    # a healthy later run analyzes it fully
+    monkeypatch.setattr(streamer_mod, 'build_track', real_build_track)
+    analyze(modelname='durmodel', dir_audio=str(dir_audio), dir_out=dir_out,
+            chunklength=2.0, verbosity_print='ERROR')
+    complete = os.path.join(dir_out, 'rec_buzzdetect.csv')
+    assert os.path.exists(complete)
+    assert len(open(complete).read().splitlines()) > 1
+
+
+@pytest.mark.parametrize('debris', ['', 'start,activ'])
+def test_subframe_file_with_unusable_partial_self_heals(patched_models,
+                                                        tmp_path, debris):
+    """Sub-framelength file + a partial that attests nothing (0-byte, or a
+    torn header kept the 'start' cell): smooth_gaps drops the end-adjacent
+    whole-file gap, landing in the self-heal path — which must quarantine
+    the debris and analyze from scratch, not promote an empty complete or
+    raise on every run."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(0.9, 16000, 260), 16000)
+    dir_out = tmp_path / 'out'
+    dir_out.mkdir()
+    partial = str(dir_out / 'rec_buzzpart.csv')
+    with open(partial, 'w') as f:
+        f.write(debris)
+
+    analyze(modelname='durmodel', dir_audio=str(dir_audio),
+            dir_out=str(dir_out), verbosity_print='ERROR')
+    complete = str(dir_out / 'rec_buzzdetect.csv')
+    assert os.path.exists(complete)
+    lines = open(complete).read().splitlines()
+    assert lines[0].startswith('start,activation_ins_buzz')
+    assert len(lines) == 2  # one real analyzed frame (padded sub-frame file)
+    assert os.path.exists(partial + '.corrupt')
+    assert not os.path.exists(partial)
