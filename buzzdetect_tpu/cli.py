@@ -67,11 +67,15 @@ def reconcile_with_manifest(modelname, dir_out, classes_out, precision,
         print('Exiting without analyzing.')
         sys.exit(0)
 
-    if existing['output_mode'] == 'detections':
-        return (existing['modelname'], 'all', existing['precision'],
-                existing['framehop_prop'])
-    return (existing['modelname'], existing['classes_out'], None,
-            existing['framehop_prop'])
+    # .get fallbacks: a hand-edited manifest may lack keys — fall back to
+    # this run's values rather than crash after the user already said yes
+    if existing.get('output_mode') == 'detections':
+        return (existing.get('modelname', modelname), 'all',
+                existing.get('precision', precision),
+                existing.get('framehop_prop', framehop_prop))
+    return (existing.get('modelname', modelname),
+            existing.get('classes_out', classes_out), None,
+            existing.get('framehop_prop', framehop_prop))
 
 
 def build_parser():
@@ -83,7 +87,7 @@ def build_parser():
     parser.add_argument('--modelname', required=True, type=str,
                         help='Name of the model directory under models/')
     parser.add_argument('--classes_out', required=False, default='all',
-                        type=str, nargs='*',
+                        type=str, nargs='+',
                         help='Class names to output ("all" for every class); '
                              'outputs raw activations')
     parser.add_argument('--precision', required=False, default=None, type=float,
@@ -142,11 +146,32 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
 
     classes_out = args.classes_out
     if isinstance(classes_out, list) and classes_out == ['all']:
         classes_out = 'all'
+
+    # run the same per-field validators the GUI uses, so out-of-range
+    # settings get a friendly message instead of a deep traceback
+    from buzzdetect_tpu.validation import validate_map
+    values = {**vars(args), 'classes_out': classes_out}
+    errors, warnings = [], []
+    for name, rule in validate_map.items():
+        if name not in values:
+            continue
+        if name == 'dir_audio' and args.watch:
+            continue  # watch mode: a not-yet-created recorder dir is normal
+        result = rule(values[name])
+        if not result.valid:
+            errors.append(f'--{name}: {result.message}')
+        elif result.message:
+            warnings.append(f'--{name}: {result.message}')
+    if errors:
+        parser.error('\n'.join(errors))
+    for w in warnings:
+        print(f'warning: {w}', file=sys.stderr)
 
     # Pin dir_out to the folder being RECONCILED before adoption can change
     # the modelname: with --dir_out unset, adopting a manifest recording a

@@ -84,10 +84,14 @@ def read_manifest(dir_out):
     rewrites a valid manifest."""
     try:
         with open(_manifest_path(dir_out)) as f:
-            return json.load(f)
+            data = json.load(f)
     except (FileNotFoundError, NotADirectoryError, IsADirectoryError,
             PermissionError, json.JSONDecodeError):
         return None
+    # valid JSON that isn't an object (hand-edited/corrupted) would take the
+    # same crash paths the except clause guards against (diff_manifests
+    # calls .get on it)
+    return data if isinstance(data, dict) else None
 
 
 def write_manifest(dir_out, manifest):

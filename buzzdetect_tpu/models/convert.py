@@ -238,6 +238,12 @@ def build_ensemble_bundle(member_dirs: list, dir_out: str):
         seen_names.add(name)
         emb = {k: v for k, v in arrays.items()
                if k.startswith(('yamnet_raw/', 'yamnet/'))}
+        if not emb:
+            # without this, two embedder-less members would vacuously pass
+            # the identical-embedder check and the merged bundle would only
+            # fail later, at load time, with a confusing message
+            raise ValueError(f'{name} carries no embedder arrays '
+                             f'(yamnet_raw/ or yamnet/); cannot ensemble it')
         if ref_arrays is None:
             ref_arrays, ref_name = emb, name
         else:

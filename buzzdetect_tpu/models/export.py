@@ -53,6 +53,11 @@ def export_classifier(modelname: str, chunk_seconds: float,
         'input_samples': target,
         'input_dtype': transfer_dtype,
         'framehop_prop': framehop_prop,
+        # the EFFECTIVE patch stride in seconds (snapped to the 10 ms
+        # spectrogram grid) — consumers must derive timestamps from this,
+        # not framehop_prop * 0.96, or they drift off the analyzed frames
+        # whenever 96*framehop_prop is not an integer
+        'framehop_s': cfg.patch_hop_seconds,
         'n_patches': num_patches(n_samples, cfg),
         'platforms': list(platforms),
         'samplerate': 16000,

@@ -108,12 +108,38 @@ def min_waveform_samples(cfg: FrontendConfig) -> int:
     return int(min_seconds * cfg.sample_rate)
 
 
+def num_patches(n_samples: int, cfg: FrontendConfig) -> int:
+    """Patch count produced for a waveform of ``n_samples`` (pre-padding).
+
+    The reference rule (`embedders/yamnet/features.py:82-108`): one patch
+    for the minimum window, plus one per whole patch hop of remainder
+    (rounded up). Additionally, trailing patches whose window would START
+    at/after the end of the real samples are dropped — at sparse framehops
+    (> 1, where the hop exceeds the patch window) the round-up would
+    otherwise score a patch of 100% zero padding and emit a result row
+    timestamped past the file's end.
+    """
+    if cfg.patch_hop_frames < 1:
+        # with_framehop refuses these, but a hand-built config must fail
+        # with the reason, not a ZeroDivisionError
+        raise ValueError('patch hop is below one spectrogram frame')
+    hop = cfg.patch_hop_samples
+    extra = max(0, n_samples - min_waveform_samples(cfg))
+    n = 1 + int(np.ceil(extra / hop))
+    if n_samples > 0:
+        n = min(n, (n_samples - 1) // hop + 1)
+    return max(n, 1)
+
+
 def padded_length(n_samples: int, cfg: FrontendConfig) -> int:
     """Length after zero-padding to an integral number of patch hops.
 
     Mirrors the two-part padding rule of the reference
     (`embedders/yamnet/features.py:82-108`): grow to the one-patch minimum,
-    then round the remainder up to a whole number of patch hops.
+    then round the remainder up to a whole number of patch hops. At sparse
+    framehops the padded shape can frame one more (pure-padding) patch than
+    ``num_patches`` reports — the pad-and-mask contract (``n_valid``)
+    slices it off, like any other shape padding.
     """
     min_samples = max(n_samples, min_waveform_samples(cfg))
     after_first = min_samples - min_waveform_samples(cfg)
@@ -125,16 +151,6 @@ def padded_length(n_samples: int, cfg: FrontendConfig) -> int:
 def num_stft_frames(n_padded: int, cfg: FrontendConfig) -> int:
     """STFT frame count for a padded waveform (no end-padding: drop remainder)."""
     return 1 + (n_padded - cfg.window_samples) // cfg.hop_samples
-
-
-def num_patches(n_samples: int, cfg: FrontendConfig) -> int:
-    """Patch count produced for a waveform of ``n_samples`` (pre-padding)."""
-    if cfg.patch_hop_frames < 1:
-        # with_framehop refuses these, but a hand-built config must fail
-        # with the reason, not a ZeroDivisionError
-        raise ValueError('patch hop is below one spectrogram frame')
-    n_frames = num_stft_frames(padded_length(n_samples, cfg), cfg)
-    return 1 + (n_frames - cfg.patch_frames) // cfg.patch_hop_frames
 
 
 def pad_waveform(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:

@@ -60,10 +60,19 @@ SPEC_HALF = 512           # re/im each padded to 4 lane tiles (>= 257 bins)
 MEL_PADDED = 128          # mel bands padded to one lane tile
 
 
-@lru_cache(maxsize=4)
 def _constants(cfg: FrontendConfig):
-    w_re, w_im = mel_lib.windowed_rdft_matrices(cfg.window_samples,
-                                                cfg.fft_length)
+    # cache on the SPECTRAL fields only: patch framing (framehop) plays no
+    # part in these constants, and keying on the whole config would rebuild
+    # and store the ~1.6 MB set once per framehop variant
+    return _constants_impl(cfg.window_samples, cfg.fft_length, cfg.fft_bins,
+                           cfg.mel_bands, cfg.sample_rate, cfg.mel_min_hz,
+                           cfg.mel_max_hz)
+
+
+@lru_cache(maxsize=4)
+def _constants_impl(window_samples, fft_length, fft_bins, mel_bands,
+                    sample_rate, mel_min_hz, mel_max_hz):
+    w_re, w_im = mel_lib.windowed_rdft_matrices(window_samples, fft_length)
     # Pack the 400-tap operand as three HOP-row banks (the third zero-padded
     # to HOP): the windowed DFT of hop-strided frames then becomes three
     # shifted (F, HOP) x (HOP, bins) matmuls — no lane-dim concatenation,
@@ -73,12 +82,12 @@ def _constants(cfg: FrontendConfig):
     banks = np.zeros((3, HOP_PADDED, 2 * SPEC_HALF), np.float32)
     for b in range(3):
         lo, hi = b * HOP, min((b + 1) * HOP, WINDOW)
-        banks[b, :hi - lo, :cfg.fft_bins] = w_re[lo:hi]
-        banks[b, :hi - lo, SPEC_HALF:SPEC_HALF + cfg.fft_bins] = w_im[lo:hi]
+        banks[b, :hi - lo, :fft_bins] = w_re[lo:hi]
+        banks[b, :hi - lo, SPEC_HALF:SPEC_HALF + fft_bins] = w_im[lo:hi]
     mel = np.zeros((SPEC_HALF, MEL_PADDED), np.float32)
-    mel[:cfg.fft_bins, :cfg.mel_bands] = mel_lib.mel_weight_matrix(
-        cfg.mel_bands, cfg.fft_bins, cfg.sample_rate, cfg.mel_min_hz,
-        cfg.mel_max_hz).astype(np.float32)
+    mel[:fft_bins, :mel_bands] = mel_lib.mel_weight_matrix(
+        mel_bands, fft_bins, sample_rate, mel_min_hz,
+        mel_max_hz).astype(np.float32)
     return banks, mel
 
 

@@ -56,6 +56,16 @@ class Coordinator:
                                 if streamers_total is None else streamers_total)
         self.queue_depth = (self.streamers_total * 2
                             if depth is None else depth)
+        # 0/negative sizing is always a mistake: queue.Queue(maxsize=0) is
+        # UNBOUNDED (silently removing the documented host-RAM bound) and
+        # zero workers makes a no-op run report 'Analysis complete'
+        if self.analyzers_total < 1:
+            raise ValueError('need at least one analyzer '
+                             '(analyzers_cpu + analyzers_gpu >= 1)')
+        if self.streamers_total < 1:
+            raise ValueError('n_streamers must be >= 1')
+        if self.queue_depth < 1:
+            raise ValueError('stream_buffer_depth must be >= 1')
         self.q_gui = q_gui
 
         self.assigned_chunks = {}
@@ -74,9 +84,21 @@ class Coordinator:
         # of the writer — full overlap, no flooding, prompt checkpoints.
         self.q_write = queue.Queue(maxsize=max(4, 4 * self.analyzers_total))
 
+        # set when the LAST worker of each stage has exited its run loop.
+        # The workers themselves signal via worker_exited() — these events
+        # gate put_write's and _poison's bail-outs, which would be
+        # unreachable (early-exit livelock: an analyzer spinning put_write
+        # against a consumer-less full q_write) if only wait_for_exit's
+        # watcher set them after joining those very workers.
         self.streamers_done = threading.Event()
         self.analyzers_done = threading.Event()
         self.writer_done = threading.Event()
+        self._workers_alive = {'streamer': self.streamers_total,
+                               'analyzer': self.analyzers_total,
+                               'writer': 1}
+        self._done_events = {'streamer': self.streamers_done,
+                             'analyzer': self.analyzers_done,
+                             'writer': self.writer_done}
 
         # external-stop hooks (multiprocessing primitives when run under a GUI)
         self.event_exitanalysis = (event_analysisdone
@@ -146,6 +168,14 @@ class Coordinator:
             fully_analyzed = (not tracker.chunks_streamed
                               and not tracker.stream_in_progress)
         return a_chunk, fully_analyzed
+
+    def worker_exited(self, kind: str):
+        """Called by each worker as its run loop ends; the last exit of a
+        stage sets that stage's done event."""
+        with self._lock:
+            self._workers_alive[kind] -= 1
+            if self._workers_alive[kind] <= 0:
+                self._done_events[kind].set()
 
     def record_written(self, seconds: float):
         with self._lock:

@@ -169,6 +169,12 @@ class WorkerInferer:
             self.report_rate(a_chunk)
 
     def run(self):
+        try:
+            self._run()
+        finally:
+            self.coordinator.worker_exited('analyzer')
+
+    def _run(self):
         self.log('launching', 'INFO')
         self.model.initialize()
         self.log(f'processing on {self.processor}', 'INFO')

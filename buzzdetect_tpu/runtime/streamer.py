@@ -224,10 +224,13 @@ class WorkerStreamer:
 
     def run(self):
         self.log('launching', 'INFO')
-        while True:
-            a_file = self.coordinator.get_stream()
-            if a_file == 'exit':
-                break
-            self.log(f'buffering {a_file.shortpath_audio}', 'INFO')
-            self.stream_to_queue(a_file)
+        try:
+            while True:
+                a_file = self.coordinator.get_stream()
+                if a_file == 'exit':
+                    break
+                self.log(f'buffering {a_file.shortpath_audio}', 'INFO')
+                self.stream_to_queue(a_file)
+        finally:
+            self.coordinator.worker_exited('streamer')
         self.log('terminating', 'INFO')

@@ -163,6 +163,12 @@ class WorkerWriter:
                      'DEBUG')
 
     def run(self):
+        try:
+            self._run()
+        finally:
+            self.coordinator.worker_exited('writer')
+
+    def _run(self):
         self.log('launching', 'INFO')
         while True:
             item = self.coordinator.get_write()

@@ -162,8 +162,8 @@ validate_map = {
     'chunklength': validate_chunklength,
     'analyzers_cpu': numeric_rule(kind=int, minimum=0),
     'analyzers_gpu': numeric_rule(kind=int, minimum=0),
-    'n_streamers': numeric_rule(kind=int, minimum=0, none_ok=True),
-    'stream_buffer_depth': numeric_rule(kind=int, minimum=0, none_ok=True),
+    'n_streamers': numeric_rule(kind=int, minimum=1, none_ok=True),
+    'stream_buffer_depth': numeric_rule(kind=int, minimum=1, none_ok=True),
     'dir_audio': validate_dir_audio,
     'dir_out': validate_dir_out,
     'verbosity_print': validate_verbosity,

@@ -92,3 +92,33 @@ def test_reconcile_conflict_decline_exits(tmp_path, monkeypatch):
     write_manifest(dir_out, build_manifest('m', 0.5, None, ['a']))
     with pytest.raises(SystemExit):
         reconcile_with_manifest('m', dir_out, 'all', None, 1.0)
+
+
+def test_malformed_manifest_reads_as_none(tmp_path):
+    """Valid JSON that is not an object (hand-edited/corrupt) must read as
+    no-manifest, not crash the reconcile prompt or the GUI handler."""
+    from buzzdetect_tpu.manifest import read_manifest
+    (tmp_path / 'buzzdetect_manifest.json').write_text('["not", "a", "dict"]')
+    assert read_manifest(str(tmp_path)) is None
+
+
+def test_cli_rejects_out_of_range_settings(capsys):
+    """The CLI runs the same validators as the GUI: out-of-range settings
+    exit with a friendly message instead of a deep traceback."""
+    import pytest as _pytest
+    from buzzdetect_tpu.cli import main
+    with _pytest.raises(SystemExit) as e:
+        main(['--modelname', 'model_general_v3', '--precision', '1.5'])
+    assert e.value.code == 2
+    err = capsys.readouterr().err
+    assert 'precision' in err
+
+
+def test_cli_rejects_bare_classes_out():
+    """`--classes_out` with no values must be an argparse error, not a
+    silently-locked zero-class output schema."""
+    import pytest as _pytest
+    from buzzdetect_tpu.cli import main
+    with _pytest.raises(SystemExit) as e:
+        main(['--modelname', 'model_general_v3', '--classes_out'])
+    assert e.value.code == 2

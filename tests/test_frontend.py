@@ -195,3 +195,35 @@ def test_embedder_metadata_matches_graph_stride():
     for prop, want in [(0.1, 0.10), (0.7, 0.67), (0.5, 0.48), (1.0, 0.96)]:
         emb = EmbedderYamnet(framehop_prop=prop)
         assert abs(emb.framehop_s - want) < 1e-12, (prop, emb.framehop_s)
+
+
+def test_sparse_framehop_no_phantom_tail_patch():
+    """At framehop > 1 the patch hop exceeds the patch window; the padding
+    round-up must not fabricate a final patch of 100% zero padding (a
+    result row timestamped past the file's end) while the real tail
+    samples fall in no patch's start."""
+    from buzzdetect_tpu.ops.frontend import num_patches, padded_length
+    c = FrontendConfig().with_framehop(2.0)
+    n = 16000  # 1.0 s file
+    assert num_patches(n, c) == 1  # patch 2 would start at 1.92 s: phantom
+    # the padded shape may still frame the phantom — n_valid slices it off
+    # as ordinary shape padding — but must never truncate real samples
+    assert padded_length(n, c) >= n
+    # a file long enough for a real second patch still gets it
+    assert num_patches(2 * c.patch_hop_samples, c) == 2
+
+
+def test_num_patches_parity_preserved_for_dense_framehops():
+    """The phantom-tail cap must never change patch counts in the TF-parity
+    regime (framehop <= 1)."""
+    from buzzdetect_tpu.ops.frontend import num_patches, padded_length
+    for prop in (1.0, 0.5, 1.0 / 3.0, 0.1):
+        c = FrontendConfig().with_framehop(prop)
+        for n in (15600, 15601, 16000, 32000, 160000, 3194880):
+            hop = c.patch_hop_samples
+            extra = max(0, n - 15600)
+            want = 1 + int(np.ceil(extra / hop))  # reference round-up rule
+            assert num_patches(n, c) == want, (prop, n)
+            frames = 1 + (padded_length(n, c)
+                          - c.window_samples) // c.hop_samples
+            assert 1 + (frames - c.patch_frames) // c.patch_hop_frames == want

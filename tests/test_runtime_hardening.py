@@ -107,6 +107,9 @@ class FakeCoordinator:
             raise RuntimeError('injected put_write failure')
         self.written.append(a_chunk)
 
+    def worker_exited(self, kind):
+        pass  # protocol hook; exit accounting is the real Coordinator's job
+
 
 def _chunk(ident, span):
     f = AssignFile(path_audio=f'/tmp/{ident}.wav', dir_audio='/tmp',
@@ -152,3 +155,50 @@ def test_drain_batch_budget_counts_mixed_rates():
     assert drained <= 4
     assert coord.q_analyze.qsize() >= 9
     assert not exit_seen
+
+
+def test_worker_exit_events_set_by_workers_not_joins():
+    """The stage-done events gate put_write's and _poison's bail-outs; they
+    must be set by the workers themselves on exit. If only wait_for_exit's
+    watcher set them (after joining those very workers), an early exit
+    could livelock an analyzer spinning put_write against a full,
+    consumer-less q_write."""
+    import threading
+    import time
+    from buzzdetect_tpu.runtime.coordination import Coordinator
+    from buzzdetect_tpu.runtime.writer import WorkerWriter
+
+    coord = Coordinator(analyzers_cpu=1, streamers_total=1)
+    w = WorkerWriter(classes_out=['a'], threshold=None, classes=['a'],
+                     framehop_s=0.96, digits_time=2, digits_results=2,
+                     coordinator=coord)
+    t = threading.Thread(target=w, daemon=True)
+    t.start()
+    coord.q_write.put('exit')
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert coord.writer_done.is_set(), \
+        'writer must signal its own exit (nobody joined it)'
+
+    # q_write full and the writer gone: put_write must return promptly
+    while True:
+        try:
+            coord.q_write.put_nowait(object())
+        except Exception:
+            break
+    t0 = time.monotonic()
+    coord.put_write(object())
+    assert time.monotonic() - t0 < 5.0, 'put_write livelocked'
+
+
+def test_degenerate_worker_sizing_rejected():
+    """0 workers silently produced a no-op 'Analysis complete' and
+    queue.Queue(maxsize=0) is UNBOUNDED — both must be loud errors."""
+    import pytest
+    from buzzdetect_tpu.runtime.coordination import Coordinator
+    with pytest.raises(ValueError):
+        Coordinator(streamers_total=0)
+    with pytest.raises(ValueError):
+        Coordinator(depth=0)
+    with pytest.raises(ValueError):
+        Coordinator(analyzers_cpu=0, analyzers_gpu=0)

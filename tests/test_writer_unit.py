@@ -19,6 +19,9 @@ class FakeCoordinator:
         self.writer_done = threading.Event()
         self.audio = 0.0
 
+    def worker_exited(self, kind):
+        pass  # protocol hook; exit accounting is the real Coordinator's job
+
     def get_write(self):
         return self.q_write.get()
 
