@@ -21,15 +21,23 @@ def run_analysis(kwargs, q_gui, event_stop):
     Failures raised BEFORE the logger worker exists (model load, threshold
     calibration, bad kwargs) would otherwise die on the child's stderr with
     the window showing nothing — forward them to the GUI queue directly."""
-    from buzzdetect_tpu.analysis import analyze
     try:
+        # the import itself is the most common pre-logger failure in a
+        # packaged build (jax/native-lib load errors) — it must be inside
+        # the try or the window stays blank with no explanation
+        from buzzdetect_tpu.analysis import analyze
         analyze(q_gui=q_gui, event_stopanalysis=event_stop, **kwargs)
     except BaseException as e:
-        from buzzdetect_tpu.runtime.assignments import AssignLog
         import traceback
-        q_gui.put(AssignLog(
-            message=f'analysis failed: {e}\n{traceback.format_exc()}',
-            level_str='ERROR'))
+        try:
+            from buzzdetect_tpu.runtime.assignments import AssignLog
+            record = AssignLog(message='', level_str='ERROR')
+        except Exception:  # even the record class may be unimportable
+            import types
+            record = types.SimpleNamespace(message='', level_str='ERROR',
+                                           terminate=False)
+        record.message = f'analysis failed: {e}\n{traceback.format_exc()}'
+        q_gui.put(record)
         raise
 
 

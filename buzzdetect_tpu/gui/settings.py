@@ -50,9 +50,18 @@ class AnalysisSettings(tk.Tk):
         self.launch_button = ttk.Button(container, text='Analyze',
                                         command=self.launch)
         self.launch_button.pack(anchor='e', pady=8)
+        self.status_label = ttk.Label(container, text='',
+                                      foreground=gui_cfg.LEVEL_COLORS.get(
+                                          'ERROR', '#b00020'))
+        self.status_label.pack(anchor='e')
 
         self._load_values()
         self._apply_lock()
+        # closing the root must route through the analysis window's own
+        # close protocol: Tk destroys Toplevels WITHOUT firing their
+        # WM_DELETE_WINDOW, which would kill a running child process with
+        # no confirmation, mid-append
+        self.protocol('WM_DELETE_WINDOW', self._on_close_root)
 
     def _widget_for(self, name, parent):
         validator = validate_map.get(name)
@@ -118,6 +127,15 @@ class AnalysisSettings(tk.Tk):
         finally:
             self._syncing = False
 
+    def _on_close_root(self):
+        win = getattr(self, '_analysis_window', None)
+        if win is not None and win.winfo_exists():
+            win.lift()
+            win._on_close()  # owns the 'stop and close?' prompt
+            if win.winfo_exists():
+                return  # user declined stopping the running analysis
+        self.destroy()
+
     def _on_change(self):
         if self._syncing:
             return
@@ -138,8 +156,19 @@ class AnalysisSettings(tk.Tk):
             existing.focus_set()
             return
         self._pull_values()
-        if not all(w.validate() for w in self.entries.values()):
+        invalid = [n for n, w in self.entries.items() if not w.validate()]
+        if invalid:
+            # make the failure visible: the invalid field may sit inside
+            # the collapsed advanced section, where its inline message is
+            # hidden and the button would appear to do nothing
+            if any(n in ADVANCED_FIELDS for n in invalid):
+                self.advanced_open.set(True)
+                self._toggle_advanced()
+            self.status_label.config(
+                text=f"fix invalid settings: {', '.join(invalid)}")
+            self.bell()
             return
+        self.status_label.config(text='')
         self.model.save_cache()
         from buzzdetect_tpu.gui.analysis import AnalysisWindow
         self._analysis_window = AnalysisWindow(self,

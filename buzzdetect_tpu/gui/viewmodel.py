@@ -147,7 +147,8 @@ class SettingsModel:
         network-mounted) manifest file per keypress stalls the Tk loop."""
         path = self.resolved_dir_out()
         try:
-            st = os.stat(os.path.join(path, 'buzzdetect_manifest.json'))
+            from buzzdetect_tpu.manifest import FNAME_MANIFEST
+            st = os.stat(os.path.join(path, FNAME_MANIFEST))
             sig = (path, st.st_mtime_ns, st.st_size)
         except OSError:
             sig = (path, None, None)
@@ -160,7 +161,17 @@ class SettingsModel:
         locked = {}
         for key in KEYS_LOCKED:
             if key in manifest and key != 'output_mode':
-                locked[key] = manifest[key]
+                value = manifest[key]
+                if key == 'classes_out' and value is None:
+                    # detections-mode manifests store classes_out=null
+                    # (class selection doesn't shape that schema); the
+                    # locked — hence uneditable — widget needs a valid
+                    # display value or form validation fails and launch is
+                    # bricked for the folder. 'all' relaunches identically:
+                    # Manifest.from_settings normalizes it back to None
+                    # whenever precision is set.
+                    value = 'all'
+                locked[key] = value
         return locked
 
     def apply_manifest_lock(self):

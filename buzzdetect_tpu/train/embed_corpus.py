@@ -22,6 +22,12 @@ def embed_file(classifier, path_audio: str, chunklength: float = 200.0):
     """One audio file -> (starts, embeddings) at the classifier's framehop."""
     cfg_fe = classifier.cfg
     framehop_s = cfg_fe.patch_hop_seconds
+    # round to whole frames exactly like Analyzer._setup_chunklength: an
+    # unrounded boundary puts the final patch window past the chunk's end
+    # (scored against zero padding where real audio exists in the NEXT
+    # chunk) and restarts the start grid off-stride every chunk
+    fl = cfg_fe.patch_window_seconds
+    chunklength = max(round(chunklength / fl) * fl, fl)
     track = build_track(path_audio, target_rate=cfg_fe.sample_rate)
     try:
         duration = get_duration(track)
@@ -76,16 +82,25 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
         path_out = os.path.join(dir_out, ident + SUFFIX_EMBEDDINGS)
         if os.path.exists(path_out):
             continue
-        os.makedirs(os.path.dirname(path_out) or '.', exist_ok=True)
-        starts, embeddings = embed_file(get_classifier(), path, chunklength)
-        # write-then-rename: the skip-if-exists resume above must never
-        # adopt a truncated npz left by a mid-write crash
-        path_tmp = path_out + '.tmp.npz'  # savez appends .npz otherwise
-        np.savez_compressed(path_tmp, starts=starts.astype(np.float32),
-                            embeddings=embeddings)
-        os.replace(path_tmp, path_out)
-        written.append(path_out)
-        log(f'embedded {ident}: {len(embeddings)} frames')
+        try:
+            if os.path.getsize(path) < cfg.FILE_SIZE_MINIMUM:
+                log(f'skipping {ident}: below minimum analyzeable size')
+                continue
+            os.makedirs(os.path.dirname(path_out) or '.', exist_ok=True)
+            starts, embeddings = embed_file(get_classifier(), path,
+                                            chunklength)
+            # write-then-rename: the skip-if-exists resume above must never
+            # adopt a truncated npz left by a mid-write crash
+            path_tmp = path_out + '.tmp.npz'  # savez appends .npz otherwise
+            np.savez_compressed(path_tmp, starts=starts.astype(np.float32),
+                                embeddings=embeddings)
+            os.replace(path_tmp, path_out)
+            written.append(path_out)
+            log(f'embedded {ident}: {len(embeddings)} frames')
+        except Exception as e:
+            # one corrupt file must not abort the corpus (the analysis
+            # pipeline isolates such files the same way); reruns retry it
+            log(f'ERROR embedding {ident}: {e}; skipping this file')
     return written
 
 

@@ -71,6 +71,12 @@ def calculate_threshold(modelname: str, precision_requested: float,
     the table's range still raises — extrapolating a calibration would
     silently promise a precision the model was never measured at."""
     metrics = load_metrics(modelname)
+    if metrics['precision'].size == 0:
+        # a header-only metrics.csv (evaluation produced no usable rows):
+        # without this the error path below crashes on .min() of an empty
+        # array, masking the real diagnostic
+        raise ValueError(f'metrics table for "{modelname}" has no rows; '
+                         f're-run evaluation before calibrating thresholds')
     delta = np.abs(metrics['precision'] - precision_requested)
     mask = delta <= tolerance / 2
     if mask.any():
@@ -110,17 +116,24 @@ def threshold_at_precision(modelname: str, precision_requested: float) -> dict:
     if idx_over is None and idx_under is None:
         raise ValueError(f'empty metrics table for "{modelname}"')
     if idx_over is None:
+        # request falls past the table's top: report the edge row's ACTUAL
+        # measured precision, not the requested value — labeling the edge
+        # threshold with an unmeasured precision promises calibration the
+        # model never achieved
         threshold = metrics['threshold'][idx_under]
         sens = metrics['sensitivity'][idx_under]
+        achieved = metrics['precision'][idx_under]
     elif idx_under is None:
         threshold = metrics['threshold'][idx_over]
         sens = metrics['sensitivity'][idx_over]
+        achieved = metrics['precision'][idx_over]
     else:
         t_over = metrics['threshold'][idx_over]
         t_under = metrics['threshold'][idx_under]
         threshold = t_over + (t_under - t_over) / 2
         sens = (metrics['sensitivity'][idx_over]
                 + metrics['sensitivity'][idx_under]) / 2
+        achieved = precision_requested
     return {'threshold': round(float(threshold), 2),
-            'precision': round(float(precision_requested), 2),
+            'precision': round(float(achieved), 2),
             'sensitivity': round(float(sens), 2)}

@@ -19,6 +19,10 @@ SUFFIX_TRIMMED = '_buzztrim.npz'
 
 def trim_results(path_csv: str, classes_keep=('ins_buzz',), decimals: int = 1):
     """Load a result CSV and return compacted arrays."""
+    if isinstance(classes_keep, str) and classes_keep != 'all':
+        # a bare string would do SUBSTRING matching in the `in` test below
+        # ('buzz' silently keeping 'ins_buzz'); treat it as one class name
+        classes_keep = (classes_keep,)
     with open(path_csv, newline='') as f:
         reader = csv.reader(f)
         header = next(reader)

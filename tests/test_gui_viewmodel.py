@@ -208,3 +208,20 @@ def test_analyze_kwargs_normalizes_all_token(tmp_path):
     model = SettingsModel(path_cache=str(tmp_path / 'guisettings.json'))
     model.values['classes_out'] = ' All '
     assert model.analyze_kwargs()['classes_out'] == 'all'
+
+
+def test_detections_manifest_lock_is_launchable(tmp_path):
+    """A detections-mode manifest stores classes_out=null; the lock must
+    surface 'all' (a valid display value) — otherwise the locked,
+    uneditable widget fails form validation and the folder can never be
+    resumed from the GUI."""
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    dir_out = str(tmp_path / 'out')
+    write_manifest(dir_out, build_manifest('m', 1.0, 0.95, ['a']))
+
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['dir_out'] = dir_out
+    locked = m.apply_manifest_lock()
+    assert locked['classes_out'] == 'all'
+    assert m.values['classes_out'] == 'all'
+    assert m.validate_field('classes_out').valid

@@ -332,3 +332,76 @@ def test_embed_directory_resume_is_crash_safe(tmp_path, monkeypatch):
     assert not os.path.exists(calls['src'])
     # second run resumes: nothing re-embedded
     assert ec.embed_directory(str(d_audio), str(tmp_path / 'emb')) == []
+
+
+def test_threshold_calibration_empty_table_raises_cleanly(tmp_path,
+                                                          monkeypatch):
+    """A header-only metrics.csv (evaluation found no usable rows) must
+    produce the real diagnostic, not a zero-size-reduction crash from the
+    error message's own min()/max()."""
+    import pytest
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.write.thresholds import (calculate_threshold,
+                                                 threshold_at_precision)
+    d = tmp_path / 'models' / 'emx' / 'tests'
+    d.mkdir(parents=True)
+    (d / 'metrics.csv').write_text('threshold,precision,sensitivity,fpr\n')
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+    with pytest.raises(ValueError, match='no rows'):
+        calculate_threshold('emx', 0.95)
+    with pytest.raises(ValueError):
+        threshold_at_precision('emx', 0.95)
+
+
+def test_threshold_at_precision_reports_achieved_when_clamped(tmp_path,
+                                                              monkeypatch):
+    """Requesting a precision past the table's top must report the edge
+    row's MEASURED precision, not echo back an unachieved request."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.write.thresholds import threshold_at_precision
+    d = tmp_path / 'models' / 'emy' / 'tests'
+    d.mkdir(parents=True)
+    (d / 'metrics.csv').write_text(
+        'threshold,precision,sensitivity,fpr\n'
+        '-1.0,0.90,0.5,0.1\n'
+        '0.0,0.95,0.3,0.05\n')
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+    out = threshold_at_precision('emy', 0.999)
+    assert out['precision'] == 0.95  # the model was only measured to 0.95
+    assert out['threshold'] == 0.0
+
+
+def test_embed_directory_chunk_grid_and_fault_containment(tmp_path,
+                                                          monkeypatch):
+    """Chunk boundaries round to whole frames (no padding-contaminated
+    boundary embeddings, uniform start grid), and one corrupt file must
+    not abort the rest of the corpus."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from buzzdetect_tpu.train.embed_corpus import (embed_directory,
+                                                   load_embeddings)
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'em'), classes=['a', 'b'], seed=1)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'good.wav', make_tone(4.0, 16000), 16000)
+    (dir_audio / 'corrupt.wav').write_bytes(b'not audio' * 1000)  # > 5 KB
+    (dir_audio / 'tiny.wav').write_bytes(b'RIFF')  # below size minimum
+
+    logs = []
+    out = tmp_path / 'emb'
+    written = embed_directory(str(dir_audio), str(out), modelname='em',
+                              chunklength=2.0, log=logs.append)
+    # the good file embedded despite the corrupt sibling
+    assert len(written) == 1 and written[0].endswith('good_embeddings.npz')
+    assert any('ERROR' in m and 'corrupt' in m for m in logs)
+    assert any('tiny' in m and 'skipping' in m for m in logs)
+    # 2.0 s chunks round to 1.92 s: the start grid stays on one uniform
+    # 0.96 s stride across every chunk boundary
+    starts, emb = load_embeddings(written[0])
+    np.testing.assert_allclose(np.diff(starts), 0.96, atol=1e-6)
+    assert starts[0] == 0.0 and starts[-1] >= 3.8 - 0.96

@@ -135,6 +135,9 @@ class Widget:
     def protocol(self, name, fn):
         self.kw[f'protocol:{name}'] = fn
 
+    def bell(self):
+        pass
+
     def winfo_exists(self):
         return not self.destroyed
 
