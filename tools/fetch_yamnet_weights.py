@@ -45,15 +45,39 @@ LOG_PATH = os.path.join(os.path.dirname(__file__), '..', 'docs',
                         'weights_acquisition.md')
 
 
+def _is_hdf5(path):
+    try:
+        with open(path, 'rb') as f:
+            return f.read(8) == b'\x89HDF\r\n\x1a\n'
+    except OSError:
+        return False
+
+
 def _try_url(url, dest, lines):
+    """Download to dest ATOMICALLY and only when the payload really is an
+    HDF5 file. A direct-to-dest write would leave a truncated/garbage
+    yamnet.h5 behind on a dropped connection or a 200-OK error page (or
+    tfhub's tar.gz), which a later import run would trust."""
     import urllib.request
+    part = dest + '.part'
     try:
         with urllib.request.urlopen(url, timeout=30) as r, \
-                open(dest, 'wb') as f:
+                open(part, 'wb') as f:
             shutil.copyfileobj(r, f)
-        lines.append(f'- `{url}` -> OK ({os.path.getsize(dest)} bytes)')
+        if not _is_hdf5(part):
+            size = os.path.getsize(part)
+            os.remove(part)
+            lines.append(f'- `{url}` -> FAIL: fetched {size} bytes but not '
+                         f'an HDF5 file (error page or archive format); '
+                         f'discarded')
+            return False
+        os.replace(part, dest)
+        lines.append(f'- `{url}` -> OK ({os.path.getsize(dest)} bytes, '
+                     f'HDF5 magic verified)')
         return True
     except Exception as e:
+        if os.path.exists(part):
+            os.remove(part)
         lines.append(f'- `{url}` -> FAIL: {type(e).__name__}: {e}')
         return False
 
@@ -63,6 +87,7 @@ def _try_local(dest, lines):
         hits = [h for h in glob.glob(pattern, recursive=True)
                 if os.path.isfile(h) and os.path.getsize(h) > 1_000_000
                 and 'pytest' not in h]
+        hits = [h for h in hits if _is_hdf5(h)]  # 'yamnet*' can glob caches
         if hits:
             shutil.copyfile(hits[0], dest)
             lines.append(f'- local `{pattern}` -> OK ({hits[0]})')

@@ -47,13 +47,15 @@ def main():
     out_x = np.asarray(xla_fn(wav_dev))
     maxdiff = float(np.abs(out_p - out_x).max())
 
+    iters = max(1, args.iters)  # --iters 0 would crash on unbound out / /0
+
     def clock(fn):
         fn(wav_dev).block_until_ready()
         t0 = time.perf_counter()
-        for _ in range(args.iters):
+        for _ in range(iters):
             out = fn(wav_dev)
         out.block_until_ready()
-        return (time.perf_counter() - t0) / args.iters
+        return (time.perf_counter() - t0) / iters
 
     t_pallas = clock(pallas_fn)
     t_xla = clock(xla_fn)

@@ -112,14 +112,20 @@ def main():
     b = open(os.path.join(dir_out, 'long_buzzdetect.csv')).read()
     ok = a == b
     print('byte-identical to uninterrupted run:', ok)
+    rc = 0
     if not ok:
-        # row-level check (chunk boundary frames may differ at padding edges)
+        # row-level check (chunk boundary frames may differ at padding
+        # edges). Missing/duplicated trailing rows count as differences —
+        # zip() alone would silently stop at the shorter file and pass the
+        # exact truncation regression this soak exists to catch.
         ra, rb = a.splitlines(), b.splitlines()
         print(f'rows: ctrl={len(ra)} resumed={len(rb)}')
         diff = sum(1 for x, y in zip(ra, rb) if x != y)
-        print(f'differing rows: {diff}')
-        raise SystemExit(1 if diff > len(ra) * 0.01 else 0)
+        diff += abs(len(ra) - len(rb))
+        print(f'differing rows (incl. length delta): {diff}')
+        rc = 1 if diff > len(ra) * 0.01 else 0
     shutil.rmtree(td)
+    raise SystemExit(rc)
 
 
 if __name__ == '__main__':

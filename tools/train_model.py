@@ -42,6 +42,10 @@ def main():
     ap.add_argument('--overlap-prop', type=float, default=0.2)
     ap.add_argument('--epochs', type=int, default=20)
     ap.add_argument('--learning-rate', type=float, default=1e-3)
+    ap.add_argument('--target-class', default='ins_buzz',
+                    help='class whose threshold/precision curve the metrics '
+                         'table calibrates (runtime detections mode '
+                         'thresholds ins_buzz specifically)')
     ap.add_argument('--holdout', type=float, default=0.2,
                     help='fraction of files held out for evaluation')
     ap.add_argument('--full', action='store_true',
@@ -119,7 +123,12 @@ def main():
             if not f.endswith(SUFFIX_EMBEDDINGS):
                 continue
             path = os.path.join(root, f)
-            ident = build_ident(path, dir_work)[:-len('_embeddings')]
+            # derive the stripped stem from the one shared suffix constant
+            # (build_ident removes the '.npz' extension; a separate
+            # '_embeddings' literal would desynchronize from
+            # SUFFIX_EMBEDDINGS and silently zero every label lookup)
+            suffix_stem = os.path.splitext(SUFFIX_EMBEDDINGS)[0]
+            ident = build_ident(path, dir_work)[:-len(suffix_stem)]
             starts, emb = load_embeddings(path)
             labels = frames_to_labels(starts, events.get(ident, []),
                                       args.classes, framelength=framelength,
@@ -153,10 +162,19 @@ def main():
 
     print('[4/5] evaluating ...')
     metrics = None
-    if n_hold and 'ins_buzz' in args.classes:
+    if not n_hold:
+        print('      skipping metrics: no held-out files (--holdout 0 or '
+              'too few files); the bundle will not support '
+              'precision-calibrated detections')
+    elif args.target_class not in args.classes:
+        print(f'      skipping metrics: target class '
+              f'"{args.target_class}" is not in --classes (pass '
+              f'--target-class to calibrate another); the bundle will not '
+              f'support precision-calibrated detections')
+    if n_hold and args.target_class in args.classes:
         hold_emb = np.concatenate([per_file[i][1] for i in hold_idx])
         hold_lab = np.concatenate([per_file[i][2] for i in hold_idx])
-        ci = args.classes.index('ins_buzz')
+        ci = args.classes.index(args.target_class)
         scores = hold_emb @ head['head/kernel'] + head['head/bias']
         try:
             metrics = threshold_sweep(scores[:, ci], hold_lab[:, ci])
