@@ -107,7 +107,8 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
 
 def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
                    batch_chunks: int = 1, sample_rate: int = 16000,
-                   resample_on_device: bool = False):
+                   resample_on_device: bool = False,
+                   transfer_dtype: str = None):
     """Full path: WAV decode -> pipeline -> CSV (host + device).
 
     A warmup pass first runs one file through analyze() so backend
@@ -122,7 +123,8 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
     rng = np.random.default_rng(0)
     kw = dict(chunklength=chunklength, verbosity_print='ERROR',
               batch_chunks=batch_chunks,
-              resample_on_device=resample_on_device)
+              resample_on_device=resample_on_device,
+              transfer_dtype=transfer_dtype)
     with tempfile.TemporaryDirectory() as td:
         warm_audio = os.path.join(td, 'warm')
         os.makedirs(warm_audio)
@@ -167,6 +169,10 @@ def main():
     ap.add_argument('--batch-chunks', type=int, default=1)
     ap.add_argument('--sample-rate', type=int, default=16000,
                     help='source WAV rate for pipeline mode')
+    ap.add_argument('--transfer-dtype', default=None,
+                    choices=['float32', 'int16', 'mulaw'],
+                    help='pipeline mode: host->device wire format (mulaw '
+                         'halves transfer bytes on bandwidth-limited links)')
     ap.add_argument('--resample-on-device', action='store_true',
                     help='pipeline mode: native-rate decode + on-device '
                          'resample (ops/resample.py)')
@@ -196,7 +202,8 @@ def main():
         chunkl = 200.0 if args.mode == 'both' else args.chunklength
         pipeline = bench_pipeline(chunkl, args.files,
                                   args.seconds_per_file, args.batch_chunks,
-                                  args.sample_rate, args.resample_on_device)
+                                  args.sample_rate, args.resample_on_device,
+                                  args.transfer_dtype)
         if args.mode == 'pipeline':
             record.update(metric='realtime_factor_pipeline',
                           value=round(pipeline, 2),
