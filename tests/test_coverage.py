@@ -155,3 +155,93 @@ def test_finalize_drops_torn_rows(tmp_path):
     finalize_partial(str(partial), str(complete))
     lines = open(complete).read().strip().split('\n')
     assert lines == ['start,activation_ins_buzz', '0.0,0.7', '0.96,0.5']
+
+
+# --- randomized invariants ---------------------------------------------------
+
+def _union_length(intervals):
+    total = 0.0
+    for s, e in intervals:
+        total += max(0.0, e - s)
+    return total
+
+
+def test_coverage_algebra_randomized_invariants():
+    """Property-style sweep of the resume algebra: for random frame sets the
+    merged coverage must be sorted/disjoint and contain every input frame,
+    gaps must exactly complement coverage inside the range, and
+    subtract_interval must remove precisely the requested span."""
+    import numpy as np
+    from buzzdetect_tpu.write.coverage import (melt_coverage, get_gaps,
+                                               subtract_interval)
+    rng = np.random.default_rng(7)
+    fl = 0.96
+    for _ in range(300):
+        dur = float(rng.uniform(2.0, 60.0))
+        n = int(rng.integers(0, 40))
+        starts = np.round(rng.uniform(0, dur, n), 2)
+        coverage = melt_coverage(starts, framelength=fl)
+
+        # sorted, disjoint (touching intervals merged)
+        for (s0, e0), (s1, e1) in zip(coverage, coverage[1:]):
+            assert e0 < s1, (coverage,)
+        # every frame is contained in exactly one merged interval
+        for s in starts:
+            assert any(lo <= s and s + fl <= hi + 1e-9
+                       for lo, hi in coverage), (s, coverage)
+
+        gaps = get_gaps((0.0, dur), coverage)
+        # gaps are inside the range, disjoint from coverage, and together
+        # with (range-clipped) coverage tile the whole range
+        for lo, hi in gaps:
+            assert 0.0 <= lo < hi <= dur + 1e-9
+            for cs, ce in coverage:
+                assert hi <= cs or lo >= ce, (gaps, coverage)
+        clipped = [(max(0.0, s), min(dur, e)) for s, e in coverage
+                   if e > 0.0 and s < dur]
+        assert abs(_union_length(gaps) + _union_length(clipped) - dur) < 1e-6
+
+        # subtracting a random span removes exactly its covered length
+        lo = float(rng.uniform(0, dur))
+        hi = lo + float(rng.uniform(0, dur / 2))
+        covered_in_span = sum(
+            max(0.0, min(e, hi) - max(s, lo)) for s, e in coverage)
+        after = subtract_interval(coverage, lo, hi)
+        for s, e in after:
+            assert e <= lo or s >= hi  # nothing of the span survives
+        assert abs(_union_length(after)
+                   - (_union_length(coverage) - covered_in_span)) < 1e-6
+
+
+def test_gap_chunk_roundtrip_closes_all_gaps():
+    """Simulated resume convergence: analyzing exactly the chunks that
+    gaps_to_chunklist emits must close every gap — if it ever leaves a
+    sliver, a real resume would re-probe that file forever."""
+    import numpy as np
+    from buzzdetect_tpu.write.coverage import (melt_coverage, get_gaps,
+                                               smooth_gaps, gaps_to_chunklist)
+    rng = np.random.default_rng(11)
+    fl = 0.96
+    for _ in range(100):
+        dur = round(float(rng.uniform(5.0, 120.0)), 2)
+        # random partial coverage (some prior analyzed frames)
+        n = int(rng.integers(0, 20))
+        starts = np.round(rng.uniform(0, max(0.1, dur - fl), n), 2)
+        coverage = melt_coverage(starts, framelength=fl) if n else []
+        gaps = smooth_gaps(get_gaps((0.0, dur), coverage), (0.0, dur),
+                           framelength=fl, gap_tolerance=fl / 4)
+        chunks = gaps_to_chunklist(gaps, chunklength=float(
+            rng.uniform(2.0, 30.0)))
+        # "analyze" each chunk: frames at stride fl from chunk start
+        new_starts = list(starts)
+        for lo, hi in chunks:
+            t = lo
+            while t + fl <= hi + 1e-9:
+                new_starts.append(round(t, 2))
+                t += fl
+            if t < hi:  # ragged tail: the padded final frame
+                new_starts.append(round(t, 2))
+        full = melt_coverage(np.asarray(new_starts), framelength=fl)
+        remaining = smooth_gaps(get_gaps((0.0, dur), full), (0.0, dur),
+                                framelength=fl, gap_tolerance=fl / 4)
+        assert not remaining, (dur, chunks, remaining)
