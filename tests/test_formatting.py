@@ -113,3 +113,37 @@ def test_threshold_at_precision_single_exact_row(tmp_path, monkeypatch):
     out = thresholds.threshold_at_precision('one', 0.95)
     assert out == {'threshold': -1.2, 'precision': 0.95,
                    'sensitivity': 0.28}
+
+
+def test_render_read_roundtrip_randomized(tmp_path):
+    """The writer's CSV renderer and the resume reader are two halves of one
+    contract: every rendered row must read back as a complete row with its
+    start time intact, for random shapes, precisions, and class subsets."""
+    import numpy as np
+    from buzzdetect_tpu.write.coverage import read_result_rows
+    from buzzdetect_tpu.write.formatting import (format_activations,
+                                                 format_detections)
+    rng = np.random.default_rng(3)
+    classes = ['ins_buzz', 'ambient_noise', 'frog']
+    for i in range(50):
+        n = int(rng.integers(0, 30))
+        results = rng.normal(0, 3, (n, len(classes)))
+        hop = float(rng.choice([0.96, 0.48, 0.32, 0.1, 1.44]))
+        t0 = round(float(rng.uniform(0, 1000)), 2)
+        if rng.random() < 0.5:
+            keep = list(rng.choice(classes, size=int(rng.integers(1, 4)),
+                                   replace=False))
+            table = format_activations(results, classes, hop, 2, t0,
+                                       classes_keep=keep,
+                                       digits_results=int(rng.integers(1, 4)))
+        else:
+            table = format_detections(results, 0.0, classes, hop, 2, t0)
+        path = str(tmp_path / f'r{i}_buzzpart.csv')
+        with open(path, 'w') as f:
+            f.write(table.render_csv(2, include_header=True))
+        header, rows, torn = read_result_rows(path)
+        assert torn == []
+        assert header is not None and header[0] == 'start'
+        assert len(rows) == n
+        for j, row in enumerate(rows):
+            assert float(row[0]) == round(j * hop + t0, 2)
