@@ -202,3 +202,46 @@ def test_degenerate_worker_sizing_rejected():
         Coordinator(depth=0)
     with pytest.raises(ValueError):
         Coordinator(analyzers_cpu=0, analyzers_gpu=0)
+
+
+def test_external_stop_under_contention_never_hangs(tmp_path, monkeypatch):
+    """Protocol stress: many files, several streamers, and an external stop
+    fired at a random moment must always return promptly (no livelock of a
+    producer against a poisoned queue) and leave a resumable state that a
+    follow-up run completes."""
+    import threading
+    import time
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'sm'), classes=['ins_buzz', 'x'],
+                       seed=3)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    for i in range(12):
+        write_wav(dir_audio / f'f{i}.wav', make_tone(3.0, 16000, 200 + i),
+                  16000)
+    dir_out = str(tmp_path / 'out')
+
+    for delay in (0.05, 0.4, 1.5):
+        stop = threading.Event()
+        threading.Timer(delay, stop.set).start()
+        t0 = time.monotonic()
+        analyze(modelname='sm', dir_audio=str(dir_audio), dir_out=dir_out,
+                chunklength=1.0, n_streamers=4, stream_buffer_depth=2,
+                event_stopanalysis=stop, verbosity_print='ERROR')
+        assert time.monotonic() - t0 < 120, 'stopped run failed to return'
+
+    # a clean follow-up run completes everything the stops left behind
+    a = analyze(modelname='sm', dir_audio=str(dir_audio), dir_out=dir_out,
+                chunklength=1.0, n_streamers=4, verbosity_print='ERROR')
+    assert a.coordinator.end_reason in ('completed', 'fully analyzed')
+    import os
+    done = [f for f in os.listdir(dir_out) if f.endswith('_buzzdetect.csv')]
+    assert len(done) == 12
+    assert not [f for f in os.listdir(dir_out) if f.endswith('_buzzpart.csv')]
