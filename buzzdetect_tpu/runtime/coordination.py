@@ -133,9 +133,13 @@ class Coordinator:
                 tracker.stream_in_progress = False
 
         # bounded queue: block with a timeout so an exit request can't
-        # deadlock a streamer against a full queue
+        # deadlock a streamer against a full queue. Also bail when every
+        # analyzer has exited — during normal completion that can only
+        # happen after the streamers are already done, so this fires only
+        # when the consumers died abnormally and nobody will ever drain
         while True:
-            if self.event_exitanalysis.is_set():
+            if (self.event_exitanalysis.is_set()
+                    or self.analyzers_done.is_set()):
                 return
             try:
                 self.q_analyze.put(a_chunk, timeout=1)

@@ -171,6 +171,20 @@ class WorkerInferer:
     def run(self):
         try:
             self._run()
+        except Exception as e:
+            # per-chunk errors are contained inside the loop; reaching here
+            # means a FATAL death (model.initialize() raising). Trigger the
+            # exit protocol: otherwise streamers keep decoding into a
+            # consumer-less bounded ring (hanging the run on big corpora)
+            # or the run falsely reports 'Analysis complete' with nothing
+            # analyzed on small ones.
+            from buzzdetect_tpu.runtime.coordination import ExitSignal
+            self.coordinator.exit_analysis(ExitSignal(
+                message=f'analyzer {self.id_analyzer} failed fatally: {e}; '
+                        f'stopping analysis (finished chunks are '
+                        f'checkpointed and the run is resumable)',
+                level='ERROR', end_reason='analyzer failure'))
+            raise
         finally:
             self.coordinator.worker_exited('analyzer')
 

@@ -165,6 +165,16 @@ class WorkerWriter:
     def run(self):
         try:
             self._run()
+        except Exception as e:
+            # per-chunk write errors are contained in the loop; a fatal
+            # writer death means results would silently stop landing —
+            # stop the run loudly instead of analyzing into the void
+            from buzzdetect_tpu.runtime.coordination import ExitSignal
+            self.coordinator.exit_analysis(ExitSignal(
+                message=f'writer failed fatally: {e}; stopping analysis '
+                        f'(finished chunks are checkpointed)',
+                level='ERROR', end_reason='writer failure'))
+            raise
         finally:
             self.coordinator.worker_exited('writer')
 

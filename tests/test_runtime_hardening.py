@@ -245,3 +245,50 @@ def test_external_stop_under_contention_never_hangs(tmp_path, monkeypatch):
     done = [f for f in os.listdir(dir_out) if f.endswith('_buzzdetect.csv')]
     assert len(done) == 12
     assert not [f for f in os.listdir(dir_out) if f.endswith('_buzzpart.csv')]
+
+
+def test_fatal_analyzer_death_stops_run_instead_of_hanging(tmp_path):
+    """A model whose initialize() raises kills the analyzer thread before
+    its loop starts. With a corpus bigger than the prefetch ring, the
+    streamers used to spin forever against the full consumer-less queue
+    (hanging analyze()); the death must instead trigger the exit protocol
+    with a loud ERROR and a resumable state."""
+    from buzzdetect_tpu.analysis import Analyzer
+    from tests.audio_fixtures import make_tone, write_wav
+
+    class BrokenEmbedder:
+        framelength_s = 0.96
+        digits_time = 2
+        samplerate = 16000
+        framehop_s = 0.96
+        framehop_prop = 1.0
+
+    class BrokenModel:
+        embedder = BrokenEmbedder()
+        config = {'classes': ['ins_buzz', 'x']}
+
+        def initialize(self):
+            raise RuntimeError('simulated fatal model-load failure')
+
+        def predict(self, samples):
+            raise AssertionError('never reached')
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    for i in range(4):
+        write_wav(dir_audio / f'f{i}.wav', make_tone(4.0, 16000), 16000)
+
+    coord = Coordinator(streamers_total=2, depth=2)
+    an = Analyzer(modelname='broken', model=BrokenModel(),
+                  dir_audio=str(dir_audio), dir_out=str(tmp_path / 'out'),
+                  chunklength=1.0, coordinator=coord,
+                  verbosity_print='CRITICAL')
+    t = threading.Thread(target=an.run, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), 'analyze() hung after fatal analyzer death'
+    assert coord.end_reason == 'analyzer failure'
+    import os
+    assert not [f for f in os.listdir(tmp_path / 'out')
+                if f.endswith('_buzzdetect.csv')], \
+        'nothing was analyzed; nothing may be marked complete'
