@@ -571,8 +571,12 @@ def analyze(modelname: str,
         # stores the path it actually resolved)
         path_log = path_log or analyzer.path_log
         cycles += 1
-        if analyzer.coordinator.end_reason in ('interrupted',
-                                               'manifest mismatch'):
+        # keep watching only after HEALTHY pass outcomes — interrupts,
+        # manifest mismatches, and fatal worker failures would otherwise
+        # retry forever, failing identically every cycle
+        if analyzer.coordinator.end_reason not in ('completed',
+                                                   'fully analyzed',
+                                                   'no files'):
             break
         if watch_cycles is not None and cycles >= watch_cycles:
             break

@@ -288,3 +288,47 @@ def test_cli_exposes_watch_flags():
     assert args.watch_interval == 5.0
     args = build_parser().parse_args(['--modelname', 'm'])
     assert args.watch is False
+
+
+@pytest.mark.filterwarnings(
+    'ignore::pytest.PytestUnhandledThreadExceptionWarning')
+def test_watch_stops_on_fatal_failure(tmp_path, monkeypatch):
+    """A fatal worker failure must END the watch loop — retrying would fail
+    identically every cycle, spamming errors forever.
+
+    (The analyzer thread deliberately re-raises after triggering the exit
+    protocol, so pytest's unhandled-thread warning is expected — filtered
+    above.)"""
+    import threading
+    import time
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.analysis import analyze
+    from tests.audio_fixtures import make_tone, write_wav
+
+    # metadata loads fine; the weights blob is garbage, so the analyzer's
+    # initialize() dies in its worker thread (the fatal-death path)
+    dir_models = tmp_path / 'models'
+    broken = dir_models / 'bk'
+    broken.mkdir(parents=True)
+    (broken / 'config_model.json').write_text(
+        '{"classes": ["ins_buzz"], "embeddername": "yamnet"}')
+    (broken / 'model.npz').write_text('garbage-not-npz')
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000), 16000)
+
+    result = {}
+
+    def run():
+        result['analyzer'] = analyze(
+            modelname='bk', dir_audio=str(dir_audio),
+            dir_out=str(tmp_path / 'out'), verbosity_print='CRITICAL',
+            watch=True, watch_interval=0.2, watch_cycles=5)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=90)
+    assert not t.is_alive(), 'watch loop kept retrying a fatal failure'
+    assert result['analyzer'].coordinator.end_reason == 'analyzer failure'
