@@ -14,7 +14,8 @@ import json
 import os
 
 from buzzdetect_tpu.gui import config as gui_cfg
-from buzzdetect_tpu.manifest import read_manifest, KEYS_LOCKED
+from buzzdetect_tpu.manifest import (read_manifest, KEYS_LOCKED,
+                                     FNAME_MANIFEST)
 from buzzdetect_tpu.validation import validate_map, ArgValid
 
 # fields shown in the basic settings form, in display order
@@ -147,7 +148,6 @@ class SettingsModel:
         network-mounted) manifest file per keypress stalls the Tk loop."""
         path = self.resolved_dir_out()
         try:
-            from buzzdetect_tpu.manifest import FNAME_MANIFEST
             st = os.stat(os.path.join(path, FNAME_MANIFEST))
             sig = (path, st.st_mtime_ns, st.st_size)
         except OSError:

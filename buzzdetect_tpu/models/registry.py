@@ -17,6 +17,7 @@ import threading
 
 from buzzdetect_tpu import config as cfg
 from buzzdetect_tpu.models.classifier import ChunkClassifier
+from buzzdetect_tpu.ops.frontend import FrontendConfig
 
 
 class BaseEmbedder:
@@ -91,7 +92,6 @@ class EmbedderYamnet(BaseEmbedder):
         # raw framelength*prop product, so writer timestamps and resume
         # coverage match the frames actually extracted (they diverge
         # whenever 96*framehop_prop is not an integer, e.g. prop=0.1)
-        from buzzdetect_tpu.ops.frontend import FrontendConfig
         self.framehop_s = FrontendConfig().with_framehop(
             framehop_prop).patch_hop_seconds
         self._arrays = arrays

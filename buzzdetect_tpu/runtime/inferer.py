@@ -13,8 +13,17 @@ writer formats chunk N-1 — a three-stage pipeline without a scheduler.
 
 import queue
 
+import numpy as np
+
 from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignLog
 from buzzdetect_tpu.utils import Timer
+
+
+def _is_empty(a_chunk: AssignChunk) -> bool:
+    """Zero-sample final chunk (EOF exactly at the gap start): delivered to
+    the writer for completion tracking, but never dispatched to the device
+    and never stacked into a batch."""
+    return a_chunk.samples is not None and len(a_chunk.samples) == 0
 
 
 class WorkerInferer:
@@ -39,7 +48,6 @@ class WorkerInferer:
         chunk pays a compile mid-run."""
         if not self.warmup_samples:
             return
-        import numpy as np
         n = self.warmup_samples
         rate_kw = {}
         if self.warmup_rate:
@@ -89,12 +97,9 @@ class WorkerInferer:
                  'DEBUG')
 
     def process_chunk(self, a_chunk: AssignChunk):
-        if a_chunk.samples is not None and len(a_chunk.samples) == 0:
-            # a zero-sample final chunk (the streamer hit EOF exactly at the
-            # gap start — container metadata overstating the duration): no
-            # device dispatch, but the chunk MUST reach the writer so the
+        if _is_empty(a_chunk):
+            # no device dispatch, but the chunk MUST reach the writer so the
             # file's completion tracking fires and the partial finalizes
-            import numpy as np
             n_classes = len(self.model.config['classes'])
             a_chunk.results = np.zeros((0, n_classes), np.float32)
             a_chunk.n_valid = 0
@@ -125,8 +130,7 @@ class WorkerInferer:
         batch = [first]
         mixed = []
         exit_seen = False
-        if first.samples is not None and len(first.samples) == 0:
-            # zero-sample chunks never stack into a device batch
+        if _is_empty(first):
             return batch, mixed, exit_seen
         # different-rate chunks count toward the drain budget too: without
         # that, a mixed-rate corpus with scarce same-rate chunks would keep
@@ -142,8 +146,7 @@ class WorkerInferer:
             if item == 'exit':
                 exit_seen = True
                 break
-            if (item.input_rate != first.input_rate
-                    or (item.samples is not None and len(item.samples) == 0)):
+            if item.input_rate != first.input_rate or _is_empty(item):
                 # a batch dispatch shares one resample program; chunks at a
                 # different native rate — and zero-sample final chunks —
                 # go out as their own dispatches
@@ -178,13 +181,16 @@ class WorkerInferer:
             # consumer-less bounded ring (hanging the run on big corpora)
             # or the run falsely reports 'Analysis complete' with nothing
             # analyzed on small ones.
+            import traceback
             from buzzdetect_tpu.runtime.coordination import ExitSignal
+            # fully reported through the log channel (incl. traceback);
+            # re-raising into the thread excepthook would only double-print
             self.coordinator.exit_analysis(ExitSignal(
                 message=f'analyzer {self.id_analyzer} failed fatally: {e}; '
                         f'stopping analysis (finished chunks are '
-                        f'checkpointed and the run is resumable)',
+                        f'checkpointed and the run is resumable)\n'
+                        f'{traceback.format_exc()}',
                 level='ERROR', end_reason='analyzer failure'))
-            raise
         finally:
             self.coordinator.worker_exited('analyzer')
 

@@ -19,7 +19,9 @@ from buzzdetect_tpu.audio import build_track, get_duration
 from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignFile, AssignLog
 from buzzdetect_tpu.utils import encode_wire
 from buzzdetect_tpu.write.coverage import (coverage_from_csv, get_gaps,
-                                           smooth_gaps, gaps_to_chunklist)
+                                           smooth_gaps, gaps_to_chunklist,
+                                           read_result_rows,
+                                           quarantine_partial)
 
 
 class WorkerStreamer:
@@ -96,7 +98,6 @@ class WorkerStreamer:
                                framelength=self.framelength_s,
                                gap_tolerance=self.framelength_s / 4)
             if not gaps:
-                from buzzdetect_tpu.write.coverage import read_result_rows
                 header, rows, _torn = read_result_rows(
                     a_file.path_results_partial)
                 if header is None or not rows:
@@ -107,8 +108,8 @@ class WorkerStreamer:
                     # drops end-adjacent gaps. Promoting would mark the
                     # file complete with zero data; quarantine the debris
                     # and analyze from scratch instead.
-                    path_corrupt = a_file.path_results_partial + '.corrupt'
-                    os.replace(a_file.path_results_partial, path_corrupt)
+                    path_corrupt = quarantine_partial(
+                        a_file.path_results_partial)
                     self.log(f'{a_file.shortpath_audio}: partial result has '
                              f'no usable rows; quarantined to '
                              f'{os.path.basename(path_corrupt)} and '

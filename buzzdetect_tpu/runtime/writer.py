@@ -97,8 +97,8 @@ class WorkerWriter:
             first = f.readline().rstrip('\r\n')
         if first == expected_header:
             return True
-        path_corrupt = path_partial + '.corrupt'
-        os.replace(path_partial, path_corrupt)
+        from buzzdetect_tpu.write.coverage import quarantine_partial
+        path_corrupt = quarantine_partial(path_partial)
         self.log(f'{os.path.basename(path_partial)} has a torn or mismatched '
                  f'header line; quarantined to '
                  f'{os.path.basename(path_corrupt)} and restarting the '
@@ -169,12 +169,15 @@ class WorkerWriter:
             # per-chunk write errors are contained in the loop; a fatal
             # writer death means results would silently stop landing —
             # stop the run loudly instead of analyzing into the void
+            import traceback
             from buzzdetect_tpu.runtime.coordination import ExitSignal
+            # fully reported through the log channel (incl. traceback);
+            # re-raising into the thread excepthook would only double-print
             self.coordinator.exit_analysis(ExitSignal(
                 message=f'writer failed fatally: {e}; stopping analysis '
-                        f'(finished chunks are checkpointed)',
+                        f'(finished chunks are checkpointed)\n'
+                        f'{traceback.format_exc()}',
                 level='ERROR', end_reason='writer failure'))
-            raise
         finally:
             self.coordinator.worker_exited('writer')
 

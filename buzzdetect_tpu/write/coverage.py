@@ -10,6 +10,8 @@ plain numpy. Differences: coverage merging uses a running-max end (robust to
 non-uniform frame lengths), and empty coverage is handled instead of raising.
 """
 
+import os
+
 import numpy as np
 
 
@@ -152,6 +154,16 @@ def read_result_rows(path: str):
                 except (ValueError, IndexError):
                     pass  # even the start cell is gone; nothing to locate
     return header, rows, torn_starts
+
+
+def quarantine_partial(path_partial: str) -> str:
+    """Move an unusable partial aside to ``<partial>.corrupt`` (overwrite-
+    safe) and return the quarantine path — the ONE definition of the
+    quarantine convention, shared by the writer's header verification and
+    the streamer's self-heal path."""
+    path_corrupt = path_partial + '.corrupt'
+    os.replace(path_partial, path_corrupt)
+    return path_corrupt
 
 
 def subtract_interval(coverage, lo, hi):

@@ -249,15 +249,12 @@ def test_external_stop_under_contention_never_hangs(tmp_path, monkeypatch):
     assert not [f for f in os.listdir(dir_out) if f.endswith('_buzzpart.csv')]
 
 
-@pytest.mark.filterwarnings(
-    'ignore::pytest.PytestUnhandledThreadExceptionWarning')
 def test_fatal_analyzer_death_stops_run_instead_of_hanging(tmp_path):
     """A model whose initialize() raises kills the analyzer thread before
     its loop starts. With a corpus bigger than the prefetch ring, the
     streamers used to spin forever against the full consumer-less queue
     (hanging analyze()); the death must instead trigger the exit protocol
-    with a loud ERROR and a resumable state. (The analyzer deliberately
-    re-raises after triggering the exit protocol — warning filtered.)"""
+    with a loud ERROR and a resumable state."""
     from buzzdetect_tpu.analysis import Analyzer
     from tests.audio_fixtures import make_tone, write_wav
 

@@ -290,15 +290,9 @@ def test_cli_exposes_watch_flags():
     assert args.watch is False
 
 
-@pytest.mark.filterwarnings(
-    'ignore::pytest.PytestUnhandledThreadExceptionWarning')
 def test_watch_stops_on_fatal_failure(tmp_path, monkeypatch):
     """A fatal worker failure must END the watch loop — retrying would fail
-    identically every cycle, spamming errors forever.
-
-    (The analyzer thread deliberately re-raises after triggering the exit
-    protocol, so pytest's unhandled-thread warning is expected — filtered
-    above.)"""
+    identically every cycle, spamming errors forever."""
     import threading
     import time
     from buzzdetect_tpu import config as cfg
