@@ -84,6 +84,13 @@ def build_parser():
         description='Analyze audio files using buzz detection machine '
                     'learning models for bioacoustics (TPU-native)',
     )
+    try:
+        from importlib.metadata import version
+        pkg_version = version('buzzdetect-tpu')
+    except Exception:  # running from a source tree without install
+        pkg_version = 'unknown (source tree)'
+    parser.add_argument('--version', action='version',
+                        version=f'%(prog)s {pkg_version}')
     parser.add_argument('--modelname', required=True, type=str,
                         help='Name of the model directory under models/')
     parser.add_argument('--classes_out', required=False, default='all',
