@@ -9,6 +9,7 @@ the end-of-run wall-time report.
 
 import os
 import threading
+import warnings
 
 from buzzdetect_tpu import config as cfg
 from buzzdetect_tpu.audio import driver_map
@@ -90,6 +91,23 @@ class Analyzer:
         self.resample_on_device = resample_on_device
 
         self.precision = precision
+        # bf16 guardrail: measured max activation deviation vs f32 is ~0.006
+        # (docs/tuning.md "Knobs"), which exceeds the 1e-3 activations-parity
+        # contract (BASELINE.md). Detections mode is insensitive — a 0.006
+        # nudge only flips frames whose score already sits inside the
+        # threshold's noise margin (regression-tested in test_classifier.py)
+        # — but raw-activation readers must know the 3rd decimal is noise.
+        dtype = compute_dtype
+        if model is not None and dtype is None:
+            dtype = getattr(model, '_compute_dtype', None)
+        if dtype is not None and 'bfloat16' in str(dtype) and precision is None:
+            warnings.warn(
+                'compute_dtype=bfloat16 with activations output: measured '
+                'max activation deviation vs float32 is ~0.006, exceeding '
+                'the 1e-3 score-parity contract (still inside the 2-decimal '
+                'output rounding; detections mode is insensitive). Use '
+                'float32 where the parity contract matters.',
+                UserWarning, stacklevel=3)
         self.chunklength = self._setup_chunklength(chunklength)
         self.classes_out = self._setup_classes_out(classes_out)
         self.threshold = self._setup_threshold(precision)

@@ -71,8 +71,10 @@ def main(modelname: str = None):
         model = load_model(modelname, initialize=True)
         out = model.predict(np.zeros(16000, np.float32))
         clf = getattr(model, 'classifier', None)
-        # report which log-mel frontend actually ran ('auto' resolves to the
-        # fused pallas kernel on TPU; a fallback to xla would show up here)
+        # report which log-mel frontend actually ran ('auto' currently
+        # resolves to 'xla' on every backend — the hop-banked XLA frontend
+        # out-measures the fused pallas kernel on real v5e hardware; see
+        # models/classifier.py for the per-backend resolution rationale)
         frontend = f', frontend={clf.frontend}' if clf is not None else ''
         return f'1 s inference -> {out.shape} scores{frontend}'
     ok &= _check('end-to-end inference', check_inference)

@@ -98,6 +98,18 @@ def _frontend_patches(waveform, cfg, frontend: str):
     return log_mel_patches(waveform, cfg)
 
 
+def _frontend_patches_batch(wavs, cfg, frontend: str):
+    """(B, L) waveforms -> (B, P, 96, 64) patches via the selected frontend.
+    The pallas kernel is 1-D; B is static under jit, so stacking B kernel
+    instances compiles cleanly (B = batch_chunks, single digits)."""
+    if frontend == 'pallas':
+        from buzzdetect_tpu.ops.pallas_frontend import log_mel_spectrogram_pallas
+        log_mel = jnp.stack([log_mel_spectrogram_pallas(wavs[i], cfg)
+                             for i in range(wavs.shape[0])])
+        return patches_from_log_mel(log_mel, cfg)
+    return log_mel_patches(wavs, cfg)
+
+
 def _resample_in_graph(wav, cfg, resample_from, resample_to, valid_len):
     """Rational-resample the float waveform to the model rate INSIDE the jit
     graph (ops/resample.py: polyphase-as-one-strided-conv, MXU-friendly),
@@ -150,12 +162,12 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
     return apply_head(params['head'], embeddings)
 
 
-@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh',
+@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend',
                                    'resample_from', 'resample_to'))
 def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
                            compute_dtype=jnp.float32, mesh=None,
-                           resample_from=None, resample_to=None,
-                           valid_len=None):
+                           frontend='xla', resample_from=None,
+                           resample_to=None, valid_len=None):
     """(B, L) padded waveforms -> (B, n_patches, n_classes).
 
     Batching chunks from different files into one dispatch amortizes per-call
@@ -166,7 +178,7 @@ def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
     if resample_from is not None:
         wavs = _resample_in_graph(wavs, cfg, resample_from, resample_to,
                                   valid_len)
-    patches = log_mel_patches(wavs, cfg)  # (B, P, 96, 64)
+    patches = _frontend_patches_batch(wavs, cfg, frontend)  # (B, P, 96, 64)
     b, p = patches.shape[0], patches.shape[1]
     flat = patches.reshape(b * p, *patches.shape[2:])
     if mesh is not None:
@@ -204,8 +216,8 @@ class ChunkClassifier:
         self.compute_dtype = compute_dtype
         if frontend not in ('auto', 'xla', 'pallas'):
             raise ValueError("frontend must be 'auto', 'xla' or 'pallas'")
-        # 'pallas' selects the fused kernel (ops/pallas_frontend.py) for the
-        # single-chunk path; the batch path always uses the XLA frontend.
+        # 'pallas' selects the fused kernel (ops/pallas_frontend.py) on both
+        # the single-chunk and batch paths (no silent substitution).
         # 'auto' (the default) currently resolves to 'xla' on every backend:
         # the frontend dominates the classify graph, and after the hop-banked
         # (gather-free) rewrite the XLA frontend out-measures the fused
@@ -380,15 +392,16 @@ class ChunkClassifier:
             valid = jnp.asarray(n_models, jnp.int32)[:, None]  # (B, 1)
             out = _classify_padded_batch(self._device_params(), batch,
                                          self.cfg, self.compute_dtype,
-                                         self.mesh, int(input_rate),
-                                         int(t_model), valid)
+                                         self.mesh, self.frontend,
+                                         int(input_rate), int(t_model), valid)
             return out, n_valids
         n_valids = [num_patches(len(a), self.cfg) for a in arrs]
         target = self._target_length(max(len(a) for a in arrs))
         batch = np.stack([self._pad_to(a, target) for a in arrs])
         batch = jax.device_put(batch, self.sharding)
         out = _classify_padded_batch(self._device_params(), batch, self.cfg,
-                                     self.compute_dtype, self.mesh)
+                                     self.compute_dtype, self.mesh,
+                                     self.frontend)
         return out, n_valids
 
     def classify_resident(self, wav_device):

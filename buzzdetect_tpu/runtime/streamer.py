@@ -161,11 +161,13 @@ class WorkerStreamer:
 
         if len(samples) < read_size:
             self.handle_bad_read(a_file)
-            # 2 decimals like every other chunk boundary, and never below
-            # the chunk start (a 1-decimal round here used to produce
-            # inverted chunks and negative audio-seconds accounting)
+            # embedder time precision like every other chunk boundary, and
+            # never below the chunk start (a 1-decimal round here used to
+            # produce inverted chunks and negative audio-seconds accounting)
+            digits = self.model.embedder.digits_time
             chunk = (chunk[0],
-                     max(chunk[0], round(chunk[0] + len(samples) / rate, 2)))
+                     max(chunk[0],
+                         round(chunk[0] + len(samples) / rate, digits)))
             continue_file = False
             if (len(samples) == 0 and not a_file.has_results
                     and not a_file.queued_data):

@@ -34,7 +34,11 @@ def test_bench_device_mode_record_shape():
                          '--chunks', '8', '--reps', '1')
     assert rec['metric'] == 'realtime_factor_device'
     assert rec['value'] > 0
-    assert rec['vs_baseline'] == pytest.approx(rec['value'] / 100.0, rel=1e-3)
+    # bench.py rounds vs_baseline to 3 decimals, so compare against the
+    # same rounding (a rel tolerance flakes whenever the rounding step
+    # itself exceeds it — observed in a judge run at 0.345 vs 0.3454)
+    assert rec['vs_baseline'] == pytest.approx(
+        round(rec['value'] / 100.0, 3), abs=5e-4)
     # the compute-slope field must be present and sane on a working backend
     assert 'device_compute' in rec and rec['device_compute'] > 0
 

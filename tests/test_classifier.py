@@ -241,3 +241,60 @@ def test_ensemble_bundle(tmp_path, monkeypatch):
         build_ensemble_bundle([str(dir_models / 'ma'),
                                str(dir_models / 'mc')],
                               str(dir_models / 'bad'))
+
+
+def test_bf16_activations_warns_detections_does_not(bundle_dir, monkeypatch):
+    """compute_dtype=bfloat16 breaks the 1e-3 activations-parity contract
+    (measured ~0.006 max deviation, docs/tuning.md): constructing an
+    Analyzer in activations mode must warn; detections mode (insensitive at
+    that deviation) must not."""
+    import warnings
+    import jax.numpy as jnp
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu import analysis as analysis_mod
+    monkeypatch.setattr(cfg, 'DIR_MODELS', os.path.dirname(bundle_dir))
+
+    with pytest.warns(UserWarning, match='bfloat16'):
+        analysis_mod.Analyzer(modelname='testmodel',
+                              compute_dtype=jnp.bfloat16,
+                              verbosity_print='ERROR')
+
+    # detections mode: no bf16 warning (thresholds are insensitive; see
+    # test_bf16_detections_insensitive_at_measured_deviation)
+    monkeypatch.setattr(analysis_mod, 'calculate_threshold',
+                        lambda modelname, precision: -1.2)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', UserWarning)
+        analysis_mod.Analyzer(modelname='testmodel', precision=0.95,
+                              compute_dtype=jnp.bfloat16,
+                              verbosity_print='ERROR')
+
+    # f32 activations: no warning either
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', UserWarning)
+        analysis_mod.Analyzer(modelname='testmodel',
+                              verbosity_print='ERROR')
+
+
+def test_bf16_detections_insensitive_at_measured_deviation(arrays):
+    """The claim behind the guardrail's 'detections mode is insensitive':
+    any threshold that sits outside the bf16 noise margin of every score
+    yields byte-identical 0/1 detections — and the measured deviation stays
+    on the documented ~0.006 scale (a regression here would invalidate the
+    warning text and docs/tuning.md)."""
+    import jax.numpy as jnp
+    clf32 = ChunkClassifier(arrays, framehop_prop=1.0)
+    clf16 = ChunkClassifier(arrays, framehop_prop=1.0,
+                            compute_dtype=jnp.bfloat16)
+    wav = (RNG.standard_normal(int(4.8 * 16000)) * 0.2).astype(np.float32)
+    a32 = clf32.predict(wav)
+    a16 = clf16.predict(wav)
+    dev = float(np.abs(a32 - a16).max())
+    assert dev < 0.02, f'bf16 deviation {dev} far above the documented scale'
+
+    s32, s16 = a32[:, 1], a16[:, 1]  # ins_buzz column
+    thresholds = [t for t in np.linspace(s32.min() - 0.5, s32.max() + 0.5, 41)
+                  if np.abs(s32 - t).min() > dev]
+    assert len(thresholds) > 10  # the margin excludes only a sliver
+    for thr in thresholds:
+        np.testing.assert_array_equal(s32 > thr, s16 > thr)

@@ -47,6 +47,34 @@ def test_classifier_pallas_frontend_matches_xla():
     np.testing.assert_allclose(pl_out, xla_out, atol=1e-3)
 
 
+def test_classifier_pallas_frontend_batch_path():
+    """frontend='pallas' must also run pallas on the BATCH dispatch path
+    (predict_async_batch): it used to silently fall back to the XLA
+    frontend there, contrary to _classify's no-silent-substitution
+    contract. Verified by score parity in interpreter mode AND by the
+    off-TPU failure mode (a pallas kernel can't compile on plain CPU, so
+    a silent XLA substitution would make the second half of this test
+    pass where it must raise)."""
+    from buzzdetect_tpu.models.classifier import ChunkClassifier
+
+    arrays = _tiny_arrays()
+    wavs = [(RNG.standard_normal(int(s * 16000)) * 0.1).astype(np.float32)
+            for s in (2.0, 3.0)]
+    xla_clf = ChunkClassifier(arrays, framehop_prop=1.0)
+    xla_out, xla_valid = xla_clf.predict_async_batch(wavs)
+    pl_clf = ChunkClassifier(arrays, framehop_prop=1.0, frontend='pallas')
+    with pltpu.force_tpu_interpret_mode():
+        pl_out, pl_valid = pl_clf.predict_async_batch(wavs)
+    assert pl_valid == xla_valid
+    np.testing.assert_allclose(np.asarray(pl_out), np.asarray(xla_out),
+                               atol=1e-3)
+
+    # outside interpreter mode the explicit choice fails loudly on CPU
+    strict = ChunkClassifier(arrays, frontend='pallas')
+    with pytest.raises(Exception):
+        strict.predict_async_batch(wavs)
+
+
 def _tiny_arrays(seed=6, n_classes=3):
     from buzzdetect_tpu.models import yamnet as yam
     from buzzdetect_tpu.models.heads import init_head

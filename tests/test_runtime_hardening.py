@@ -294,3 +294,64 @@ def test_fatal_analyzer_death_stops_run_instead_of_hanging(tmp_path):
     assert not [f for f in os.listdir(tmp_path / 'out')
                 if f.endswith('_buzzdetect.csv')], \
         'nothing was analyzed; nothing may be marked complete'
+
+
+def test_truncated_read_end_uses_embedder_time_precision():
+    """The shortened chunk end after a truncated read must round with the
+    embedder's digits_time, not a hardcoded 2 — identical at the default
+    precision, a latent timestamp/coverage mismatch for any embedder with
+    finer time resolution (reference src/stream/worker.py:41-59 semantics,
+    generalized)."""
+    from buzzdetect_tpu.runtime.streamer import WorkerStreamer
+
+    class Embedder4:
+        digits_time = 4
+        framelength_s = 0.96
+        framehop_s = 0.96
+        samplerate = 16000
+
+    class Model4:
+        embedder = Embedder4()
+        transfer_dtype = 'float32'
+
+    class ShortTrack:
+        samplerate = 16000
+
+        def seek(self, n):
+            pass
+
+        def read(self, n, dtype=None):
+            return np.zeros(12345, np.float32)  # short read: file truncated
+
+        def tell(self):
+            return 12345
+
+    class Coord:
+        def __init__(self):
+            self.q_log = queue.Queue()
+            self.puts = []
+            self.event_exitanalysis = threading.Event()
+
+        def put_analyze(self, c):
+            self.puts.append(c)
+
+        def mark_stream_finished(self, ident):
+            pass
+
+        def mark_stream_failed(self, ident):
+            pass
+
+    coord = Coord()
+    s = WorkerStreamer(0, Model4(), chunklength=2.0, coordinator=coord)
+    f = AssignFile(path_audio='/tmp/t.wav', dir_audio='/tmp',
+                   dir_results='/tmp/out')
+    f.track = ShortTrack()
+    f.duration_audio = 2.0
+    f.has_results = True  # not the first-read-of-fresh-file failure path
+    cont = s.queue_chunk(f, (0.0, 2.0), force_last=True)
+    assert not cont, 'a short read stops the file'
+    assert len(coord.puts) == 1
+    end = coord.puts[0].chunk[1]
+    # 12345 / 16000 = 0.7715625 -> 0.7716 at digits_time=4 (0.77 would mean
+    # the hardcoded 2-decimal round regressed back in)
+    assert end == round(12345 / 16000, 4) == 0.7716
