@@ -52,7 +52,9 @@ class Analyzer:
                  batch_chunks: int = 1,
                  transfer_dtype: str = None,
                  resample_on_device: bool = False,
+                 devices=None,
                  model=None,
+                 replica_models=None,
                  watch_state: dict = None,
                  quiet_startup: bool = False,
                  path_log: str = None):
@@ -73,7 +75,45 @@ class Analyzer:
         self.path_log = path_log
 
         kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
-        if model is not None:
+        self.replica_models = None
+        if devices is not None:
+            # per-chip replica data parallelism: one classifier replica
+            # pinned to each listed device, each with its own dispatch
+            # thread, fed independent chunks from the shared prefetch ring —
+            # the TPU scale-out of the reference's "multiple GPU analyzers"
+            # (docs/source/tuning.rst:110-117). Zero collectives; for a
+            # ~3 M-param model this is the throughput-max layout.
+            if mesh is not None:
+                raise ValueError(
+                    'devices= (independent per-chip replicas) and mesh= '
+                    '(sharding one chunk across chips) are mutually '
+                    'exclusive — pick one scale-out layout')
+            from buzzdetect_tpu.parallel import resolve_replica_devices
+            devs = resolve_replica_devices(devices)
+            if replica_models is not None:
+                models = replica_models  # watch cycles share the replicas
+            else:
+                models = [load_model(modelname, framehop_prop=framehop_prop,
+                                     initialize=False,
+                                     compute_dtype=compute_dtype,
+                                     device=d, **kw) for d in devs]
+            for m in models:
+                if not hasattr(m, '_device'):
+                    raise ValueError(
+                        f'model {modelname} is a python plugin and cannot '
+                        f'be pinned to a device; devices= requires a bundle '
+                        f'model')
+            if len(models) != self.coordinator.analyzers_total:
+                raise ValueError(
+                    f'replica mode needs exactly one dispatch thread per '
+                    f'device: coordinator has '
+                    f'{self.coordinator.analyzers_total} analyzers but '
+                    f'{len(models)} replicas were requested (size the '
+                    f'coordinator with analyzers_cpu=len(devices), or call '
+                    f'analyze(devices=...) which does it for you)')
+            self.model = models[0]
+            self.replica_models = models
+        elif model is not None:
             # watch cycles share one model so device params/compiled programs
             # upload once, not once per polling cycle
             self.model = model
@@ -201,11 +241,15 @@ class Analyzer:
             t.start()
 
     def _launch_analyzers(self):
+        # replica mode: thread a gets replica a (its own device-pinned
+        # classifier); otherwise every dispatch thread shares one model
+        models = (self.replica_models if self.replica_models is not None
+                  else [self.model] * self.coordinator.analyzers_total)
         for a in range(self.coordinator.analyzers_total):
             t = threading.Thread(
                 target=run_worker, name=f'analyzer_{a}', daemon=True,
                 kwargs=dict(workerclass=WorkerInferer, id_analyzer=a,
-                            model=self.model, coordinator=self.coordinator,
+                            model=models[a], coordinator=self.coordinator,
                             batch_chunks=self.batch_chunks,
                             warmup_rate=self.warmup_rate,
                             warmup_samples=int(
@@ -475,6 +519,7 @@ def analyze(modelname: str,
             compute_dtype=None,
             profile_dir: str = None,
             mesh=None,
+            devices=None,
             batch_chunks: int = 1,
             transfer_dtype: str = None,
             resample_on_device: bool = False,
@@ -505,7 +550,17 @@ def analyze(modelname: str,
         throughput; default float32 holds the 1e-3 parity budget).
     profile_dir : if set, capture a JAX/XLA profiler trace of the run there.
     mesh : optional jax.sharding.Mesh with a 'data' axis — each chunk's
-        patches shard across the mesh's chips (multi-chip data parallelism).
+        patches shard across the mesh's chips (multi-chip data parallelism;
+        one chunk at a time uses every chip — the latency-min layout).
+    devices : per-chip replica data parallelism — an int N (first N local
+        chips), 'all', or an explicit device list. Each chip gets its OWN
+        classifier replica and dispatch thread, fed independent chunks from
+        the shared prefetch ring: zero collectives, N independent streams —
+        the throughput-max layout for this ~3 M-param model and the TPU
+        scale-out of the reference's "multiple GPU analyzers" row
+        (docs/source/tuning.rst:110-117). Mutually exclusive with ``mesh``;
+        overrides analyzers_cpu/analyzers_gpu (one dispatch thread per
+        replica). Results are byte-identical to a single-device run.
     batch_chunks : stack up to this many ready chunks (possibly from
         different files) into one device dispatch — larger MXU batches and
         fewer round trips; 1 disables batching.
@@ -529,9 +584,22 @@ def analyze(modelname: str,
         Ctrl-C. Completed passes leave the output directory in the exact
         state a non-watch run would — stopping the watcher never loses work.
     """
+    replica_devices = None
+    if devices is not None:
+        if mesh is not None:
+            raise ValueError(
+                'devices= (independent per-chip replicas) and mesh= '
+                '(sharding one chunk across chips) are mutually exclusive '
+                '— pick one scale-out layout')
+        from buzzdetect_tpu.parallel import resolve_replica_devices
+        replica_devices = resolve_replica_devices(devices)
+
     def one_pass(event=event_stopanalysis, **extra):
-        coordinator = Coordinator(analyzers_cpu=analyzers_cpu,
-                                  analyzers_gpu=analyzers_gpu,
+        coordinator = Coordinator(analyzers_cpu=(len(replica_devices)
+                                                 if replica_devices
+                                                 else analyzers_cpu),
+                                  analyzers_gpu=(0 if replica_devices
+                                                 else analyzers_gpu),
                                   streamers_total=n_streamers,
                                   depth=stream_buffer_depth,
                                   q_gui=q_gui,
@@ -545,6 +613,7 @@ def analyze(modelname: str,
                             coordinator=coordinator,
                             compute_dtype=compute_dtype,
                             profile_dir=profile_dir, mesh=mesh,
+                            devices=replica_devices,
                             batch_chunks=batch_chunks,
                             transfer_dtype=transfer_dtype,
                             resample_on_device=resample_on_device, **extra)
@@ -558,9 +627,18 @@ def analyze(modelname: str,
         return one_pass()
 
     kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
-    shared_model = load_model(modelname, framehop_prop=framehop_prop,
-                              initialize=False, compute_dtype=compute_dtype,
-                              mesh=mesh, **kw)
+    if replica_devices:
+        # watch cycles share the replica set so each device's params and
+        # compiled programs upload once, not once per polling cycle
+        shared = {'replica_models': [
+            load_model(modelname, framehop_prop=framehop_prop,
+                       initialize=False, compute_dtype=compute_dtype,
+                       device=d, **kw) for d in replica_devices]}
+    else:
+        shared = {'model': load_model(modelname, framehop_prop=framehop_prop,
+                                      initialize=False,
+                                      compute_dtype=compute_dtype,
+                                      mesh=mesh, **kw)}
     stop = watch_stop if watch_stop is not None else threading.Event()
     # The pipeline sets event_stopanalysis at the END of every pass to
     # signal 'analysis done' (the GUI contract), so the caller's event
@@ -582,9 +660,9 @@ def analyze(modelname: str,
 
     state, cycles, analyzer, path_log = {}, 0, None, None
     while not stop.is_set():
-        analyzer = one_pass(event=threading.Event(), model=shared_model,
-                            watch_state=state, quiet_startup=cycles > 0,
-                            path_log=path_log)
+        analyzer = one_pass(event=threading.Event(), watch_state=state,
+                            quiet_startup=cycles > 0, path_log=path_log,
+                            **shared)
         # every cycle appends to the first cycle's log file (the Analyzer
         # stores the path it actually resolved)
         path_log = path_log or analyzer.path_log

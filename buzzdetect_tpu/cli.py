@@ -135,6 +135,13 @@ def build_parser():
                         help='Decode at native rate and resample on the '
                              'accelerator inside the model graph (frees '
                              'host CPU; more wire bytes for rates >16kHz)')
+    parser.add_argument('--devices', required=False, default=None,
+                        help="Per-chip replica data parallelism: an int N "
+                             "(first N local accelerator chips) or 'all'. "
+                             "Each chip runs its own model replica with its "
+                             "own dispatch thread on independent chunks — "
+                             "the throughput-max multi-chip layout; results "
+                             "are identical to a single-chip run")
     parser.add_argument('--bf16', action='store_true',
                         help='Run the CNN in bfloat16 for throughput '
                              '(scores may deviate beyond 1e-3)')
@@ -195,6 +202,13 @@ def main(argv=None):
         import jax.numpy as jnp
         compute_dtype = jnp.bfloat16
 
+    devices = args.devices
+    if devices is not None and devices != 'all':
+        try:
+            devices = int(devices)
+        except ValueError:
+            parser.error("--devices must be an integer or 'all'")
+
     from buzzdetect_tpu.analysis import analyze
     analyze(modelname=modelname,
             classes_out=classes_out,
@@ -211,6 +225,7 @@ def main(argv=None):
             verbosity_log=args.verbosity_log,
             log_progress=args.log_progress,
             compute_dtype=compute_dtype,
+            devices=devices,
             transfer_dtype=args.transfer_dtype,
             resample_on_device=args.resample_on_device,
             watch=args.watch,

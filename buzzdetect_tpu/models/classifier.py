@@ -240,6 +240,11 @@ class ChunkClassifier:
         self.device = device
         self.sharding = sharding
         self.mesh = mesh
+        # where inputs land: an explicit sharding wins; else the device pin
+        # (replica mode — transferring to the default device and letting
+        # dispatch forward it would hop through chip 0 on every chunk);
+        # else None (default device, the single-chip case)
+        self._placement = sharding if sharding is not None else device
 
         yam = {k.split('/', 1)[1]: np.asarray(v, np.float32)
                for k, v in arrays.items() if k.startswith('yamnet/')}
@@ -358,7 +363,7 @@ class ChunkClassifier:
             n_valid, n_model, t_model, t_native = self._plan_native(
                 len(samples), input_rate)
             wav = jax.device_put(self._pad_to(samples, t_native),
-                                 self.sharding)
+                                 self._placement)
             out = self._classify(wav, int(input_rate), int(t_model),
                                  jnp.int32(n_model))
             return out, n_valid
@@ -367,7 +372,7 @@ class ChunkClassifier:
         # explicit async device_put: the transfer enters the stream now and
         # overlaps with earlier chunks' compute/downloads; the jit call then
         # only dispatches
-        wav = jax.device_put(wav, self.sharding)
+        wav = jax.device_put(wav, self._placement)
         out = self._classify(wav)
         return out, n_valid
 
@@ -388,7 +393,7 @@ class ChunkClassifier:
             t_model = self._target_length(max(n_models))
             t_native = -(-t_model * input_rate // sr)
             batch = np.stack([self._pad_to(a, t_native) for a in arrs])
-            batch = jax.device_put(batch, self.sharding)
+            batch = jax.device_put(batch, self._placement)
             valid = jnp.asarray(n_models, jnp.int32)[:, None]  # (B, 1)
             out = _classify_padded_batch(self._device_params(), batch,
                                          self.cfg, self.compute_dtype,
@@ -398,7 +403,7 @@ class ChunkClassifier:
         n_valids = [num_patches(len(a), self.cfg) for a in arrs]
         target = self._target_length(max(len(a) for a in arrs))
         batch = np.stack([self._pad_to(a, target) for a in arrs])
-        batch = jax.device_put(batch, self.sharding)
+        batch = jax.device_put(batch, self._placement)
         out = _classify_padded_batch(self._device_params(), batch, self.cfg,
                                      self.compute_dtype, self.mesh,
                                      self.frontend)

@@ -140,7 +140,7 @@ class BundleModel(BaseModel):
 
     def __init__(self, dir_model: str, framehop_prop: float = 1.0,
                  compute_dtype=None, sharding=None, mesh=None,
-                 transfer_dtype=None, frontend=None):
+                 transfer_dtype=None, frontend=None, device=None):
         self.dir_model = dir_model
         self.framehop_prop = framehop_prop
         self.modelname = os.path.basename(dir_model.rstrip('/'))
@@ -151,6 +151,9 @@ class BundleModel(BaseModel):
         self._compute_dtype = compute_dtype
         self._sharding = sharding
         self._mesh = mesh
+        # replica mode (analyze(devices=...)): pin params + inputs + compute
+        # to one local chip so N model instances serve N independent streams
+        self._device = device
         # int16 wire format by default: source audio is 16-bit PCM, so this
         # is (near-)lossless and halves host->device traffic — the streaming
         # pipeline's bottleneck. An explicit per-run argument beats the
@@ -192,7 +195,7 @@ class BundleModel(BaseModel):
                 arrays, framehop_prop=self.framehop_prop,
                 compute_dtype=dtype, sharding=self._sharding,
                 mesh=self._mesh, transfer_dtype=self._transfer_dtype,
-                frontend=self._frontend)
+                frontend=self._frontend, device=self._device)
             self.embedder._classifier = classifier
             self.classifier = classifier
 
@@ -248,7 +251,7 @@ def load_embedder(embeddername: str, framehop_prop: float = 1.0) -> BaseEmbedder
 def load_model(modelname: str, framehop_prop: float = 1.0,
                initialize: bool = False, compute_dtype=None,
                sharding=None, mesh=None,
-               transfer_dtype=None, frontend=None) -> BaseModel:
+               transfer_dtype=None, frontend=None, device=None) -> BaseModel:
     """Resolve a model by directory name.
 
     ``models/<name>/model.npz`` -> built-in BundleModel (fused XLA graph);
@@ -264,7 +267,7 @@ def load_model(modelname: str, framehop_prop: float = 1.0,
         model = BundleModel(dir_model, framehop_prop,
                             compute_dtype=compute_dtype, sharding=sharding,
                             mesh=mesh, transfer_dtype=transfer_dtype,
-                            frontend=frontend)
+                            frontend=frontend, device=device)
     elif os.path.exists(os.path.join(dir_model, 'model.py')):
         klass = _import_plugin(os.path.join(dir_model, 'model.py'), BaseModel)
         model = klass(dir_model, framehop_prop)

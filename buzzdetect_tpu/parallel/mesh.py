@@ -57,6 +57,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def resolve_replica_devices(devices):
+    """Normalize ``analyze(devices=...)`` to a list of local jax devices.
+
+    Replica data parallelism (the TPU scale-out of the reference's
+    "multiple GPU analyzers" row, `docs/source/tuning.rst:110-117`): each
+    listed chip gets its OWN classifier replica and dispatch thread, fed
+    independent chunks — zero collectives, N independent streams. For a
+    ~3 M-param model this is the throughput-max layout; ``mesh=`` patch
+    sharding is the latency-min layout for one big chunk.
+
+    Accepts an int (first N local devices), 'all' (every local device), or
+    an explicit device list. Returns a list, always; raises on requests the
+    hardware can't honor rather than silently shrinking the fleet.
+    """
+    local = jax.local_devices()
+    if devices == 'all':
+        devices = len(local)
+    if isinstance(devices, bool) or devices is None:
+        raise ValueError("devices must be an int >= 1, 'all', or a device list")
+    if isinstance(devices, int):
+        if devices < 1:
+            raise ValueError(f'devices must be >= 1, got {devices}')
+        if devices > len(local):
+            raise ValueError(
+                f'devices={devices} but only {len(local)} local device(s) '
+                f'are attached')
+        return list(local[:devices])
+    devices = list(devices)
+    if not devices:
+        raise ValueError('devices list is empty')
+    return devices
+
+
 def shard_files(paths, host_id: int = None, n_hosts: int = None,
                 root: str = None):
     """Deterministically assign files to this host (multi-host DP).

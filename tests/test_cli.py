@@ -122,3 +122,28 @@ def test_cli_rejects_bare_classes_out():
     with _pytest.raises(SystemExit) as e:
         main(['--modelname', 'model_general_v3', '--classes_out'])
     assert e.value.code == 2
+
+
+def test_cli_devices_flag_parsing(monkeypatch, tmp_path):
+    """--devices accepts an int or 'all' and reaches analyze() normalized;
+    garbage fails with a parser error, not a traceback."""
+    import buzzdetect_tpu.cli as cli
+
+    seen = {}
+
+    def fake_analyze(**kw):
+        seen.update(kw)
+
+    monkeypatch.setattr('buzzdetect_tpu.analysis.analyze', fake_analyze)
+    base = ['--modelname', 'model_general_v3',
+            '--dir_audio', str(tmp_path), '--dir_out', str(tmp_path / 'out')]
+    cli.main(base + ['--devices', '4'])
+    assert seen['devices'] == 4
+    cli.main(base + ['--devices', 'all'])
+    assert seen['devices'] == 'all'
+    cli.main(base)
+    assert seen['devices'] is None
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(base + ['--devices', 'many'])

@@ -168,3 +168,74 @@ def test_make_mesh_2d_for_trainer():
     mesh = make_mesh(shape=(n // 2, 2), axes=('data', 'model'))
     assert mesh.axis_names == ('data', 'model')
     assert mesh.devices.shape == (n // 2, 2)
+
+
+# --- per-chip replica data parallelism (analyze(devices=...)) ----------------
+
+def _replica_env(tmp_path, monkeypatch, n_files=5):
+    import os
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from tests.audio_fixtures import make_tone, write_wav
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'rm'), classes=['a', 'ins_buzz'],
+                       seed=11)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    for i in range(n_files):
+        write_wav(dir_audio / f'r{i}.wav',
+                  make_tone(3.0 + i, 16000, 200 + 60 * i), 16000)
+    return str(dir_audio)
+
+
+def test_resolve_replica_devices():
+    from buzzdetect_tpu.parallel import resolve_replica_devices
+    local = jax.local_devices()
+    assert resolve_replica_devices(3) == local[:3]
+    assert resolve_replica_devices('all') == local
+    assert resolve_replica_devices([local[2]]) == [local[2]]
+    with pytest.raises(ValueError):
+        resolve_replica_devices(0)
+    with pytest.raises(ValueError):
+        resolve_replica_devices(len(local) + 1)  # never silently shrink
+    with pytest.raises(ValueError):
+        resolve_replica_devices([])
+
+
+def test_analyze_with_replica_devices_matches_single(tmp_path, monkeypatch):
+    """analyze(devices=N) — N independent device-pinned classifier replicas,
+    each with its own dispatch thread — must produce results byte-identical
+    to the single-device run (same weights, same programs, deterministic)."""
+    import os
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = _replica_env(tmp_path, monkeypatch)
+
+    analyze(modelname='rm', dir_audio=dir_audio,
+            dir_out=str(tmp_path / 'single'), chunklength=2.0,
+            verbosity_print='ERROR')
+    a = analyze(modelname='rm', dir_audio=dir_audio,
+                dir_out=str(tmp_path / 'replicas'), chunklength=2.0,
+                verbosity_print='ERROR', devices=4, n_streamers=2)
+
+    # one dispatch thread per replica, each pinned to a distinct device
+    assert a.coordinator.analyzers_total == 4
+    assert a.replica_models is not None and len(a.replica_models) == 4
+    pinned = [m._device for m in a.replica_models]
+    assert pinned == jax.local_devices()[:4]
+    for m in a.replica_models:  # params really live on the pinned chip
+        arr = next(iter(m.classifier._device_params()['yamnet'].values()))
+        assert list(arr.devices()) == [m._device]
+
+    for i in range(5):
+        got = open(tmp_path / 'replicas' / f'r{i}_buzzdetect.csv').read()
+        want = open(tmp_path / 'single' / f'r{i}_buzzdetect.csv').read()
+        assert got == want, f'replica-mode results differ for r{i}'
+
+
+def test_analyze_devices_and_mesh_mutually_exclusive(tmp_path, monkeypatch):
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = _replica_env(tmp_path, monkeypatch, n_files=1)
+    with pytest.raises(ValueError, match='mutually exclusive'):
+        analyze(modelname='rm', dir_audio=dir_audio,
+                dir_out=str(tmp_path / 'out'), devices=2, mesh=make_mesh(4))
