@@ -326,3 +326,73 @@ def test_watch_stops_on_fatal_failure(tmp_path, monkeypatch):
     t.join(timeout=90)
     assert not t.is_alive(), 'watch loop kept retrying a fatal failure'
     assert result['analyzer'].coordinator.end_reason == 'analyzer failure'
+
+
+def test_watch_endurance_bounded_residue(patched_models, tmp_path):
+    """100+ watch cycles must leave no per-cycle residue: the watcher loops
+    one_pass() per cycle, so a single leaked thread, file handle, or
+    watch_state entry per pass compounds into an unbounded long-running
+    monitor (tools/soak_watch.py is the heavier rotating-corpus variant)."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    for i in range(2):
+        write_wav(dir_audio / f'f{i}.wav', make_tone(2.0, 16000, 220 + 80 * i),
+                  16000)
+    kw = dict(modelname='watchmodel', dir_audio=str(dir_audio),
+              dir_out=str(tmp_path / 'out'), chunklength=2.0,
+              verbosity_print='ERROR', watch=True, watch_interval=0.0)
+
+    analyze(watch_cycles=5, **kw)  # steady state: compiled, corpus analyzed
+    have_proc = os.path.exists('/proc/self/fd')
+    base_threads = threading.active_count()
+    base_fds = len(os.listdir('/proc/self/fd')) if have_proc else 0
+
+    analyzer = analyze(watch_cycles=110, **kw)
+
+    assert threading.active_count() - base_threads <= 2, \
+        'watcher/worker threads accumulated across cycles'
+    if have_proc:
+        assert len(os.listdir('/proc/self/fd')) - base_fds <= 5, \
+            'file descriptors accumulated across cycles (logger handles?)'
+    assert analyzer.watch_state is not None
+    assert len(analyzer.watch_state) <= 2, \
+        'watch_state grew beyond the files on disk'
+
+
+def test_watch_shares_replica_models_across_cycles(patched_models, tmp_path,
+                                                   monkeypatch):
+    """watch + devices: every cycle must reuse the SAME replica set (params
+    and compiled programs upload once, not once per polling cycle), and
+    results must match a plain single-device run."""
+    from buzzdetect_tpu import analysis as analysis_mod
+
+    captured = []
+    orig = analysis_mod.Analyzer
+
+    class SpyAnalyzer(orig):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            captured.append(self.replica_models)
+
+    monkeypatch.setattr(analysis_mod, 'Analyzer', SpyAnalyzer)
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'w.wav', make_tone(2.0, 16000, 260), 16000)
+
+    analysis_mod.analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                         dir_out=str(tmp_path / 'watched'), chunklength=2.0,
+                         verbosity_print='ERROR', devices=2,
+                         watch=True, watch_interval=0.0, watch_cycles=3)
+    assert len(captured) == 3
+    assert captured[0] is not None and len(captured[0]) == 2
+    assert all(c is captured[0] for c in captured), \
+        'watch cycles rebuilt the replica set instead of sharing it'
+
+    analysis_mod.analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                         dir_out=str(tmp_path / 'plain'), chunklength=2.0,
+                         verbosity_print='ERROR')
+    got = open(tmp_path / 'watched' / 'w_buzzdetect.csv').read()
+    want = open(tmp_path / 'plain' / 'w_buzzdetect.csv').read()
+    assert got == want
