@@ -46,6 +46,18 @@ def finalize_partial(path_partial: str, path_complete: str):
     os.remove(path_partial)
 
 
+def _materialize(results, n_valid):
+    """Device->host materialization of a chunk's scores — the pipeline's
+    device sync point (by now the inferer has already dispatched the next
+    chunk). Split into its own frame so stack-sampling host profiles
+    (tools/profile_pipeline.py) attribute the device/link wait separately
+    from the writer's real CSV work."""
+    results = np.asarray(results)
+    if n_valid is not None:
+        results = results[:n_valid]
+    return results
+
+
 class WorkerWriter:
     def __init__(self, classes_out, threshold, classes, framehop_s,
                  digits_time, digits_results, coordinator):
@@ -116,11 +128,7 @@ class WorkerWriter:
                          f'{a_chunk.chunk} has no results; leaving the file '
                          f'as a resumable partial', 'WARNING')
         if a_chunk.results is not None:
-            # materializing here is what syncs with the device — by this
-            # point the inferer has already dispatched the next chunk
-            results = np.asarray(a_chunk.results)
-            if a_chunk.n_valid is not None:
-                results = results[:a_chunk.n_valid]
+            results = _materialize(a_chunk.results, a_chunk.n_valid)
             table = self.format(results=results, time_start=a_chunk.chunk[0])
 
             path_partial = a_chunk.file.path_results_partial

@@ -58,3 +58,20 @@ def test_bench_pipeline_mode_record_shape():
                      '--files', '1', '--seconds-per-file', '4')
     assert rec['metric'] == 'realtime_factor_pipeline'
     assert rec['value'] > 0
+
+
+@pytest.mark.slow
+def test_bench_both_mode_full_record():
+    """'both' (the driver's default) must carry the whole capability story:
+    a device headline (compute slope preferred, link-bound fallback), the
+    link number, and the pipeline at default AND tuned (mu-law) wire."""
+    rec = _run_bench('--chunklength', '2', '--chunks', '8', '--reps', '1',
+                     '--files', '1', '--seconds-per-file', '4')
+    assert rec['metric'] in ('realtime_factor_device_compute',
+                             'realtime_factor_device')
+    assert rec['value'] > 0
+    assert rec['vs_baseline'] == pytest.approx(
+        round(rec['value'] / 100.0, 3), abs=5e-4)
+    assert rec['device_link'] > 0
+    assert rec['pipeline_default'] > 0
+    assert rec['pipeline_tuned_mulaw'] > 0
