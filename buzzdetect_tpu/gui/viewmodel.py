@@ -22,9 +22,9 @@ from buzzdetect_tpu.validation import validate_map, ArgValid
 BASIC_FIELDS = ('modelname', 'dir_audio', 'dir_out', 'classes_out',
                 'precision', 'framehop_prop')
 ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
-                   'n_streamers', 'stream_buffer_depth', 'verbosity_print',
-                   'verbosity_log', 'log_progress', 'watch',
-                   'watch_interval')
+                   'devices', 'n_streamers', 'stream_buffer_depth',
+                   'verbosity_print', 'verbosity_log', 'log_progress',
+                   'watch', 'watch_interval')
 
 
 def analysis_defaults():
@@ -61,7 +61,7 @@ def field_types():
 # optional fields whose empty form value means "unset" (None), matching the
 # analyze() defaults — validators must see None, not ''
 OPTIONAL_EMPTY_FIELDS = ('dir_out', 'precision', 'n_streamers',
-                         'stream_buffer_depth')
+                         'stream_buffer_depth', 'devices')
 
 
 def coerce_field(name, raw):
@@ -73,6 +73,14 @@ def coerce_field(name, raw):
     the validator reports it."""
     if raw == '' and name in OPTIONAL_EMPTY_FIELDS:
         return None
+    if name == 'devices':
+        # int or the literal 'all' (per-chip replica parallelism)
+        if isinstance(raw, str) and raw.strip().lower() == 'all':
+            return 'all'
+        try:
+            return int(float(raw))
+        except (TypeError, ValueError):
+            return raw
     want = field_types().get(name)
     try:
         if want is bool:

@@ -154,6 +154,18 @@ def validate_transfer_dtype(value):
     return ArgValid(False, "must be one of: float32, int16, mulaw")
 
 
+def validate_devices(value):
+    """Per-chip replica count: None (off), 'all', or an int >= 1. Whether
+    that many chips are actually attached is checked at launch (the
+    front-end cannot know the accelerator topology without importing jax,
+    which is too heavy for a per-keystroke validator)."""
+    if value in (None, ''):
+        return OK
+    if isinstance(value, str) and value.strip().lower() == 'all':
+        return OK
+    return numeric_rule(kind=int, minimum=1)(value)
+
+
 validate_map = {
     'modelname': validate_modelname,
     'classes_out': validate_classes_out,
@@ -170,6 +182,7 @@ validate_map = {
     'verbosity_log': validate_verbosity,
     'log_progress': numeric_rule(kind=int, minimum=0, maximum=1),
     'transfer_dtype': validate_transfer_dtype,
+    'devices': validate_devices,
     'resample_on_device': numeric_rule(kind=int, minimum=0, maximum=1),
     'watch': numeric_rule(kind=int, minimum=0, maximum=1),
     'watch_interval': numeric_rule(kind=float, exclusive_min=0),

@@ -225,3 +225,24 @@ def test_detections_manifest_lock_is_launchable(tmp_path):
     assert locked['classes_out'] == 'all'
     assert m.values['classes_out'] == 'all'
     assert m.validate_field('classes_out').valid
+
+
+def test_coerce_and_validate_devices_field():
+    """The GUI's devices field (per-chip replicas) coerces '' -> None,
+    'all' -> 'all', digits -> int, and garbage stays raw for the validator
+    to reject."""
+    from buzzdetect_tpu.gui.viewmodel import (coerce_field, ADVANCED_FIELDS,
+                                              SettingsModel)
+    assert 'devices' in ADVANCED_FIELDS
+    assert coerce_field('devices', '') is None
+    assert coerce_field('devices', 'All') == 'all'
+    assert coerce_field('devices', '4') == 4
+    assert coerce_field('devices', 'lots') == 'lots'
+
+    m = SettingsModel(path_cache='/nonexistent/guisettings.json')
+    m.values['devices'] = coerce_field('devices', '2')
+    assert m.validate_field('devices').valid
+    m.values['devices'] = coerce_field('devices', 'lots')
+    assert not m.validate_field('devices').valid
+    m.values['devices'] = None
+    assert m.validate_field('devices').valid

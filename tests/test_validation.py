@@ -59,3 +59,14 @@ def test_map_covers_analyze_kwargs():
                 'stream_buffer_depth', 'dir_audio', 'dir_out',
                 'verbosity_print', 'verbosity_log', 'log_progress'}
     assert expected <= set(validate_map)
+
+
+def test_validate_devices():
+    from buzzdetect_tpu.validation import validate_devices
+    assert validate_devices(None).valid
+    assert validate_devices('').valid
+    assert validate_devices('all').valid
+    assert validate_devices(4).valid
+    assert validate_devices('4').valid
+    assert not validate_devices(0).valid
+    assert not validate_devices('many').valid
