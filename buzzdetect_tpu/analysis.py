@@ -53,6 +53,7 @@ class Analyzer:
                  transfer_dtype: str = None,
                  resample_on_device: bool = False,
                  devices=None,
+                 host_shard=None,
                  model=None,
                  replica_models=None,
                  watch_state: dict = None,
@@ -129,6 +130,23 @@ class Analyzer:
                 f'(plugin models receive model-rate samples); drop '
                 f'resample_on_device')
         self.resample_on_device = resample_on_device
+
+        # multi-host data parallelism: this process analyzes only its stable
+        # hash-assigned shard of the corpus (parallel.shard_files); hosts
+        # share one output directory and need no communication — completion
+        # state IS the filesystem (SURVEY §2c communication-backend row)
+        if host_shard is True:
+            import jax
+            host_shard = (jax.process_index(), jax.process_count())
+        if host_shard is not None:
+            hid, n_hosts = host_shard
+            if not (isinstance(hid, int) and isinstance(n_hosts, int)
+                    and 0 <= hid < n_hosts):
+                raise ValueError(
+                    f'host_shard must be (host_id, n_hosts) with '
+                    f'0 <= host_id < n_hosts, got {host_shard!r}')
+            host_shard = (hid, n_hosts)
+        self.host_shard = host_shard
 
         self.precision = precision
         # bf16 guardrail: measured max activation deviation vs f32 is ~0.006
@@ -302,6 +320,18 @@ class Analyzer:
                 end_reason='no files'))
             return False
 
+        if self.host_shard is not None:
+            # conflict detection below stays GLOBAL (every host sees the
+            # same listing and drops the same colliding idents); only the
+            # work partition is sharded
+            from buzzdetect_tpu.parallel import shard_files
+            mine = set(shard_files([a.path_audio for a in assignments],
+                                   host_id=self.host_shard[0],
+                                   n_hosts=self.host_shard[1],
+                                   root=self.dir_audio))
+        else:
+            mine = None
+
         # files whose idents collide (same name, different extension) would
         # interleave rows in one result file; drop them with a warning
         from collections import Counter, defaultdict
@@ -323,6 +353,8 @@ class Analyzer:
         for a in assignments:
             if a.ident in conflicting:
                 continue
+            if mine is not None and a.path_audio not in mine:
+                continue  # another host's shard (incl. its watch demotions)
             if os.path.exists(a.path_results_complete):
                 finalized.append(a)
                 # a crash between finalization's promote and its partial
@@ -339,8 +371,12 @@ class Analyzer:
         if watching:
             unfinished.extend(self._demote_grown(finalized))
         if not unfinished:
+            where = (f"this host's shard "
+                     f"({self.host_shard[0] + 1} of {self.host_shard[1]}) of "
+                     f"{self.dir_audio}" if self.host_shard is not None
+                     else self.dir_audio)
             self.coordinator.exit_analysis(ExitSignal(
-                message=(f'All files in {self.dir_audio} are fully analyzed; '
+                message=(f'All files in {where} are fully analyzed; '
                          f'exiting analysis'),
                 level='DEBUG' if watching else 'INFO',
                 end_reason='fully analyzed'))
@@ -520,6 +556,7 @@ def analyze(modelname: str,
             profile_dir: str = None,
             mesh=None,
             devices=None,
+            host_shard=None,
             batch_chunks: int = 1,
             transfer_dtype: str = None,
             resample_on_device: bool = False,
@@ -561,6 +598,15 @@ def analyze(modelname: str,
         (docs/source/tuning.rst:110-117). Mutually exclusive with ``mesh``;
         overrides analyzers_cpu/analyzers_gpu (one dispatch thread per
         replica). Results are byte-identical to a single-device run.
+    host_shard : multi-host data parallelism — ``(host_id, n_hosts)``, or
+        ``True`` to take both from the JAX distributed runtime
+        (``jax.process_index/count``). This process analyzes only its
+        stable hash-assigned shard of the corpus
+        (``parallel.shard_files``); point every host at the same output
+        directory and they divide the corpus with NO coordination —
+        completion state is the filesystem (partials + manifest), exactly
+        like single-host resume. Composes with ``devices``/``mesh`` for
+        per-host chip scale-out.
     batch_chunks : stack up to this many ready chunks (possibly from
         different files) into one device dispatch — larger MXU batches and
         fewer round trips; 1 disables batching.
@@ -614,6 +660,7 @@ def analyze(modelname: str,
                             compute_dtype=compute_dtype,
                             profile_dir=profile_dir, mesh=mesh,
                             devices=replica_devices,
+                            host_shard=host_shard,
                             batch_chunks=batch_chunks,
                             transfer_dtype=transfer_dtype,
                             resample_on_device=resample_on_device, **extra)

@@ -142,6 +142,13 @@ def build_parser():
                              "own dispatch thread on independent chunks — "
                              "the throughput-max multi-chip layout; results "
                              "are identical to a single-chip run")
+    parser.add_argument('--host_shard', required=False, default=None,
+                        help="Multi-host run: 'I/N' (e.g. 0/4) analyzes only "
+                             "this host's stable hash-assigned shard of the "
+                             "corpus. Point every host at the same output "
+                             "directory; they divide the work with no "
+                             "coordination (completion state is the "
+                             "filesystem)")
     parser.add_argument('--bf16', action='store_true',
                         help='Run the CNN in bfloat16 for throughput '
                              '(scores may deviate beyond 1e-3)')
@@ -209,6 +216,16 @@ def main(argv=None):
         except ValueError:
             parser.error("--devices must be an integer or 'all'")
 
+    host_shard = None
+    if args.host_shard is not None:
+        try:
+            i, n = args.host_shard.split('/')
+            host_shard = (int(i), int(n))
+        except ValueError:
+            parser.error("--host_shard must look like I/N, e.g. 0/4")
+        if not 0 <= host_shard[0] < host_shard[1]:
+            parser.error('--host_shard needs 0 <= I < N')
+
     from buzzdetect_tpu.analysis import analyze
     analyze(modelname=modelname,
             classes_out=classes_out,
@@ -226,6 +243,7 @@ def main(argv=None):
             log_progress=args.log_progress,
             compute_dtype=compute_dtype,
             devices=devices,
+            host_shard=host_shard,
             transfer_dtype=args.transfer_dtype,
             resample_on_device=args.resample_on_device,
             watch=args.watch,

@@ -97,8 +97,14 @@ def read_manifest(dir_out):
 def write_manifest(dir_out, manifest):
     os.makedirs(dir_out, exist_ok=True)
     data = manifest.to_dict() if isinstance(manifest, Manifest) else manifest
-    with open(_manifest_path(dir_out), 'w') as f:
+    # atomic (temp + rename): multi-host runs share one output directory and
+    # every host writes the same manifest at startup — a reader racing a
+    # plain in-place write could see a torn file and mistake it for absent
+    path = _manifest_path(dir_out)
+    path_tmp = f'{path}.{os.getpid()}.tmp'
+    with open(path_tmp, 'w') as f:
         json.dump(data, f, indent=2)
+    os.replace(path_tmp, path)
 
 
 # --- functional wrappers (the API the rest of the framework uses) ----------

@@ -147,3 +147,24 @@ def test_cli_devices_flag_parsing(monkeypatch, tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         cli.main(base + ['--devices', 'many'])
+
+
+def test_cli_host_shard_flag_parsing(monkeypatch, tmp_path):
+    """--host_shard I/N reaches analyze() as a tuple; malformed or
+    out-of-range specs fail with a parser error."""
+    import buzzdetect_tpu.cli as cli
+
+    seen = {}
+    monkeypatch.setattr('buzzdetect_tpu.analysis.analyze',
+                        lambda **kw: seen.update(kw))
+    base = ['--modelname', 'model_general_v3',
+            '--dir_audio', str(tmp_path), '--dir_out', str(tmp_path / 'out')]
+    cli.main(base + ['--host_shard', '1/4'])
+    assert seen['host_shard'] == (1, 4)
+    cli.main(base)
+    assert seen['host_shard'] is None
+
+    import pytest as _pytest
+    for bad in ('4/4', 'x/2', '3'):
+        with _pytest.raises(SystemExit):
+            cli.main(base + ['--host_shard', bad])
