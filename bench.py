@@ -155,9 +155,10 @@ def main():
     # headline AND the user-visible full-pipeline (decode -> CSV) number
     ap.add_argument('--mode', choices=['both', 'device', 'pipeline'],
                     default='both')
-    # 960 s chunks are the tuned configuration for v5e (big batches amortize
-    # dispatch; see docs/tuning.md) — the pipeline's default stays 200 s
-    ap.add_argument('--chunklength', type=float, default=960.0)
+    # unset: device rows use the 960 s tuned configuration for v5e (big
+    # batches amortize dispatch; see docs/tuning.md) and pipeline rows use
+    # the product default 200 s; an EXPLICIT value applies to both
+    ap.add_argument('--chunklength', type=float, default=None)
     ap.add_argument('--chunks', type=int, default=20)
     ap.add_argument('--framehop', type=float, default=1.0)
     ap.add_argument('--reps', type=int, default=3,
@@ -186,8 +187,10 @@ def main():
     record = {
         'unit': 'audio-seconds per wall-second per chip',
     }
+    chunkl_device = 960.0 if args.chunklength is None else args.chunklength
+    chunkl_pipeline = 200.0 if args.chunklength is None else args.chunklength
     if args.mode == 'device':
-        device, compute = bench_device(args.chunklength, args.chunks,
+        device, compute = bench_device(chunkl_device, args.chunks,
                                        args.framehop, args.bf16,
                                        args.frontend, args.reps)
         record.update(metric='realtime_factor_device',
@@ -197,14 +200,14 @@ def main():
             # ceiling removed (the tunnel, not the chip, bounds `value`)
             record['device_compute'] = round(compute, 2)
     elif args.mode == 'pipeline':
-        pipeline = bench_pipeline(args.chunklength, args.files,
+        pipeline = bench_pipeline(chunkl_pipeline, args.files,
                                   args.seconds_per_file, args.batch_chunks,
                                   args.sample_rate, args.resample_on_device,
                                   args.transfer_dtype)
         record.update(metric='realtime_factor_pipeline',
                       value=round(pipeline, 2))
     else:  # 'both': the driver-recorded artifact — the full capability story
-        device, compute = bench_device(args.chunklength, args.chunks,
+        device, compute = bench_device(chunkl_device, args.chunks,
                                        args.framehop, args.bf16,
                                        args.frontend, args.reps)
         # HEADLINE = device_compute (the chip's sustained graph rate): the
@@ -221,17 +224,19 @@ def main():
                           value=round(device, 2))
         record['device_link'] = round(device, 2)
         # pipeline at the product DEFAULT configuration (200 s chunks,
-        # int16 wire) and at the measured-best TUNED configuration (mu-law
-        # wire — halves transfer bytes on the throttled link; activations
-        # shift well under one output rounding digit, docs/tuning.md)
-        chunkl = 200.0 if args.chunklength == 960.0 else args.chunklength
+        # int16 wire — the literal default, regardless of --transfer-dtype,
+        # so the record key never lies) and at the measured-best TUNED
+        # configuration (mu-law wire — halves transfer bytes on the
+        # throttled link; activations shift well under one output rounding
+        # digit, docs/tuning.md)
         record['pipeline_default'] = round(bench_pipeline(
-            chunkl, args.files, args.seconds_per_file, args.batch_chunks,
-            args.sample_rate, args.resample_on_device,
-            args.transfer_dtype), 2)
+            chunkl_pipeline, args.files, args.seconds_per_file,
+            args.batch_chunks, args.sample_rate, args.resample_on_device,
+            None), 2)
         record['pipeline_tuned_mulaw'] = round(bench_pipeline(
-            chunkl, args.files, args.seconds_per_file, args.batch_chunks,
-            args.sample_rate, args.resample_on_device, 'mulaw'), 2)
+            chunkl_pipeline, args.files, args.seconds_per_file,
+            args.batch_chunks, args.sample_rate, args.resample_on_device,
+            'mulaw'), 2)
 
     # derived from the ROUNDED value so the pair is always self-consistent
     record['vs_baseline'] = round(record['value'] / BASELINE_REALTIME, 3)

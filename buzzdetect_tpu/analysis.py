@@ -212,10 +212,15 @@ class Analyzer:
 
     # --- worker lifecycle ---------------------------------------------------
     def _launch_logger(self):
-        # store the resolved path so watch cycles can reuse the exact file
+        # store the resolved path so watch cycles can reuse the exact file;
+        # multi-host runs share dir_out and can start the same second — tag
+        # the filename with the host id so their logs never interleave
+        host_tag = (f'_host{self.host_shard[0]}'
+                    if self.host_shard is not None else '')
         self.path_log = self.path_log or os.path.join(
             self.dir_out,
-            f"{self.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}.log")
+            f"{self.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}"
+            f"{host_tag}.log")
         os.makedirs(os.path.dirname(self.path_log), exist_ok=True)
         self.thread_logger = threading.Thread(
             target=run_worker, name='logger', daemon=True,

@@ -215,6 +215,8 @@ def main(argv=None):
             devices = int(devices)
         except ValueError:
             parser.error("--devices must be an integer or 'all'")
+        if devices < 1:
+            parser.error('--devices must be >= 1')
 
     host_shard = None
     if args.host_shard is not None:

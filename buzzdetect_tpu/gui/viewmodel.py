@@ -74,11 +74,13 @@ def coerce_field(name, raw):
     if raw == '' and name in OPTIONAL_EMPTY_FIELDS:
         return None
     if name == 'devices':
-        # int or the literal 'all' (per-chip replica parallelism)
+        # int or the literal 'all' (per-chip replica parallelism); strict
+        # int parse — '2.9' is a typo for a replica COUNT, not a value to
+        # truncate, so it stays raw and the validator rejects it
         if isinstance(raw, str) and raw.strip().lower() == 'all':
             return 'all'
         try:
-            return int(float(raw))
+            return int(raw)
         except (TypeError, ValueError):
             return raw
     want = field_types().get(name)

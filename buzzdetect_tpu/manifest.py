@@ -101,7 +101,11 @@ def write_manifest(dir_out, manifest):
     # every host writes the same manifest at startup — a reader racing a
     # plain in-place write could see a torn file and mistake it for absent
     path = _manifest_path(dir_out)
-    path_tmp = f'{path}.{os.getpid()}.tmp'
+    # uuid, not just pid: multi-host writers share dir_out and containerized
+    # hosts commonly have identical pids — colliding tmp names would make
+    # one host's os.replace race the other's and crash at startup
+    import uuid
+    path_tmp = f'{path}.{uuid.uuid4().hex[:12]}.tmp'
     with open(path_tmp, 'w') as f:
         json.dump(data, f, indent=2)
     os.replace(path_tmp, path)

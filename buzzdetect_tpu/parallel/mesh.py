@@ -74,7 +74,9 @@ def resolve_replica_devices(devices):
     local = jax.local_devices()
     if devices == 'all':
         devices = len(local)
-    if isinstance(devices, bool) or devices is None:
+    if isinstance(devices, bool) or devices is None or \
+            isinstance(devices, str):
+        # a stray string like '4' must not fall through to list('4')
         raise ValueError("devices must be an int >= 1, 'all', or a device list")
     if isinstance(devices, int):
         if devices < 1:

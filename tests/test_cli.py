@@ -147,6 +147,8 @@ def test_cli_devices_flag_parsing(monkeypatch, tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         cli.main(base + ['--devices', 'many'])
+    with _pytest.raises(SystemExit):
+        cli.main(base + ['--devices', '0'])  # parser error, not a traceback
 
 
 def test_cli_host_shard_flag_parsing(monkeypatch, tmp_path):

@@ -302,3 +302,13 @@ def test_host_shard_validation():
     with pytest.raises(ValueError, match='host_shard'):
         Analyzer(modelname='whatever', host_shard=(4, 2),
                  model=object.__new__(object))
+
+
+def test_resolve_replica_devices_rejects_stray_strings():
+    """devices='4' (Python API misuse) must fail at validation, not fall
+    through to list('4') and die deep inside device_put."""
+    from buzzdetect_tpu.parallel import resolve_replica_devices
+    with pytest.raises(ValueError):
+        resolve_replica_devices('4')
+    with pytest.raises(ValueError):
+        resolve_replica_devices(True)

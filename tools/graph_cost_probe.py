@@ -14,7 +14,7 @@ milliseconds are:
     head       embeddings -> scores
 
 Usage: python tools/graph_cost_probe.py [--seconds 960] [--chunks 20]
-       [--bf16] [--precision HIGHEST|HIGH|DEFAULT]
+       [--bf16]
 """
 
 import argparse
