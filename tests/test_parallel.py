@@ -312,3 +312,27 @@ def test_resolve_replica_devices_rejects_stray_strings():
         resolve_replica_devices('4')
     with pytest.raises(ValueError):
         resolve_replica_devices(True)
+
+
+def test_host_shard_composes_with_replica_devices(tmp_path, monkeypatch):
+    """The two scale-out axes compose: a host analyzing its corpus shard
+    can still fan its chunks across per-chip replicas; union of both
+    hosts' sharded+replicated runs equals the single-host oracle."""
+    import os
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = _replica_env(tmp_path, monkeypatch, n_files=4)
+    dir_out = str(tmp_path / 'out')
+
+    for host in range(2):
+        a = analyze(modelname='rm', dir_audio=dir_audio, dir_out=dir_out,
+                    chunklength=2.0, verbosity_print='ERROR',
+                    host_shard=(host, 2), devices=2, n_streamers=1)
+        assert a.coordinator.analyzers_total == 2
+
+    analyze(modelname='rm', dir_audio=dir_audio,
+            dir_out=str(tmp_path / 'oracle'), chunklength=2.0,
+            verbosity_print='ERROR')
+    for i in range(4):
+        got = open(os.path.join(dir_out, f'r{i}_buzzdetect.csv')).read()
+        want = open(tmp_path / 'oracle' / f'r{i}_buzzdetect.csv').read()
+        assert got == want
