@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Every scale-out layout in one runnable script.
+
+Demonstrates, on whatever devices this machine has (falls back to a virtual
+8-device CPU mesh when only one chip is attached), the three ways a
+buzzdetect-tpu deployment grows beyond a single chip — and that all of them
+produce byte-identical results:
+
+1. ``devices=N`` — per-chip REPLICA data parallelism: each chip runs its own
+   model replica on independent chunks (zero collectives; the throughput-max
+   layout for this ~3 M-param model).
+2. ``mesh=...`` — each chunk's patch axis GSPMD-shards across the chips (the
+   latency-min layout: one chunk finishes ~N x sooner).
+3. ``host_shard=(i, n)`` — multi-HOST corpus sharding: each process analyzes
+   only its stable hash-assigned shard, sharing one output directory with
+   zero coordination (simulated here by running both "hosts" sequentially in
+   one process; in production they are different machines).
+
+Run: python examples/scale_out.py
+"""
+
+import os
+import sys
+import tempfile
+import wave
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# a multi-device mesh before jax initializes (skip if real chips abound)
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+
+
+def write_wav(path, data, rate=16000):
+    ints = np.clip(np.round(data * 32768), -32768, 32767).astype('<i2')
+    with wave.open(str(path), 'wb') as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(ints.tobytes())
+
+
+def main():
+    import jax
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.parallel import make_mesh
+
+    n_dev = len(jax.local_devices())
+    print(f'devices: {n_dev} x {jax.local_devices()[0].platform}')
+
+    td = tempfile.mkdtemp(prefix='bz_scaleout_')
+    dir_audio = os.path.join(td, 'audio')
+    os.makedirs(dir_audio)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        t = np.arange(int((3 + i) * 16000)) / 16000.0
+        write_wav(os.path.join(dir_audio, f'rec{i}.wav'),
+                  0.3 * np.sin(2 * np.pi * (200 + 60 * i) * t)
+                  + 0.03 * rng.standard_normal(t.shape))
+
+    common = dict(modelname='model_general_v3', dir_audio=dir_audio,
+                  chunklength=2.0, verbosity_print='ERROR')
+
+    print('1/4  single device (the oracle)...')
+    analyze(dir_out=os.path.join(td, 'single'), **common)
+
+    print(f'2/4  {n_dev} per-chip replicas (devices=...)...')
+    analyze(dir_out=os.path.join(td, 'replicas'), devices=n_dev, **common)
+
+    print(f'3/4  {n_dev}-way patch sharding (mesh=...)...')
+    analyze(dir_out=os.path.join(td, 'meshed'), mesh=make_mesh(n_dev),
+            **common)
+
+    print('4/4  two-host corpus sharding (host_shard=...)...')
+    for host in range(2):
+        analyze(dir_out=os.path.join(td, 'hosts'), host_shard=(host, 2),
+                **common)
+
+    for layout in ('replicas', 'meshed', 'hosts'):
+        for i in range(4):
+            got = open(os.path.join(td, layout,
+                                    f'rec{i}_buzzdetect.csv')).read()
+            want = open(os.path.join(td, 'single',
+                                     f'rec{i}_buzzdetect.csv')).read()
+            assert got == want, f'{layout} differs on rec{i}'
+        print(f'{layout}: byte-identical to single-device, all 4 files')
+    print(f'\nresults in {td} — every layout, same answers.')
+
+
+if __name__ == '__main__':
+    main()
