@@ -26,8 +26,13 @@ from functools import partial
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def slope_time(fn, inputs, n_long, reps=2):
-    """Seconds per call via the dispatch-slope method."""
+def slope_time(fn, inputs, n_long, trials=5):
+    """(best, median, worst) seconds per call via the dispatch-slope method.
+
+    The tunneled link's duty cycle makes single slopes noisy (same stage
+    has measured 0.2 ms and 6.9 ms minutes apart); interleaved trials with
+    the spread reported keep the numbers honest — read the MEDIAN, and
+    distrust any stage whose spread spans a factor of 2."""
     import numpy as np
 
     def run(k):
@@ -39,9 +44,13 @@ def slope_time(fn, inputs, n_long, reps=2):
         return time.perf_counter() - t0
 
     run(2)  # warm (compile)
-    short = min(run(2) for _ in range(reps))
-    long = min(run(n_long) for _ in range(reps))
-    return max(0.0, (long - short) / (n_long - 2))
+    slopes = []
+    for _ in range(trials):
+        short = min(run(2) for _ in range(2))
+        long = min(run(n_long) for _ in range(2))
+        slopes.append(max(0.0, (long - short) / (n_long - 2)))
+    slopes.sort()
+    return slopes[0], slopes[len(slopes) // 2], slopes[-1]
 
 
 def main():
@@ -69,18 +78,24 @@ def main():
     params = clf._device_params()
 
     n = int(round(args.seconds / 0.96) * 0.96 * 16000)
-    rng = np.random.default_rng(0)
-    wavs = [jax.device_put(clf._pad_to(
-        (rng.standard_normal(n) * 0.1).astype(np.float32),
-        clf._target_length(n))) for _ in range(3)]
+    n_pad = clf._target_length(n)
+
+    # generate on-device: uploading ~60 MB waveforms through a throttled
+    # tunnel would take minutes and say nothing about the graph
+    @jax.jit
+    def gen(key):
+        x = jax.random.normal(key, (n_pad,), jnp.float32) * 0.1
+        return jnp.where(jnp.arange(n_pad) < n, x, 0.0)
+
+    wavs = [gen(jax.random.PRNGKey(i)) for i in range(3)]
 
     full = clf.classify_resident
     frontend = jax.jit(partial(log_mel_patches, cfg=cfg))
     spect = jax.jit(lambda w: log_mel_spectrogram(w, cfg))
-    patches = [jax.device_put(np.asarray(frontend(w))) for w in wavs]
+    patches = [frontend(w) for w in wavs]  # stay device-resident
     embed = jax.jit(partial(yamnet_lib.embed, params['yamnet'],
                             compute_dtype=dtype))
-    embs = [jax.device_put(np.asarray(embed(p))) for p in patches]
+    embs = [embed(p) for p in patches]
     head = jax.jit(partial(apply_head, params['head']))
 
     stages = [
@@ -92,16 +107,18 @@ def main():
     ]
     label = 'bf16' if args.bf16 else 'f32'
     print(f'chunk = {args.seconds:.0f} s, compute_dtype = {label}, '
-          f'slope over {args.chunks} dispatches:')
+          f'slope over {args.chunks} dispatches, median of 5 trials '
+          f'(read the median; distrust spreads over 2x):')
     total = None
     for name, fn, inputs in stages:
-        sec = slope_time(fn, inputs, args.chunks)
+        best, med, worst = slope_time(fn, inputs, args.chunks)
         if total is None:
-            total = sec
-        rtf = args.seconds / sec if sec > 0 else float('inf')
-        share = 100 * sec / total if total else 0.0
-        print(f'  {name:32s} {sec * 1e3:8.2f} ms  ({rtf:10,.0f}x rt, '
-              f'{share:5.1f}% of full)')
+            total = med
+        rtf = args.seconds / med if med > 0 else float('inf')
+        share = 100 * med / total if total else 0.0
+        print(f'  {name:32s} {med * 1e3:8.2f} ms '
+              f'[{best * 1e3:.2f}..{worst * 1e3:.2f}]  '
+              f'({rtf:10,.0f}x rt, {share:5.1f}% of full)')
 
 
 if __name__ == '__main__':
