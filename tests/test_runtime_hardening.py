@@ -355,3 +355,54 @@ def test_truncated_read_end_uses_embedder_time_precision():
     # 12345 / 16000 = 0.7715625 -> 0.7716 at digits_time=4 (0.77 would mean
     # the hardcoded 2-decimal round regressed back in)
     assert end == round(12345 / 16000, 4) == 0.7716
+
+
+def test_fatal_replica_death_stops_run(tmp_path, monkeypatch):
+    """Replica mode: ONE replica failing fatally at initialize must stop the
+    whole run loudly (same contract as the shared-model fatal-death path) —
+    not hang the other replicas against a drained tracker or promote
+    incomplete results."""
+    from buzzdetect_tpu import config as cfg_mod
+    from buzzdetect_tpu import analysis as analysis_mod
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from buzzdetect_tpu.models.registry import load_model
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'rf'), classes=['a', 'ins_buzz'],
+                       seed=3)
+    monkeypatch.setattr(cfg_mod, 'DIR_MODELS', str(dir_models))
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    for i in range(3):
+        write_wav(dir_audio / f'f{i}.wav', make_tone(3.0, 16000, 230), 16000)
+
+    real_load = analysis_mod.load_model
+    calls = {'n': 0}
+
+    def breaking_load(*a, **kw):
+        model = real_load(*a, **kw)
+        calls['n'] += 1
+        if calls['n'] == 2:  # the SECOND replica is broken
+            def boom():
+                raise RuntimeError('simulated replica init failure')
+            model.initialize = boom
+        return model
+
+    monkeypatch.setattr(analysis_mod, 'load_model', breaking_load)
+    a = analysis_mod.analyze(modelname='rf', dir_audio=str(dir_audio),
+                             dir_out=str(tmp_path / 'out'), chunklength=2.0,
+                             devices=2, verbosity_print='CRITICAL')
+    assert a.coordinator.end_reason == 'analyzer failure'
+    import os
+    done = [f for f in os.listdir(tmp_path / 'out')
+            if f.endswith('_buzzdetect.csv')]
+    # partial progress (healthy replica) is fine; the run must have ended
+    # with the failure surfaced, and a rerun resumes cleanly
+    monkeypatch.setattr(analysis_mod, 'load_model', real_load)
+    analysis_mod.analyze(modelname='rf', dir_audio=str(dir_audio),
+                         dir_out=str(tmp_path / 'out'), chunklength=2.0,
+                         verbosity_print='CRITICAL')
+    done = [f for f in os.listdir(tmp_path / 'out')
+            if f.endswith('_buzzdetect.csv')]
+    assert len(done) == 3
