@@ -108,7 +108,7 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
 def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
                    batch_chunks: int = 1, sample_rate: int = 16000,
                    resample_on_device: bool = False,
-                   transfer_dtype: str = None):
+                   transfer_dtype: str = None, devices=None):
     """Full path: WAV decode -> pipeline -> CSV (host + device).
 
     A warmup pass first runs one file through analyze() so backend
@@ -124,7 +124,7 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
     kw = dict(chunklength=chunklength, verbosity_print='ERROR',
               batch_chunks=batch_chunks,
               resample_on_device=resample_on_device,
-              transfer_dtype=transfer_dtype)
+              transfer_dtype=transfer_dtype, devices=devices)
     with tempfile.TemporaryDirectory() as td:
         warm_audio = os.path.join(td, 'warm')
         os.makedirs(warm_audio)
@@ -177,6 +177,10 @@ def main():
     ap.add_argument('--resample-on-device', action='store_true',
                     help='pipeline mode: native-rate decode + on-device '
                          'resample (ops/resample.py)')
+    ap.add_argument('--devices', default=None,
+                    help="pipeline mode: per-chip replica count (int or "
+                         "'all') — measure the replica-DP layout on real "
+                         "multi-chip hardware")
     ap.add_argument('--frontend', choices=['auto', 'xla', 'pallas'],
                     default=None,
                     help='device mode: frontend implementation (default '
@@ -200,10 +204,13 @@ def main():
             # ceiling removed (the tunnel, not the chip, bounds `value`)
             record['device_compute'] = round(compute, 2)
     elif args.mode == 'pipeline':
+        devices = args.devices
+        if devices is not None and devices != 'all':
+            devices = int(devices)
         pipeline = bench_pipeline(chunkl_pipeline, args.files,
                                   args.seconds_per_file, args.batch_chunks,
                                   args.sample_rate, args.resample_on_device,
-                                  args.transfer_dtype)
+                                  args.transfer_dtype, devices)
         record.update(metric='realtime_factor_pipeline',
                       value=round(pipeline, 2))
     else:  # 'both': the driver-recorded artifact — the full capability story

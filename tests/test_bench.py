@@ -75,3 +75,13 @@ def test_bench_both_mode_full_record():
     assert rec['device_link'] > 0
     assert rec['pipeline_default'] > 0
     assert rec['pipeline_tuned_mulaw'] > 0
+
+
+@pytest.mark.slow
+def test_bench_pipeline_devices_mode():
+    """--devices in pipeline mode measures the replica-DP layout."""
+    rec = _run_bench('--mode', 'pipeline', '--chunklength', '2',
+                     '--files', '2', '--seconds-per-file', '4',
+                     '--devices', '2')
+    assert rec['metric'] == 'realtime_factor_pipeline'
+    assert rec['value'] > 0

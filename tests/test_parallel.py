@@ -336,3 +336,37 @@ def test_host_shard_composes_with_replica_devices(tmp_path, monkeypatch):
         got = open(os.path.join(dir_out, f'r{i}_buzzdetect.csv')).read()
         want = open(tmp_path / 'oracle' / f'r{i}_buzzdetect.csv').read()
         assert got == want
+
+
+def test_replicas_compose_with_mulaw_and_device_resample(tmp_path,
+                                                         monkeypatch):
+    """Triple composition: per-chip replicas x mu-law wire x on-device
+    resampling (48 kHz source) equals the single-device run with the same
+    wire configuration."""
+    import os
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'rc'), classes=['a', 'ins_buzz'],
+                       seed=13)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    for i in range(2):
+        write_wav(dir_audio / f'hi{i}.wav', make_tone(3.0, 48000, 500 + i * 70),
+                  48000)
+
+    kw = dict(modelname='rc', dir_audio=str(dir_audio), chunklength=2.0,
+              verbosity_print='ERROR', transfer_dtype='mulaw',
+              resample_on_device=True)
+    analyze(dir_out=str(tmp_path / 'single'), **kw)
+    analyze(dir_out=str(tmp_path / 'replicas'), devices=2, **kw)
+    for i in range(2):
+        got = open(os.path.join(tmp_path, 'replicas',
+                                f'hi{i}_buzzdetect.csv')).read()
+        want = open(os.path.join(tmp_path, 'single',
+                                 f'hi{i}_buzzdetect.csv')).read()
+        assert got == want
