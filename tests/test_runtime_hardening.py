@@ -406,3 +406,43 @@ def test_fatal_replica_death_stops_run(tmp_path, monkeypatch):
     done = [f for f in os.listdir(tmp_path / 'out')
             if f.endswith('_buzzdetect.csv')]
     assert len(done) == 3
+
+
+def test_external_stop_under_contention_replica_mode(tmp_path, monkeypatch):
+    """Exit-protocol stress in REPLICA mode: the coordinator poisons one
+    sentinel per analyzer, and replica mode multiplies analyzers — random
+    external stops must still return promptly and leave a state a clean
+    replica-mode rerun completes."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'sr'), classes=['ins_buzz', 'x'],
+                       seed=3)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    for i in range(8):
+        write_wav(dir_audio / f'f{i}.wav', make_tone(3.0, 16000, 210 + i),
+                  16000)
+    dir_out = str(tmp_path / 'out')
+
+    for delay in (0.05, 0.8):
+        stop = threading.Event()
+        threading.Timer(delay, stop.set).start()
+        t0 = time.monotonic()
+        analyze(modelname='sr', dir_audio=str(dir_audio), dir_out=dir_out,
+                chunklength=1.0, devices=4, n_streamers=3,
+                stream_buffer_depth=2, event_stopanalysis=stop,
+                verbosity_print='ERROR')
+        assert time.monotonic() - t0 < 120, 'stopped replica run hung'
+
+    a = analyze(modelname='sr', dir_audio=str(dir_audio), dir_out=dir_out,
+                chunklength=1.0, devices=4, verbosity_print='ERROR')
+    assert a.coordinator.end_reason in ('completed', 'fully analyzed')
+    import os
+    done = [f for f in os.listdir(dir_out) if f.endswith('_buzzdetect.csv')]
+    assert len(done) == 8
+    assert not [f for f in os.listdir(dir_out) if f.endswith('_buzzpart.csv')]
