@@ -26,6 +26,20 @@ def _is_empty(a_chunk: AssignChunk) -> bool:
     return a_chunk.samples is not None and len(a_chunk.samples) == 0
 
 
+def _start_host_copy(results):
+    """Kick off the async device->host copy of a result the moment it is
+    dispatched: the single writer thread materializes chunks one at a time,
+    so on high-latency links (the dev tunnel: ~9 ms per sync even for a
+    tiny score array) serialized downloads become the top busy cost of
+    many-small-files corpora. Starting the copy here overlaps every
+    chunk's download with the writer's work on earlier chunks. Best-effort:
+    plugin models may return plain numpy."""
+    try:
+        results.copy_to_host_async()
+    except AttributeError:
+        pass
+
+
 class WorkerInferer:
     def __init__(self, id_analyzer, model, coordinator, processor='TPU',
                  batch_chunks: int = 1, warmup_samples: int = None,
@@ -112,6 +126,7 @@ class WorkerInferer:
         if hasattr(self.model, 'predict_async'):
             a_chunk.results, a_chunk.n_valid = self.model.predict_async(
                 a_chunk.samples, **kw)
+            _start_host_copy(a_chunk.results)
         else:  # python-plugin models: synchronous predict
             a_chunk.results = self.model.predict(a_chunk.samples, **kw)
         a_chunk.samples = None  # release decode buffer early
@@ -165,6 +180,10 @@ class WorkerInferer:
             [c.samples for c in batch], **kw)
         for i, a_chunk in enumerate(batch):
             a_chunk.results = out[i]
+            # per-slice: the copy must target the array the writer will
+            # materialize (out[i] is its own device array, not a view of
+            # a host copy of `out`)
+            _start_host_copy(a_chunk.results)
             a_chunk.n_valid = n_valids[i]
             a_chunk.samples = None
             self.coordinator.put_write(a_chunk)
