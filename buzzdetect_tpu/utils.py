@@ -134,3 +134,19 @@ def build_ident(path: str, root_dir: str, tag: str = None) -> str:
         ident = ident.replace(tag, '')
     ident = ident.replace(os.sep, '/').lstrip('/')
     return ident
+
+
+def write_wav(path, samples, rate: int = 16000):
+    """Write float samples in [-1, 1] as a 16-bit mono WAV (stdlib only).
+
+    Shared by the tools, examples, and driver entry points that synthesize
+    fixture audio — each used to carry its own copy of this loop."""
+    import wave
+    import numpy as np
+    ints = np.clip(np.round(np.asarray(samples) * 32768),
+                   -32768, 32767).astype('<i2')
+    with wave.open(str(path), 'wb') as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(rate))
+        w.writeframes(ints.tobytes())

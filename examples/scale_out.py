@@ -22,7 +22,6 @@ Run: python examples/scale_out.py
 import os
 import sys
 import tempfile
-import wave
 
 import numpy as np
 
@@ -34,19 +33,11 @@ os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 
 
-def write_wav(path, data, rate=16000):
-    ints = np.clip(np.round(data * 32768), -32768, 32767).astype('<i2')
-    with wave.open(str(path), 'wb') as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes(ints.tobytes())
-
-
 def main():
     import jax
     from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.parallel import make_mesh
+    from buzzdetect_tpu.utils import write_wav
 
     n_dev = len(jax.local_devices())
     print(f'devices: {n_dev} x {jax.local_devices()[0].platform}')

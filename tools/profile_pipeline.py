@@ -113,23 +113,16 @@ def main():
 
     import numpy as np
     from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.utils import write_wav
 
     rng = np.random.default_rng(0)
     kw = dict(chunklength=args.chunklength, verbosity_print='ERROR',
               transfer_dtype=args.transfer_dtype,
               batch_chunks=args.batch_chunks, profile_dir=args.jax_trace)
     with tempfile.TemporaryDirectory() as td:
-        import wave
-
         def write(path, seconds):
             n = int(seconds * args.sample_rate)
-            x = (rng.standard_normal(n) * 0.1)
-            with wave.open(path, 'wb') as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(args.sample_rate)
-                w.writeframes((np.clip(x, -1, 1) * 32767).astype('<i2')
-                              .tobytes())
+            write_wav(path, rng.standard_normal(n) * 0.1, args.sample_rate)
 
         warm = os.path.join(td, 'warm')
         os.makedirs(warm)

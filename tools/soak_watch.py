@@ -37,17 +37,6 @@ def n_threads() -> int:
     return threading.active_count()
 
 
-def write_wav(path, samples, rate=16000):
-    import wave
-    import numpy as np
-    with wave.open(path, 'wb') as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes((np.clip(samples, -1, 1) * 32767).astype('<i2')
-                      .tobytes())
-
-
 def append_wav(path, samples, rate=16000):
     """Grow a WAV in place the way a field recorder does: append frames and
     patch the header sizes."""
@@ -75,6 +64,7 @@ def main():
 
     import numpy as np
     from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.utils import write_wav
 
     td = tempfile.mkdtemp(prefix='bz_soakwatch_')
     dir_audio = os.path.join(td, 'audio')
