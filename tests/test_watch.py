@@ -396,3 +396,60 @@ def test_watch_shares_replica_models_across_cycles(patched_models, tmp_path,
     got = open(tmp_path / 'watched' / 'w_buzzdetect.csv').read()
     want = open(tmp_path / 'plain' / 'w_buzzdetect.csv').read()
     assert got == want
+
+
+def test_watch_respects_host_shard(patched_models, tmp_path):
+    """watch + host_shard: a watcher only re-examines and demotes grown
+    files in ITS shard — another host's grown recording must be left
+    untouched (that host's watcher owns it)."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.parallel import shard_files
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    names = [f'w{i}.wav' for i in range(4)]
+    for i, name in enumerate(names):
+        write_wav(dir_audio / name, make_tone(2.0, 16000, 220 + 40 * i),
+                  16000)
+    dir_out = str(tmp_path / 'out')
+
+    # find which files belong to shard 0 vs shard 1
+    paths = [str(dir_audio / n) for n in names]
+    shard0 = set(shard_files(paths, host_id=0, n_hosts=2,
+                             root=str(dir_audio)))
+    shard1 = [p for p in paths if p not in shard0]
+    assert shard0 and shard1  # the 4-file corpus splits across both
+
+    # both hosts complete their shards (one pass each)
+    for host in range(2):
+        analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+                host_shard=(host, 2), watch=True, watch_interval=0.0,
+                watch_cycles=1)
+    for name in names:
+        assert os.path.exists(os.path.join(
+            dir_out, name.replace('.wav', '_buzzdetect.csv')))
+
+    def rows(path):
+        return len(open(path).read().splitlines()) - 1
+
+    own = os.path.join(dir_out, os.path.basename(sorted(shard0)[0])
+                       .replace('.wav', '_buzzdetect.csv'))
+    other = os.path.join(dir_out, os.path.basename(sorted(shard1)[0])
+                         .replace('.wav', '_buzzdetect.csv'))
+    rows_own_before, rows_other_before = rows(own), rows(other)
+    mtime_other_before = os.path.getmtime(other)
+
+    # grow ONE file of each shard; run host 0's watcher only
+    for p in (sorted(shard0)[0], sorted(shard1)[0]):
+        write_wav(p, make_tone(4.0, 16000, 300), 16000)
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+            host_shard=(0, 2), watch=True, watch_interval=0.0,
+            watch_cycles=2)
+
+    assert rows(own) > rows_own_before, \
+        'host 0 must analyze the new tail of its own grown file'
+    assert rows(other) == rows_other_before
+    assert os.path.getmtime(other) == mtime_other_before, \
+        "host 0 must NOT touch the other shard's grown file"
