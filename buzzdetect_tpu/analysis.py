@@ -104,16 +104,21 @@ class Analyzer:
                         f'model {modelname} is a python plugin and cannot '
                         f'be pinned to a device; devices= requires a bundle '
                         f'model')
-            if len(models) != self.coordinator.analyzers_total:
+            # the coordinator may run SEVERAL dispatch threads per replica
+            # (the per-chip version of the reference's "multiple GPU
+            # analyzers +~10%" knob, docs/source/tuning.rst:110-117); the
+            # classifier is thread-safe, so threads i*k..(i+1)*k-1 share
+            # replica i
+            total = self.coordinator.analyzers_total
+            if total % len(models) != 0:
                 raise ValueError(
-                    f'replica mode needs exactly one dispatch thread per '
-                    f'device: coordinator has '
-                    f'{self.coordinator.analyzers_total} analyzers but '
-                    f'{len(models)} replicas were requested (size the '
-                    f'coordinator with analyzers_cpu=len(devices), or call '
-                    f'analyze(devices=...) which does it for you)')
+                    f'replica mode needs a whole number of dispatch '
+                    f'threads per device: coordinator has {total} analyzers '
+                    f'for {len(models)} replicas (call analyze(devices=...) '
+                    f'which sizes it as replicas x analyzers_cpu)')
+            per = total // len(models)
             self.model = models[0]
-            self.replica_models = models
+            self.replica_models = [m for m in models for _ in range(per)]
         elif model is not None:
             # watch cycles share one model so device params/compiled programs
             # upload once, not once per polling cycle
@@ -601,8 +606,10 @@ def analyze(modelname: str,
         the throughput-max layout for this ~3 M-param model and the TPU
         scale-out of the reference's "multiple GPU analyzers" row
         (docs/source/tuning.rst:110-117). Mutually exclusive with ``mesh``;
-        overrides analyzers_cpu/analyzers_gpu (one dispatch thread per
-        replica). Results are byte-identical to a single-device run.
+        In this mode ``analyzers_cpu + analyzers_gpu`` becomes the number of
+        dispatch threads PER replica (default 1) — the per-chip version of
+        the reference's "multiple GPU analyzers" knob. Results are
+        byte-identical to a single-device run.
     host_shard : multi-host data parallelism — ``(host_id, n_hosts)``, or
         ``True`` to take both from the JAX distributed runtime
         (``jax.process_index/count``). This process analyzes only its
@@ -646,7 +653,11 @@ def analyze(modelname: str,
         replica_devices = resolve_replica_devices(devices)
 
     def one_pass(event=event_stopanalysis, **extra):
+        # replica mode: analyzers_cpu/analyzers_gpu become dispatch threads
+        # PER replica (default 1 each -> one thread per chip)
+        per_replica = max(1, analyzers_cpu + analyzers_gpu)
         coordinator = Coordinator(analyzers_cpu=(len(replica_devices)
+                                                 * per_replica
                                                  if replica_devices
                                                  else analyzers_cpu),
                                   analyzers_gpu=(0 if replica_devices

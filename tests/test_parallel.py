@@ -370,3 +370,32 @@ def test_replicas_compose_with_mulaw_and_device_resample(tmp_path,
         want = open(os.path.join(tmp_path, 'single',
                                  f'hi{i}_buzzdetect.csv')).read()
         assert got == want
+
+
+def test_multiple_dispatch_threads_per_replica(tmp_path, monkeypatch):
+    """In replica mode analyzers_cpu means dispatch threads PER replica
+    (the per-chip version of the reference's 'multiple GPU analyzers'
+    knob): devices=2 x analyzers_cpu=2 -> 4 threads sharing 2 device-pinned
+    classifiers, results still byte-identical."""
+    import os
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = _replica_env(tmp_path, monkeypatch, n_files=4)
+
+    analyze(modelname='rm', dir_audio=dir_audio,
+            dir_out=str(tmp_path / 'single'), chunklength=2.0,
+            verbosity_print='ERROR')
+    a = analyze(modelname='rm', dir_audio=dir_audio,
+                dir_out=str(tmp_path / 'multi'), chunklength=2.0,
+                verbosity_print='ERROR', devices=2, analyzers_cpu=2)
+    assert a.coordinator.analyzers_total == 4
+    assert len(a.replica_models) == 4
+    assert len({id(m) for m in a.replica_models}) == 2  # 2 shared replicas
+    devices_used = [m._device for m in a.replica_models]
+    assert devices_used == sorted(devices_used, key=str)  # grouped by chip
+
+    for i in range(4):
+        got = open(os.path.join(tmp_path, 'multi',
+                                f'r{i}_buzzdetect.csv')).read()
+        want = open(os.path.join(tmp_path, 'single',
+                                 f'r{i}_buzzdetect.csv')).read()
+        assert got == want

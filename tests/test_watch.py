@@ -387,7 +387,8 @@ def test_watch_shares_replica_models_across_cycles(patched_models, tmp_path,
                          watch=True, watch_interval=0.0, watch_cycles=3)
     assert len(captured) == 3
     assert captured[0] is not None and len(captured[0]) == 2
-    assert all(c is captured[0] for c in captured), \
+    ids0 = [id(m) for m in captured[0]]
+    assert all([id(m) for m in c] == ids0 for c in captured), \
         'watch cycles rebuilt the replica set instead of sharing it'
 
     analysis_mod.analyze(modelname='watchmodel', dir_audio=str(dir_audio),
