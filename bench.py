@@ -178,15 +178,24 @@ def main():
                     help='pipeline mode: native-rate decode + on-device '
                          'resample (ops/resample.py)')
     ap.add_argument('--devices', default=None,
-                    help="pipeline mode: per-chip replica count (int or "
-                         "'all') — measure the replica-DP layout on real "
-                         "multi-chip hardware")
+                    help="pipeline rows (pipeline/both modes): per-chip "
+                         "replica count (int or 'all') — measure the "
+                         "replica-DP layout on real multi-chip hardware")
     ap.add_argument('--frontend', choices=['auto', 'xla', 'pallas'],
                     default=None,
                     help='device mode: frontend implementation (default '
                          'auto = the hop-banked XLA frontend, the fastest '
                          'measured; pallas = the fused kernel)')
     args = ap.parse_args()
+
+    devices = args.devices
+    if devices is not None and devices != 'all':
+        try:
+            devices = int(devices)
+        except ValueError:
+            ap.error("--devices must be an integer or 'all'")
+        if devices < 1:
+            ap.error('--devices must be >= 1')
 
     record = {
         'unit': 'audio-seconds per wall-second per chip',
@@ -204,9 +213,6 @@ def main():
             # ceiling removed (the tunnel, not the chip, bounds `value`)
             record['device_compute'] = round(compute, 2)
     elif args.mode == 'pipeline':
-        devices = args.devices
-        if devices is not None and devices != 'all':
-            devices = int(devices)
         pipeline = bench_pipeline(chunkl_pipeline, args.files,
                                   args.seconds_per_file, args.batch_chunks,
                                   args.sample_rate, args.resample_on_device,
@@ -239,11 +245,11 @@ def main():
         record['pipeline_default'] = round(bench_pipeline(
             chunkl_pipeline, args.files, args.seconds_per_file,
             args.batch_chunks, args.sample_rate, args.resample_on_device,
-            None), 2)
+            None, devices), 2)
         record['pipeline_tuned_mulaw'] = round(bench_pipeline(
             chunkl_pipeline, args.files, args.seconds_per_file,
             args.batch_chunks, args.sample_rate, args.resample_on_device,
-            'mulaw'), 2)
+            'mulaw', devices), 2)
 
     # derived from the ROUNDED value so the pair is always self-consistent
     record['vs_baseline'] = round(record['value'] / BASELINE_REALTIME, 3)
