@@ -62,6 +62,17 @@ def test_train_calibrate_detect(tmp_path, monkeypatch):
     assert ret.returncode == 0, ret.stdout + ret.stderr
     assert 'threshold rows' in ret.stdout  # holdout evaluation ran
 
+    # the bundle ships its model card (reference models/<name>/tests/)
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        matplotlib = None
+    if matplotlib is not None:
+        dir_model = dir_models / 'fielddet'
+        for rel in ('history.json', 'loss_curves.svg', 'tests/metrics.svg',
+                    'tests/activation_overall.svg', 'tests/positives.svg'):
+            assert (dir_model / rel).exists(), f'missing model-card {rel}'
+
     # fresh, unseen test recordings
     dir_test = tmp_path / 'field'
     dir_test.mkdir()

@@ -55,6 +55,9 @@ def main():
     ap.add_argument('--dir-work', default=None,
                     help='where embeddings are cached (default: <out>/work)')
     ap.add_argument('--out', default=None)
+    ap.add_argument('--no-report', action='store_true',
+                    help='skip the model-card artifacts (loss_curves.svg, '
+                         'tests/*.svg, history.json)')
     args = ap.parse_args()
 
     from buzzdetect_tpu import config as cfg
@@ -104,6 +107,7 @@ def main():
                            f'from {args.annotations} over {args.dir_audio}'),
         }
         save_bundle(out, arrays, config)
+        _write_report(args, out, losses)
         print(f'wrote {out}')
         return
 
@@ -161,7 +165,7 @@ def main():
     print(f'      loss {losses[0]:.4f} -> {losses[-1]:.4f}')
 
     print('[4/5] evaluating ...')
-    metrics = None
+    metrics = eval_scores = eval_labels = None
     if not n_hold:
         print('      skipping metrics: no held-out files (--holdout 0 or '
               'too few files); the bundle will not support '
@@ -176,6 +180,7 @@ def main():
         hold_lab = np.concatenate([per_file[i][2] for i in hold_idx])
         ci = args.classes.index(args.target_class)
         scores = hold_emb @ head['head/kernel'] + head['head/bias']
+        eval_scores, eval_labels = scores[:, ci], hold_lab
         try:
             metrics = threshold_sweep(scores[:, ci], hold_lab[:, ci])
             print(f'      {len(metrics["threshold"])} threshold rows')
@@ -202,7 +207,29 @@ def main():
                        f'weights from {base}'),
     }
     save_bundle(out, arrays, config)
+    _write_report(args, out, losses, metrics=metrics, scores=eval_scores,
+                  labels=eval_labels)
     print(f'wrote {out} — analyze with: buzzdetect --modelname {args.name} ...')
+
+
+def _write_report(args, out, losses, metrics=None, scores=None, labels=None):
+    """Model-card artifacts (loss curves, metric/activation plots) next to
+    the bundle — the set the reference ships per model
+    (reference models/model_general_v3/tests/)."""
+    if args.no_report:
+        return
+    try:
+        from buzzdetect_tpu.train.report import write_model_report
+        written = write_model_report(
+            out, history={'loss': list(losses)}, metrics=metrics,
+            scores=scores, labels=labels,
+            classes=args.classes if scores is not None else None,
+            target_class=args.target_class)
+    except ImportError as e:  # no matplotlib: the bundle still works
+        print(f'      skipping model card: {e}')
+        return
+    print(f'      model card: {len(written)} artifacts '
+          f'({", ".join(sorted(os.path.basename(p) for p in written))})')
 
 
 if __name__ == '__main__':
