@@ -1,0 +1,231 @@
+"""Fused MobileNet tail (sep-conv stack + pooling) as one Pallas TPU kernel.
+
+Why this kernel exists (measured on v5e, tools/roofline.py +
+tools/conv_layout_probe.py, 2026-08): the late YAMNet layers run 4.5-5.4x
+off their roofline floor under XLA. Two causes, both layout:
+
+* activations shaped (B, 3, 2, 1024) tile as (sublane=2, lane=1024) — 2 of
+  8 sublanes used, so every elementwise op and every conv pays ~4x its true
+  cost (a bias+relu on that shape measured 93 GB/s effective against a
+  435 GB/s streaming peak);
+* each layer boundary round-trips HBM, which XLA cannot avoid because it
+  does not fuse conv->conv.
+
+The fix is to OWN the layout: this kernel keeps a block of patches resident
+in VMEM with activations flattened to (Pb, H*W, C) — full 8-sublane tiles at
+every layer — and runs the whole tail (depthwise + pointwise + bias + relu
+per layer, then global average pooling) with zero intermediate HBM traffic.
+
+Per-op mapping (constraints verified by tools/mosaic_capability_probe.py on
+the real toolchain — strided slices do NOT compile; leading-dim reshapes,
+sublane rolls, 2-D row gathers and minor transposes do):
+
+* depthwise 3x3: 9 taps, each a per-patch sublane roll of the flattened
+  spatial axis (axis=1 never crosses patch boundaries) + an edge mask
+  derived from an iota over flattened positions (W is a power of two at
+  every tail layer, so h = pos >> log2(W), w = pos & (W-1)) + a
+  lane-broadcast multiply by that tap's per-channel weights — pure VPU;
+* stride-2 subsample: a 2-D row gather with indices computed from iotas
+  (rows 2*ho*W + 2*wo of each patch), on the (Pb*H*W, C) collapsed view;
+* pointwise 1x1: the (Pb*HW, C) collapsed view @ (C, F) on the MXU at
+  Precision.HIGHEST (f32 parity mode) or DEFAULT (bf16 mode) — Pb is
+  chosen so Pb*HW >= 128 rows even at the 3x2-spatial layers;
+* BatchNorm is already folded into kernel+bias upstream
+  (models/yamnet.py::fold_batchnorm); bias+relu ride the same VMEM pass.
+
+Reference parity: the stack mirrors models/yamnet.py::embed layer for
+layer (reference embedders/yamnet/yamnet.py:77-106); numerics match the
+XLA path to float32 rounding (tests/test_pallas_conv.py, interpret mode;
+tools/pallas_conv_tpu_probe.py compiled on hardware).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from buzzdetect_tpu.models.yamnet import LAYER_DEFS
+
+TAPS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+@dataclass(frozen=True)
+class SepSpec:
+    """One depthwise-separable layer inside the fused stack."""
+    index: int            # 1-based layer number in LAYER_DEFS
+    h: int                # input spatial height
+    w: int                # input spatial width (power of two)
+    c_in: int
+    c_out: int
+    stride: int
+
+    @property
+    def name(self):
+        return f'layer{self.index}'
+
+    @property
+    def h_out(self):
+        return -(-self.h // self.stride)
+
+    @property
+    def w_out(self):
+        return -(-self.w // self.stride)
+
+
+def tail_specs(start_layer: int = 8):
+    """SepSpecs for LAYER_DEFS[start_layer-1:], with input spatial sizes.
+
+    Only 'sep' layers with power-of-two input width qualify (the kernel's
+    flattened-position masks rely on it); every layer from 4 on does.
+    """
+    h, w, c = 96, 64, 1
+    specs = []
+    for i, (kind, stride, filters) in enumerate(LAYER_DEFS, start=1):
+        if i >= start_layer:
+            if kind != 'sep':
+                raise ValueError(f'layer {i} is not a sep layer')
+            if w & (w - 1):
+                raise ValueError(f'layer {i} input width {w} not pow2')
+            specs.append(SepSpec(i, h, w, c, filters, stride))
+        h, w, c = -(-h // stride), -(-w // stride), filters
+    return tuple(specs)
+
+
+def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
+    """Folded yamnet params -> the kernel's flat operand list.
+
+    Per layer: dw taps (9, 1, C) [tap t = kernel[dy, dx, 0, :]], dw bias
+    (1, C) f32, pw kernel (C, F), pw bias (1, F) f32. Weights are cast to
+    the compute dtype; biases stay f32 (they add into the f32 accumulator).
+    """
+    ops = []
+    for s in specs:
+        dw = np.asarray(params[f'{s.name}/depthwise_conv/kernel'])
+        pw = np.asarray(params[f'{s.name}/pointwise_conv/kernel'])
+        ops += [
+            jnp.asarray(dw.reshape(9, 1, s.c_in), compute_dtype),
+            jnp.asarray(params[f'{s.name}/depthwise_conv/bias'],
+                        jnp.float32).reshape(1, s.c_in),
+            jnp.asarray(pw.reshape(s.c_in, s.c_out), compute_dtype),
+            jnp.asarray(params[f'{s.name}/pointwise_conv/bias'],
+                        jnp.float32).reshape(1, s.c_out),
+        ]
+    return ops
+
+
+def _subsample_rows(x, spec: SepSpec, pb: int):
+    """(Pb, H*W, C) -> (Pb, Ho*Wo, C), keeping rows ((2ho+1)*W + 2wo+1).
+
+    SAME padding for a 3x3 stride-2 conv on even input pads only the
+    bottom/right (pad_total=1), so output (ho, wo) is the stride-1 centered
+    conv evaluated at (2ho+1, 2wo+1) — the ODD positions. Strided slices
+    don't compile on this toolchain (see tools/mosaic_capability_probe.py),
+    but splitting a dim in two and statically indexing one half does — so
+    stride-2 is two split+index steps (H, then W), all on probed-PASS
+    reshapes.
+    """
+    assert spec.stride == 2 and spec.h % 2 == 0 and spec.w % 2 == 0
+    c = x.shape[-1]
+    y = x.reshape(pb, spec.h // 2, 2, spec.w, c)[:, :, 1]   # odd rows
+    y = y.reshape(pb, spec.h // 2, spec.w // 2, 2, c)[:, :, :, 1]  # odd cols
+    return y.reshape(pb, spec.h_out * spec.w_out, c)
+
+
+def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
+    """refs = [x_ref, (dw, dw_b, pw, pw_b) * len(specs), out_ref]."""
+    x_ref, out_ref = refs[0], refs[-1]
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    x = x_ref[:].astype(compute_dtype)
+
+    for li, spec in enumerate(specs):
+        dw_ref, dwb_ref, pw_ref, pwb_ref = refs[1 + 4 * li: 5 + 4 * li]
+        hw = spec.h * spec.w
+        # edge-validity masks from an iota over flattened positions; W is a
+        # power of two at every tail layer, so h/w split is shift/and
+        # (consts can't be captured in a pallas kernel — compute, don't pack)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, hw, 1), 1)
+        hpos = pos >> (spec.w.bit_length() - 1)
+        wpos = pos & (spec.w - 1)
+
+        acc = jnp.zeros((pb, hw, spec.c_in), jnp.float32)
+        for t, (dy, dx) in enumerate(TAPS):
+            # circular roll bringing x[pos + shift] to pos (shift may be
+            # negative; pltpu.roll wants a non-negative amount, so wrap)
+            shift = (-(dy * spec.w + dx)) % hw
+            shifted = pltpu.roll(x, shift, 1) if shift else x
+            tap = dw_ref[t]                              # (1, C)
+            valid = ((hpos + dy >= 0) & (hpos + dy < spec.h)
+                     & (wpos + dx >= 0) & (wpos + dx < spec.w))
+            acc = acc + jnp.where(
+                valid, shifted, 0).astype(jnp.float32) * tap
+        if spec.stride > 1:
+            acc = _subsample_rows(acc, spec, pb)
+        y = jax.nn.relu(acc + dwb_ref[:]).astype(compute_dtype)
+
+        hwo = spec.h_out * spec.w_out
+        flat = y.reshape(pb * hwo, spec.c_in)
+        z = jax.lax.dot_general(
+            flat, pw_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        z = jax.nn.relu(z.reshape(pb, hwo, spec.c_out)
+                        + pwb_ref[:]).astype(compute_dtype)
+        x = z
+
+    if gap:
+        out_ref[:] = jnp.mean(x.astype(jnp.float32), axis=1)
+    else:
+        out_ref[:] = x.astype(jnp.float32)
+
+
+def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,
+               block_patches: int = 16, compute_dtype=jnp.float32,
+               gap: bool = True, interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W, C) activations entering `start_layer` -> (B, 1024)
+    embeddings (gap=True) or the last layer's activations.
+
+    B is padded up to a multiple of block_patches internally; callers get
+    exactly B rows back.
+    """
+    specs = tail_specs(start_layer)
+    s0, sl = specs[0], specs[-1]
+    b, h, w, c = x.shape
+    assert (h, w, c) == (s0.h, s0.w, s0.c_in), \
+        f'expected {(s0.h, s0.w, s0.c_in)} input, got {(h, w, c)}'
+    pb = block_patches
+    b_pad = -(-b // pb) * pb
+    x = x.reshape(b, h * w, c)
+    if b_pad != b:
+        x = jnp.concatenate(
+            [x, jnp.zeros((b_pad - b, h * w, c), x.dtype)], axis=0)
+
+    ops = pack_tail_params(params, specs, compute_dtype)
+    if gap:
+        out_shape = jax.ShapeDtypeStruct((b_pad, sl.c_out), jnp.float32)
+        out_spec = pl.BlockSpec((pb, sl.c_out), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        hwo = sl.h_out * sl.w_out
+        out_shape = jax.ShapeDtypeStruct((b_pad, hwo, sl.c_out),
+                                         jnp.float32)
+        out_spec = pl.BlockSpec((pb, hwo, sl.c_out), lambda g: (g, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    kernel = partial(_tail_kernel, specs=specs, pb=pb,
+                     compute_dtype=compute_dtype, gap=gap)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // pb,),
+        in_specs=[pl.BlockSpec((pb, h * w, c), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x, *ops)
+    return out[:b]

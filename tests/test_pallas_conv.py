@@ -1,0 +1,86 @@
+"""Fused Pallas conv tail: parity with the XLA sep-conv stack.
+
+Interpreter mode on the CPU test mesh here; compiled-mode attestation on real
+hardware lives in tools/pallas_conv_tpu_probe.py (results in docs/tuning.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from buzzdetect_tpu.models import yamnet as yam
+from buzzdetect_tpu.ops.pallas_conv import fused_tail, tail_specs
+
+RNG = np.random.default_rng(11)
+
+
+def xla_tail(params, x, start_layer=8, gap=True):
+    """Reference: the same layers run through the production XLA path."""
+    specs = tail_specs(start_layer)
+    for s in specs:
+        dw = params[f'{s.name}/depthwise_conv/kernel']
+        dwb = params[f'{s.name}/depthwise_conv/bias']
+        pw = params[f'{s.name}/pointwise_conv/kernel']
+        pwb = params[f'{s.name}/pointwise_conv/bias']
+        x = yam._conv2d(x, jnp.asarray(dw), s.stride, depthwise=True)
+        x = jax.nn.relu(x + dwb)
+        x = yam._conv2d(x, jnp.asarray(pw), 1)
+        x = jax.nn.relu(x + pwb)
+    return jnp.mean(x, axis=(1, 2)) if gap else x
+
+
+def tail_input(b, start_layer=8, seed=3):
+    s0 = tail_specs(start_layer)[0]
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((b, s0.h, s0.w, s0.c_in)).astype(np.float32)
+
+
+@pytest.mark.parametrize('start_layer', [8, 13])
+def test_fused_tail_matches_xla(start_layer):
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    x = tail_input(5, start_layer)
+    ref = np.asarray(xla_tail(params, jnp.asarray(x), start_layer))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_tail(params, jnp.asarray(x),
+                                    start_layer=start_layer,
+                                    block_patches=4, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_fused_tail_no_gap_and_padding():
+    """gap=False returns the last layer's activations; B not divisible by
+    block_patches still yields exactly B rows."""
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    x = tail_input(3, 13)
+    ref = np.asarray(xla_tail(params, jnp.asarray(x), 13, gap=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_tail(params, jnp.asarray(x), start_layer=13,
+                                    block_patches=4, gap=False,
+                                    interpret=True))
+    assert got.shape == (3, ref.shape[1] * ref.shape[2], ref.shape[3])
+    np.testing.assert_allclose(
+        got, ref.reshape(got.shape), atol=2e-4, rtol=1e-5)
+
+
+def test_fused_tail_whole_model_parity():
+    """Full embed with the tail swapped in matches embed() end to end."""
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=9))
+    patches = RNG.standard_normal((4, 96, 64)).astype(np.float32) * 0.5
+    ref = np.asarray(yam.embed(params, jnp.asarray(patches)))
+
+    # run layers 1-7 through the XLA path, then the fused tail
+    x = jnp.asarray(patches)[..., None]
+    for key, kind, stride, _shape in yam._conv_shapes():
+        if int(key.split('/')[0][5:]) >= 8:
+            break
+        x = yam._conv2d(x, jnp.asarray(params[f'{key}/kernel']), stride,
+                        depthwise=(kind == 'depthwise'))
+        x = jax.nn.relu(x + params[f'{key}/bias'])
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_tail(params, x, start_layer=8,
+                                    block_patches=4, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)

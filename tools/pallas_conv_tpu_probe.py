@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Compile + measure the fused Pallas conv tail on real TPU hardware.
+
+Compares the production XLA embed graph against the hybrid graph (XLA
+layers 1..start-1 + ops/pallas_conv.py fused tail) on a realistic 960 s
+chunk batch, and attests numeric parity on-chip.
+
+Measurement discipline (tunneled dev link — see docs/tuning.md):
+* all inputs generated on-device with jax.random (the tunnel throttles
+  after ~3 GB of upload);
+* slope method: time k=2 vs k=N back-to-back dispatches, median of 5
+  interleaved trials, host materialization (np.asarray of a scalar) as
+  the only reliable barrier;
+* every jit variant is a fresh ~40-60 s compile through the tunnel.
+
+Usage:
+    python tools/pallas_conv_tpu_probe.py [--start 8] [--pb 32] [--bf16]
+    python tools/pallas_conv_tpu_probe.py --seconds 960 --trials 5
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graph_cost_probe import slope_time  # noqa: E402  (shared discipline)
+
+N_INPUTS = 8  # distinct on-device batches — identical (fn, buffer) dispatches
+              # get deduped somewhere in the tunneled runtime (measured 0.00).
+              # A monotonic scalar folded into each graph makes every dispatch
+              # unique even across trials (a repeated pair re-measures 0.00).
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--start', type=int, default=8,
+                    help='first fused layer (sep layers only; >=2)')
+    ap.add_argument('--pb', type=int, default=32,
+                    help='patches per kernel block (32 keeps the late-layer '
+                         'dots >=128 MXU rows: 32*6=192)')
+    ap.add_argument('--seconds', type=float, default=960.0)
+    ap.add_argument('--bf16', action='store_true')
+    ap.add_argument('--trials', type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from buzzdetect_tpu.models import yamnet as yam
+    from buzzdetect_tpu.ops.pallas_conv import fused_tail
+
+    dev = jax.devices()[0]
+    print(f'backend: {dev.platform} ({dev.device_kind})', flush=True)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    params = jax.device_put(yam.fold_batchnorm(yam.init_raw_params(seed=7)))
+    b = int(args.seconds / 0.96)
+    batches = [jax.random.normal(jax.random.PRNGKey(i), (b, 96, 64),
+                                 jnp.float32) for i in range(N_INPUTS)]
+    patches = batches[0]
+
+    head_shapes = [s for s in yam._conv_shapes()
+                   if int(s[0].split('/')[0][len('layer'):]) < args.start]
+
+    def head(x):
+        x = x.astype(dtype)[..., None]
+        for key, kind, stride, _shape in head_shapes:
+            kernel = params[f'{key}/kernel'].astype(dtype)
+            bias = params[f'{key}/bias'].astype(jnp.float32)
+            x = yam._conv2d(x, kernel, stride,
+                            depthwise=(kind == 'depthwise'))
+            x = jax.nn.relu(x.astype(jnp.float32) + bias).astype(dtype)
+        return x
+
+    # every fn takes a perturbation scalar: folding a monotonic i into the
+    # input makes each dispatch unique so the tunnel can't dedup it (the
+    # 1e-6*i offset is numerically irrelevant for timing)
+    @jax.jit
+    def base(x, i):
+        return yam.embed(params, x + i * 1e-6, compute_dtype=dtype)
+
+    @jax.jit
+    def hybrid(x, i):
+        return fused_tail(params, head(x + i * 1e-6).astype(jnp.float32),
+                          start_layer=args.start, block_patches=args.pb,
+                          compute_dtype=dtype)
+
+    @jax.jit
+    def head_only(x, i):
+        # scalar output: a (B,6,4,512) download through the throttled link
+        # would swamp the slope's constant term
+        return jnp.sum(head(x + i * 1e-6).astype(jnp.float32))
+
+    label = 'bf16' if args.bf16 else 'f32'
+    print(f'compiling 3 variants (start={args.start}, pb={args.pb}, '
+          f'{label}, b={b})...', flush=True)
+    t0 = time.perf_counter()
+    zero = jnp.float32(0)
+    got = np.asarray(hybrid(patches, zero))
+    ref = np.asarray(base(patches, zero))
+    print(f'  compiled + first run in {time.perf_counter() - t0:.0f} s')
+
+    diff = float(np.abs(got - ref).max())
+    denom = float(np.abs(ref).max())
+    print(f'on-chip parity: max |hybrid-base| = {diff:.3e} '
+          f'(rel {diff / max(denom, 1e-30):.3e})')
+
+    import itertools
+    ticket = itertools.count(1)
+
+    def med(fn):
+        def call(x):
+            return fn(x, jnp.float32(next(ticket)))
+        lo, mid, hi = slope_time(call, batches, n_long=N_INPUTS,
+                                 trials=args.trials)
+        spread = hi / max(lo, 1e-9)
+        return mid, spread
+
+    t_base, s_base = med(base)
+    t_hyb, s_hyb = med(hybrid)
+    t_head, s_head = med(head_only)
+    tail_base = t_base - t_head
+    tail_fused = t_hyb - t_head
+    print(f'\nembed {label}, {b} patches ({args.seconds:.0f} s audio), '
+          f'median slopes (distrust spreads > 2x):')
+    print(f'  base (all XLA)        : {t_base * 1e3:8.2f} ms  '
+          f'(spread {s_base:.1f}x)')
+    print(f'  hybrid (fused tail)   : {t_hyb * 1e3:8.2f} ms  '
+          f'(spread {s_hyb:.1f}x)   {t_base / max(t_hyb, 1e-9):5.2f}x '
+          f'end-to-end')
+    print(f'  head 1..{args.start - 1} (shared)   : {t_head * 1e3:8.2f} ms  '
+          f'(spread {s_head:.1f}x)')
+    print(f'  tail {args.start}..14 XLA        : {tail_base * 1e3:8.2f} ms')
+    print(f'  tail {args.start}..14 pallas     : {tail_fused * 1e3:8.2f} ms   '
+          f'{tail_base / max(tail_fused, 1e-9):5.2f}x tail-only')
+
+
+if __name__ == '__main__':
+    main()
