@@ -71,12 +71,14 @@ def main(modelname: str = None):
         model = load_model(modelname, initialize=True)
         out = model.predict(np.zeros(16000, np.float32))
         clf = getattr(model, 'classifier', None)
-        # report which log-mel frontend actually ran ('auto' currently
-        # resolves to 'xla' on every backend — the hop-banked XLA frontend
-        # out-measures the fused pallas kernel on real v5e hardware; see
-        # models/classifier.py for the per-backend resolution rationale)
-        frontend = f', frontend={clf.frontend}' if clf is not None else ''
-        return f'1 s inference -> {out.shape} scores{frontend}'
+        # report which implementations actually ran: frontend 'auto'
+        # resolves to 'xla' on every backend (the hop-banked XLA frontend
+        # out-measures the fused pallas DSP kernel on real v5e hardware);
+        # conv 'auto' resolves to the fused Pallas tail on TPU and 'xla'
+        # elsewhere — see models/classifier.py for the resolution rules
+        knobs = (f', frontend={clf.frontend}, conv={clf.conv}'
+                 if clf is not None else '')
+        return f'1 s inference -> {out.shape} scores{knobs}'
     ok &= _check('end-to-end inference', check_inference)
 
     def check_threshold():

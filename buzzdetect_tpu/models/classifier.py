@@ -134,11 +134,12 @@ def _resample_in_graph(wav, cfg, resample_from, resample_to, valid_len):
 
 
 @partial(jax.jit,
-         static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend',
+         static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend', 'conv',
                           'resample_from', 'resample_to'))
 def _classify_padded(params, waveform, cfg: FrontendConfig,
                      compute_dtype=jnp.float32, mesh=None, frontend='xla',
-                     resample_from=None, resample_to=None, valid_len=None):
+                     conv='xla', resample_from=None, resample_to=None,
+                     valid_len=None):
     """Already-padded 1-D waveform -> (n_patches, n_classes) activations.
 
     With ``resample_from``, the waveform arrives at its native rate and is
@@ -158,15 +159,15 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
     if mesh is not None:
         patches = _shard_patches(patches, mesh)
     embeddings = yamnet_lib.embed(params['yamnet'], patches,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype, conv=conv)
     return apply_head(params['head'], embeddings)
 
 
 @partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend',
-                                   'resample_from', 'resample_to'))
+                                   'conv', 'resample_from', 'resample_to'))
 def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
                            compute_dtype=jnp.float32, mesh=None,
-                           frontend='xla', resample_from=None,
+                           frontend='xla', conv='xla', resample_from=None,
                            resample_to=None, valid_len=None):
     """(B, L) padded waveforms -> (B, n_patches, n_classes).
 
@@ -184,17 +185,17 @@ def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
     if mesh is not None:
         flat = _shard_patches(flat, mesh)
     embeddings = yamnet_lib.embed(params['yamnet'], flat,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype, conv=conv)
     scores = apply_head(params['head'], embeddings)
     return scores.reshape(b, p, -1)
 
 
-@partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
+@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'conv'))
 def _embed_padded(params, waveform, cfg: FrontendConfig,
-                  compute_dtype=jnp.float32):
+                  compute_dtype=jnp.float32, conv='xla'):
     patches = log_mel_patches(_to_float(waveform), cfg)
     return yamnet_lib.embed(params['yamnet'], patches,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, conv=conv)
 
 
 class ChunkClassifier:
@@ -211,7 +212,8 @@ class ChunkClassifier:
 
     def __init__(self, arrays: dict, framehop_prop: float = 1.0,
                  compute_dtype=jnp.float32, device=None, sharding=None,
-                 mesh=None, transfer_dtype='float32', frontend='auto'):
+                 mesh=None, transfer_dtype='float32', frontend='auto',
+                 conv='auto'):
         self.cfg = FrontendConfig().with_framehop(framehop_prop)
         self.compute_dtype = compute_dtype
         if frontend not in ('auto', 'xla', 'pallas'):
@@ -230,6 +232,27 @@ class ChunkClassifier:
         if self._frontend_auto:
             frontend = 'xla'
         self.frontend = frontend
+        if conv not in ('auto', 'xla', 'pallas'):
+            raise ValueError("conv must be 'auto', 'xla' or 'pallas'")
+        # conv stack implementation. 'pallas' fuses MobileNet layers 8-14 +
+        # pooling into one VMEM-resident kernel (ops/pallas_conv.py) —
+        # measured 1.45x on the whole embed at 7e-08 parity on a v5e, so
+        # 'auto' resolves to it on TPU. It stays 'xla' under a mesh or an
+        # input sharding: GSPMD cannot partition a pallas_call along the
+        # patch axis it blocks over. Explicit 'pallas' + mesh/sharding
+        # fails loudly rather than silently substituting; on non-TPU
+        # backends explicit 'pallas' requires interpret mode (tests wrap in
+        # pltpu.force_tpu_interpret_mode()).
+        self._conv_auto = conv == 'auto'
+        if self._conv_auto:
+            on_tpu = any(d.platform == 'tpu' for d in jax.devices())
+            conv = ('pallas' if on_tpu and mesh is None and sharding is None
+                    else 'xla')
+        elif conv == 'pallas' and (mesh is not None or sharding is not None):
+            raise ValueError(
+                "conv='pallas' does not compose with mesh/sharding "
+                "(GSPMD cannot partition the fused kernel); use conv='xla'")
+        self.conv = conv
         # 'mulaw' rides int8 on the wire; linear int8 is deliberately not
         # offered (mu-law strictly dominates it for audio at the same size)
         self.transfer_name = str(transfer_dtype)
@@ -336,7 +359,7 @@ class ChunkClassifier:
         explicit frontend choice fails loudly — no silent substitution."""
         return _classify_padded(self._device_params(), wav_device,
                                 self.cfg, self.compute_dtype, self.mesh,
-                                self.frontend, *resample_args)
+                                self.frontend, self.conv, *resample_args)
 
     # --- public API ------------------------------------------------------------
     def predict(self, samples: np.ndarray,
@@ -397,7 +420,7 @@ class ChunkClassifier:
             valid = jnp.asarray(n_models, jnp.int32)[:, None]  # (B, 1)
             out = _classify_padded_batch(self._device_params(), batch,
                                          self.cfg, self.compute_dtype,
-                                         self.mesh, self.frontend,
+                                         self.mesh, self.frontend, self.conv,
                                          int(input_rate), int(t_model), valid)
             return out, n_valids
         n_valids = [num_patches(len(a), self.cfg) for a in arrs]
@@ -406,7 +429,7 @@ class ChunkClassifier:
         batch = jax.device_put(batch, self._placement)
         out = _classify_padded_batch(self._device_params(), batch, self.cfg,
                                      self.compute_dtype, self.mesh,
-                                     self.frontend)
+                                     self.frontend, self.conv)
         return out, n_valids
 
     def classify_resident(self, wav_device):
@@ -423,7 +446,7 @@ class ChunkClassifier:
         n_valid = num_patches(len(samples), self.cfg)
         wav = self._pad_to(samples, self._target_length(len(samples)))
         out = _embed_padded(self._device_params(), wav, self.cfg,
-                            self.compute_dtype)
+                            self.compute_dtype, self.conv)
         return np.asarray(out)[:n_valid]
 
     def warmup(self, chunk_samples: int):

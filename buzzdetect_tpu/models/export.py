@@ -16,8 +16,13 @@ import numpy as np
 def export_classifier(modelname: str, chunk_seconds: float,
                       framehop_prop: float = 1.0,
                       platforms=('cpu', 'tpu'),
-                      transfer_dtype: str = 'int16'):
+                      transfer_dtype: str = 'int16',
+                      conv: str = 'xla'):
     """Build and export the waveform->scores graph for a fixed chunk shape.
+
+    ``conv='pallas'`` bakes the fused conv-tail kernel into the artifact
+    (measured 1.31x on the embed, docs/tuning.md) — TPU-only: a Mosaic
+    custom call cannot load on CPU, so it requires platforms=('tpu',).
 
     Returns (serialized_bytes, meta_dict).
     """
@@ -35,11 +40,17 @@ def export_classifier(modelname: str, chunk_seconds: float,
     n_samples = int(chunk_seconds * 16000)
     target = padded_length(n_samples, cfg)
 
+    if conv not in ('xla', 'pallas'):
+        raise ValueError("conv must be 'xla' or 'pallas'")
+    if conv == 'pallas' and set(platforms) != {'tpu'}:
+        raise ValueError("conv='pallas' exports are TPU-only; pass "
+                         "platforms=('tpu',)")
+
     params = clf.params  # baked in as constants
     from buzzdetect_tpu.models.classifier import _classify_padded
 
     def forward(waveform):
-        return _classify_padded(params, waveform, cfg)
+        return _classify_padded(params, waveform, cfg, conv=conv)
 
     dtype = {'int16': jnp.int16, 'mulaw': jnp.int8}.get(
         transfer_dtype, jnp.float32)
@@ -60,6 +71,7 @@ def export_classifier(modelname: str, chunk_seconds: float,
         'framehop_s': cfg.patch_hop_seconds,
         'n_patches': num_patches(n_samples, cfg),
         'platforms': list(platforms),
+        'conv': conv,
         'samplerate': 16000,
     }
     return exported.serialize(), meta

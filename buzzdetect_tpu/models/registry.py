@@ -140,7 +140,7 @@ class BundleModel(BaseModel):
 
     def __init__(self, dir_model: str, framehop_prop: float = 1.0,
                  compute_dtype=None, sharding=None, mesh=None,
-                 transfer_dtype=None, frontend=None, device=None):
+                 transfer_dtype=None, frontend=None, conv=None, device=None):
         self.dir_model = dir_model
         self.framehop_prop = framehop_prop
         self.modelname = os.path.basename(dir_model.rstrip('/'))
@@ -168,6 +168,10 @@ class BundleModel(BaseModel):
         # chunk f32; the original gather formulation took 343 ms) — see
         # ChunkClassifier.__init__ for the measurements.
         self._frontend = frontend or self.config.get('frontend') or 'auto'
+        # conv stack implementation: 'auto' (default; fused Pallas tail on
+        # TPU, XLA elsewhere — ChunkClassifier.__init__ has the measurements
+        # and composition rules), 'xla', or 'pallas'
+        self._conv = conv or self.config.get('conv') or 'auto'
         self.classifier = None
         # one model instance is shared by every inferer thread; initialize()
         # must build the classifier exactly once
@@ -195,7 +199,8 @@ class BundleModel(BaseModel):
                 arrays, framehop_prop=self.framehop_prop,
                 compute_dtype=dtype, sharding=self._sharding,
                 mesh=self._mesh, transfer_dtype=self._transfer_dtype,
-                frontend=self._frontend, device=self._device)
+                frontend=self._frontend, conv=self._conv,
+                device=self._device)
             self.embedder._classifier = classifier
             self.classifier = classifier
 
@@ -251,7 +256,8 @@ def load_embedder(embeddername: str, framehop_prop: float = 1.0) -> BaseEmbedder
 def load_model(modelname: str, framehop_prop: float = 1.0,
                initialize: bool = False, compute_dtype=None,
                sharding=None, mesh=None,
-               transfer_dtype=None, frontend=None, device=None) -> BaseModel:
+               transfer_dtype=None, frontend=None, conv=None,
+               device=None) -> BaseModel:
     """Resolve a model by directory name.
 
     ``models/<name>/model.npz`` -> built-in BundleModel (fused XLA graph);
@@ -267,7 +273,7 @@ def load_model(modelname: str, framehop_prop: float = 1.0,
         model = BundleModel(dir_model, framehop_prop,
                             compute_dtype=compute_dtype, sharding=sharding,
                             mesh=mesh, transfer_dtype=transfer_dtype,
-                            frontend=frontend, device=device)
+                            frontend=frontend, conv=conv, device=device)
     elif os.path.exists(os.path.join(dir_model, 'model.py')):
         klass = _import_plugin(os.path.join(dir_model, 'model.py'), BaseModel)
         model = klass(dir_model, framehop_prop)

@@ -125,22 +125,45 @@ def _conv2d(x, kernel, stride, *, depthwise=False):
     )
 
 
+# first layer of the fused Pallas tail when conv='pallas': layers 8-14 are
+# where XLA runs 4.5-5.4x off the roofline floor (sublane-starved (3,2) and
+# (6,4) spatial tiles + per-layer HBM round trips); layers 1-7 measure at
+# the HBM wall already, so fusing them buys nothing (tools/roofline.py)
+PALLAS_TAIL_START = 8
+PALLAS_TAIL_BLOCK = 32  # patches per kernel block: 32*6 >= 128 MXU rows
+                        # even at the 3x2-spatial layers
+
+
 def embed(params: dict, patches: jnp.ndarray,
-          compute_dtype=jnp.float32) -> jnp.ndarray:
+          compute_dtype=jnp.float32, conv: str = 'xla') -> jnp.ndarray:
     """Log-mel patches -> embeddings.
 
     ``patches``: (B, 96, 64) or (B, 96, 64, 1) float32.
     Returns (B, 1024) float32 embeddings (pre-head, post-GAP).
+
+    ``conv='pallas'`` runs layers 8-14 + pooling as one fused Pallas kernel
+    (ops/pallas_conv.py; TPU or interpret mode only) — measured 1.45x on the
+    whole embed at 7e-08 parity on a v5e. 'xla' is the portable path.
     """
     x = patches.astype(compute_dtype)
     if x.ndim == 3:
         x = x[..., None]
 
+    stop = PALLAS_TAIL_START if conv == 'pallas' else len(LAYER_DEFS) + 1
     for key, kind, stride, _shape in _conv_shapes():
+        if int(key.split('/')[0][len('layer'):]) >= stop:
+            break
         kernel = params[f'{key}/kernel'].astype(compute_dtype)
         bias = params[f'{key}/bias'].astype(jnp.float32)
         x = _conv2d(x, kernel, stride, depthwise=(kind == 'depthwise'))
         x = jax.nn.relu(x.astype(jnp.float32) + bias).astype(compute_dtype)
+
+    if conv == 'pallas':
+        # lazy import: ops.pallas_conv imports LAYER_DEFS from this module
+        from buzzdetect_tpu.ops.pallas_conv import fused_tail
+        return fused_tail(params, x, start_layer=PALLAS_TAIL_START,
+                          block_patches=PALLAS_TAIL_BLOCK,
+                          compute_dtype=compute_dtype)
 
     # global average pool over the spatial axes -> (B, 1024)
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
@@ -174,6 +197,6 @@ def embed_train(raw_params: dict, patches: jnp.ndarray, *,
     return jnp.mean(x, axis=(1, 2)), new_params
 
 
-@partial(jax.jit, static_argnames=('compute_dtype',))
-def embed_jit(params, patches, compute_dtype=jnp.float32):
-    return embed(params, patches, compute_dtype)
+@partial(jax.jit, static_argnames=('compute_dtype', 'conv'))
+def embed_jit(params, patches, compute_dtype=jnp.float32, conv='xla'):
+    return embed(params, patches, compute_dtype, conv)

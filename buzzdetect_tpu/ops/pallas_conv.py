@@ -104,13 +104,15 @@ def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
     """
     ops = []
     for s in specs:
-        dw = np.asarray(params[f'{s.name}/depthwise_conv/kernel'])
-        pw = np.asarray(params[f'{s.name}/pointwise_conv/kernel'])
+        # jnp ops throughout: params may be tracers (this runs inside the
+        # classifier's jitted graph)
+        dw = jnp.asarray(params[f'{s.name}/depthwise_conv/kernel'])
+        pw = jnp.asarray(params[f'{s.name}/pointwise_conv/kernel'])
         ops += [
-            jnp.asarray(dw.reshape(9, 1, s.c_in), compute_dtype),
+            dw.reshape(9, 1, s.c_in).astype(compute_dtype),
             jnp.asarray(params[f'{s.name}/depthwise_conv/bias'],
                         jnp.float32).reshape(1, s.c_in),
-            jnp.asarray(pw.reshape(s.c_in, s.c_out), compute_dtype),
+            pw.reshape(s.c_in, s.c_out).astype(compute_dtype),
             jnp.asarray(params[f'{s.name}/pointwise_conv/bias'],
                         jnp.float32).reshape(1, s.c_out),
         ]

@@ -84,3 +84,54 @@ def test_fused_tail_whole_model_parity():
         got = np.asarray(fused_tail(params, x, start_layer=8,
                                     block_patches=4, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def _bundle_arrays(seed=6, n_classes=3):
+    from buzzdetect_tpu.models.heads import init_head
+    folded = yam.fold_batchnorm(yam.init_raw_params(seed=seed))
+    arrays = {f'yamnet/{k}': v for k, v in folded.items()}
+    arrays.update(init_head(1024, n_classes, seed=seed))
+    return arrays
+
+
+def test_classifier_conv_pallas_matches_xla():
+    """ChunkClassifier(conv='pallas') scores match conv='xla' on the single,
+    batch, and embed paths (interpreter mode on CPU)."""
+    from buzzdetect_tpu.models.classifier import ChunkClassifier
+    arrays = _bundle_arrays()
+    wav = (RNG.standard_normal(int(3.0 * 16000)) * 0.1).astype(np.float32)
+    wav2 = (RNG.standard_normal(int(3.0 * 16000)) * 0.1).astype(np.float32)
+
+    ref_cls = ChunkClassifier(arrays, framehop_prop=1.0, conv='xla')
+    pl_cls = ChunkClassifier(arrays, framehop_prop=1.0, conv='pallas')
+    assert pl_cls.conv == 'pallas'
+
+    with pltpu.force_tpu_interpret_mode():
+        np.testing.assert_allclose(pl_cls.predict(wav), ref_cls.predict(wav),
+                                   atol=1e-4)
+        got_b, nv = pl_cls.predict_async_batch([wav, wav2])
+        ref_b, _ = ref_cls.predict_async_batch([wav, wav2])
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                                   atol=1e-4)
+        np.testing.assert_allclose(pl_cls.embed(wav), ref_cls.embed(wav),
+                                   atol=1e-4)
+
+
+def test_classifier_conv_validation():
+    """'auto' resolves to 'xla' off-TPU; explicit 'pallas' + mesh/sharding
+    fails loudly (GSPMD cannot partition the fused kernel); bad names
+    rejected."""
+    from buzzdetect_tpu.models.classifier import ChunkClassifier
+    from buzzdetect_tpu.parallel.mesh import make_mesh
+    arrays = _bundle_arrays()
+
+    assert ChunkClassifier(arrays).conv == 'xla'  # CPU backend under tests
+
+    with pytest.raises(ValueError, match='conv must be'):
+        ChunkClassifier(arrays, conv='fused')
+
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match='mesh'):
+        ChunkClassifier(arrays, conv='pallas', mesh=mesh)
+    # auto + mesh quietly stays on the portable path
+    assert ChunkClassifier(arrays, mesh=mesh).conv == 'xla'

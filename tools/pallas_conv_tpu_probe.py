@@ -76,32 +76,40 @@ def main():
             x = jax.nn.relu(x.astype(jnp.float32) + bias).astype(dtype)
         return x
 
-    # every fn takes a perturbation scalar: folding a monotonic i into the
-    # input makes each dispatch unique so the tunnel can't dedup it (the
-    # 1e-6*i offset is numerically irrelevant for timing)
-    @jax.jit
-    def base(x, i):
-        return yam.embed(params, x + i * 1e-6, compute_dtype=dtype)
+    # Timing fns take a perturbation scalar (a monotonic i folded into the
+    # input makes each dispatch unique so the tunnel can't dedup it) and
+    # reduce to a SCALAR output: downloading a (B,1024) result through the
+    # throttled link costs a variable 0.1-0.3 s, 5x the slope signal —
+    # measured spreads of 10^7 with full outputs vs 1.3x with scalars.
+    def base_embed(x):
+        return yam.embed(params, x, compute_dtype=dtype)
 
-    @jax.jit
-    def hybrid(x, i):
-        return fused_tail(params, head(x + i * 1e-6).astype(jnp.float32),
+    def hybrid_embed(x):
+        return fused_tail(params, head(x).astype(jnp.float32),
                           start_layer=args.start, block_patches=args.pb,
                           compute_dtype=dtype)
 
+    base_full = jax.jit(base_embed)        # parity only (one run each)
+    hybrid_full = jax.jit(hybrid_embed)
+
+    @jax.jit
+    def base(x, i):
+        return jnp.sum(base_embed(x + i * 1e-6))
+
+    @jax.jit
+    def hybrid(x, i):
+        return jnp.sum(hybrid_embed(x + i * 1e-6))
+
     @jax.jit
     def head_only(x, i):
-        # scalar output: a (B,6,4,512) download through the throttled link
-        # would swamp the slope's constant term
         return jnp.sum(head(x + i * 1e-6).astype(jnp.float32))
 
     label = 'bf16' if args.bf16 else 'f32'
     print(f'compiling 3 variants (start={args.start}, pb={args.pb}, '
           f'{label}, b={b})...', flush=True)
     t0 = time.perf_counter()
-    zero = jnp.float32(0)
-    got = np.asarray(hybrid(patches, zero))
-    ref = np.asarray(base(patches, zero))
+    got = np.asarray(hybrid_full(patches))
+    ref = np.asarray(base_full(patches))
     print(f'  compiled + first run in {time.perf_counter() - t0:.0f} s')
 
     diff = float(np.abs(got - ref).max())
