@@ -138,12 +138,19 @@ def _subsample_rows(x, spec: SepSpec, pb: int):
 
 
 def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
-    """refs = [x_ref, (dw, dw_b, pw, pw_b) * len(specs), out_ref]."""
+    """refs = [x_ref, (dw, dw_b, pw, pw_b) * len(specs), out_ref].
+
+    Activations stay float32 on the VPU side regardless of compute_dtype:
+    Mosaic's dynamic_rotate only handles 32-bit vectors ("Rotate with
+    non-32-bit data" compile error on bf16), and the depthwise taps
+    accumulate in f32 anyway. compute_dtype only selects the MXU dot
+    operands' dtype/precision — where the bf16 throughput lives.
+    """
     x_ref, out_ref = refs[0], refs[-1]
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-    x = x_ref[:].astype(compute_dtype)
+    x = x_ref[:].astype(jnp.float32)
 
     for li, spec in enumerate(specs):
         dw_ref, dwb_ref, pw_ref, pwb_ref = refs[1 + 4 * li: 5 + 4 * li]
@@ -168,16 +175,14 @@ def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
                 valid, shifted, 0).astype(jnp.float32) * tap
         if spec.stride > 1:
             acc = _subsample_rows(acc, spec, pb)
-        y = jax.nn.relu(acc + dwb_ref[:]).astype(compute_dtype)
+        y = jax.nn.relu(acc + dwb_ref[:])
 
         hwo = spec.h_out * spec.w_out
-        flat = y.reshape(pb * hwo, spec.c_in)
+        flat = y.reshape(pb * hwo, spec.c_in).astype(compute_dtype)
         z = jax.lax.dot_general(
             flat, pw_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        z = jax.nn.relu(z.reshape(pb, hwo, spec.c_out)
-                        + pwb_ref[:]).astype(compute_dtype)
-        x = z
+        x = jax.nn.relu(z.reshape(pb, hwo, spec.c_out) + pwb_ref[:])
 
     if gap:
         out_ref[:] = jnp.mean(x.astype(jnp.float32), axis=1)

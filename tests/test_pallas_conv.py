@@ -51,6 +51,23 @@ def test_fused_tail_matches_xla(start_layer):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
 
 
+def test_fused_tail_bf16_compiles_and_tracks_f32():
+    """bf16 compute: the kernel keeps VPU activations f32 (Mosaic cannot
+    rotate non-32-bit vectors) and runs only the MXU dots in bf16, so its
+    output tracks the f32 reference within bf16 rounding."""
+    import jax.numpy as jnp
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    x = tail_input(4, 13)
+    ref = np.asarray(xla_tail(params, jnp.asarray(x), 13))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_tail(params, jnp.asarray(x), start_layer=13,
+                                    block_patches=4,
+                                    compute_dtype=jnp.bfloat16,
+                                    interpret=True))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, ref, atol=0.02)
+
+
 def test_fused_tail_no_gap_and_padding():
     """gap=False returns the last layer's activations; B not divisible by
     block_patches still yields exactly B rows."""
