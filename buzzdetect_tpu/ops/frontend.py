@@ -263,9 +263,20 @@ def log_mel_spectrogram(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarr
 def patches_from_log_mel(log_mel: jnp.ndarray,
                          cfg: FrontendConfig) -> jnp.ndarray:
     """(..., n_stft_frames, mel_bands) -> (..., n_patches, patch_frames,
-    mel_bands): overlapping patch framing, drop-remainder."""
+    mel_bands): overlapping patch framing, drop-remainder.
+
+    At framehop 1.0 (hop == window, the analysis default) patches tile the
+    spectrogram without overlap, so framing is a trim + reshape. Measured
+    performance-neutral on v5e (XLA already lowers the contiguous gather
+    well); kept because the reshape states the intent directly instead of
+    relying on the compiler recognizing a 25 MB/chunk gather as a copy."""
     idx = _frame_indices(log_mel.shape[-2], cfg.patch_frames,
                          cfg.patch_hop_frames)
+    if cfg.patch_hop_frames == cfg.patch_frames:
+        n_p, pf = idx.shape[0], cfg.patch_frames
+        lead = log_mel.shape[:-2]
+        trimmed = log_mel[..., :n_p * pf, :]
+        return trimmed.reshape(*lead, n_p, pf, log_mel.shape[-1])
     return log_mel[..., idx, :]
 
 

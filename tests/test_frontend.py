@@ -227,3 +227,24 @@ def test_num_patches_parity_preserved_for_dense_framehops():
             frames = 1 + (padded_length(n, c)
                           - c.window_samples) // c.hop_samples
             assert 1 + (frames - c.patch_frames) // c.patch_hop_frames == want
+
+
+def test_framehop_one_reshape_framing_matches_gather():
+    """At framehop 1.0 patch framing takes a trim+reshape fast path; it must
+    emit exactly what the general gather formulation emits."""
+    from buzzdetect_tpu.ops.frontend import (FrontendConfig,
+                                             patches_from_log_mel,
+                                             _frame_indices)
+    import numpy as np
+
+    cfg = FrontendConfig().with_framehop(1.0)
+    rng = np.random.default_rng(17)
+    for n_frames in (96, 96 * 3, 96 * 3 + 41):  # exact tiles + a remainder
+        log_mel = rng.standard_normal((n_frames, 64)).astype(np.float32)
+        got = np.asarray(patches_from_log_mel(log_mel, cfg))
+        idx = _frame_indices(n_frames, cfg.patch_frames,
+                             cfg.patch_hop_frames)
+        np.testing.assert_array_equal(got, log_mel[idx])
+        # batched leading dim takes the same path
+        got_b = np.asarray(patches_from_log_mel(log_mel[None], cfg))
+        np.testing.assert_array_equal(got_b[0], got)
