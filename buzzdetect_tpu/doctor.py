@@ -74,8 +74,9 @@ def main(modelname: str = None):
         # report which implementations actually ran: frontend 'auto'
         # resolves to 'xla' on every backend (the hop-banked XLA frontend
         # out-measures the fused pallas DSP kernel on real v5e hardware);
-        # conv 'auto' resolves to the fused Pallas tail on TPU and 'xla'
-        # elsewhere — see models/classifier.py for the resolution rules
+        # conv 'auto' resolves to the fused Pallas conv blocks (layers 4-7
+        # and 8-14+pool) on TPU and 'xla' elsewhere — see
+        # models/classifier.py for the resolution rules
         knobs = (f', frontend={clf.frontend}, conv={clf.conv}'
                  if clf is not None else '')
         return f'1 s inference -> {out.shape} scores{knobs}'

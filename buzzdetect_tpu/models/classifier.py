@@ -198,6 +198,20 @@ def _embed_padded(params, waveform, cfg: FrontendConfig,
                             compute_dtype=compute_dtype, conv=conv)
 
 
+def resolve_conv_auto(on_tpu, compute_dtype, mesh=None, sharding=None):
+    """conv='auto' resolution rule (kept pure so tests can pin it).
+
+    The fused Pallas conv blocks win only where their premise holds: TPU
+    backend, f32 compute (in bf16 the kernels' f32 VPU depthwise work
+    dominates — measured embed 1.95 ms all-XLA vs 3.27 ms fused on v5e),
+    and no GSPMD partitioning (a pallas_call can't be sharded along the
+    patch axis it blocks over).
+    """
+    f32 = jnp.dtype(compute_dtype) == jnp.float32
+    return ('pallas' if on_tpu and f32 and mesh is None and sharding is None
+            else 'xla')
+
+
 class ChunkClassifier:
     """Callable classifier over variable-length chunks with compile caching.
 
@@ -234,20 +248,24 @@ class ChunkClassifier:
         self.frontend = frontend
         if conv not in ('auto', 'xla', 'pallas'):
             raise ValueError("conv must be 'auto', 'xla' or 'pallas'")
-        # conv stack implementation. 'pallas' fuses MobileNet layers 8-14 +
-        # pooling into one VMEM-resident kernel (ops/pallas_conv.py) —
-        # measured 1.45x on the whole embed at 7e-08 parity on a v5e, so
-        # 'auto' resolves to it on TPU. It stays 'xla' under a mesh or an
+        # conv stack implementation. 'pallas' fuses MobileNet layers 4-7
+        # and 8-14+pooling into two VMEM-resident kernels
+        # (ops/pallas_conv.py, yamnet.PALLAS_BLOCKS) — measured 1.37x on
+        # the whole embed at f32-rounding parity on a v5e, so 'auto'
+        # resolves to it on TPU. It stays 'xla' under a mesh or an
         # input sharding: GSPMD cannot partition a pallas_call along the
         # patch axis it blocks over. Explicit 'pallas' + mesh/sharding
         # fails loudly rather than silently substituting; on non-TPU
         # backends explicit 'pallas' requires interpret mode (tests wrap in
-        # pltpu.force_tpu_interpret_mode()).
+        # pltpu.force_tpu_interpret_mode()). Under bfloat16 compute 'auto'
+        # stays 'xla': the fused kernels' depthwise taps are f32 VPU work
+        # (Mosaic can't rotate 16-bit vectors), which dominates once XLA's
+        # matmuls drop from 6-pass HIGHEST to 1-pass bf16 — measured embed
+        # 1.95 ms all-XLA vs 2.84/3.27 ms fused on v5e (tuning.md).
         self._conv_auto = conv == 'auto'
         if self._conv_auto:
             on_tpu = any(d.platform == 'tpu' for d in jax.devices())
-            conv = ('pallas' if on_tpu and mesh is None and sharding is None
-                    else 'xla')
+            conv = resolve_conv_auto(on_tpu, compute_dtype, mesh, sharding)
         elif conv == 'pallas' and (mesh is not None or sharding is not None):
             raise ValueError(
                 "conv='pallas' does not compose with mesh/sharding "

@@ -125,13 +125,38 @@ def _conv2d(x, kernel, stride, *, depthwise=False):
     )
 
 
-# first layer of the fused Pallas tail when conv='pallas': layers 8-14 are
-# where XLA runs 4.5-5.4x off the roofline floor (sublane-starved (3,2) and
-# (6,4) spatial tiles + per-layer HBM round trips); layers 1-7 measure at
-# the HBM wall already, so fusing them buys nothing (tools/roofline.py)
-PALLAS_TAIL_START = 8
-PALLAS_TAIL_BLOCK = 32  # patches per kernel block: 32*6 >= 128 MXU rows
-                        # even at the 3x2-spatial layers
+# fused Pallas blocks when conv='pallas': (start_layer, stop_layer, patches
+# per kernel block). Layers 8-14 are where XLA runs 4.5-5.4x off the
+# roofline floor (sublane-starved (3,2) and (6,4) spatial tiles + per-layer
+# HBM round trips); layers 4-7 sit at the *unfused* HBM wall, which a
+# VMEM-resident block lowers by deleting the inter-layer round trips.
+# Two blocks instead of one because VMEM is ~16 MB: the 8..14 block already
+# holds ~10 MB of f32 weights, and the 4..7 block's activations are 4x
+# larger per patch (pb=16 there is a measured Mosaic scoped-vmem OOM at
+# 20.9 MB). Block sizes keep every pointwise dot >= 128 MXU rows (32*6=192
+# at the 3x2-spatial layers; 8*96=768 at layer 5). Measured on v5e f32,
+# 1000-patch chunks, interleaved slopes (tools/pallas_conv_tpu_probe.py
+# --variants): embed 12.84 ms all-XLA, 9.87 ms tail-only, 9.35 ms with
+# both blocks (1.37x). Layers 1-3 stay XLA: C<=64 pads to <1/2 lane
+# occupancy in VMEM, and the 9-tap VPU cost on padded lanes would exceed
+# the HBM traffic the fusion saves.
+PALLAS_BLOCKS = ((4, 8, 8), (8, None, 32))
+PALLAS_TAIL_START = PALLAS_BLOCKS[0][0]  # first non-XLA layer
+
+
+def _pallas_embed(params, x, compute_dtype, blocks):
+    """Run the fused-block sequence; x enters blocks[0][0] in NHWC."""
+    # lazy import: ops.pallas_conv imports LAYER_DEFS from this module
+    from buzzdetect_tpu.ops.pallas_conv import fused_tail, tail_specs
+    for bi, (start, stop, pb) in enumerate(blocks):
+        last = bi == len(blocks) - 1
+        x = fused_tail(params, x, start_layer=start, stop_layer=stop,
+                       block_patches=pb, compute_dtype=compute_dtype,
+                       gap=last)
+        if not last:
+            s = tail_specs(start, stop)[-1]
+            x = x.reshape(x.shape[0], s.h_out, s.w_out, s.c_out)
+    return x
 
 
 def embed(params: dict, patches: jnp.ndarray,
@@ -141,15 +166,16 @@ def embed(params: dict, patches: jnp.ndarray,
     ``patches``: (B, 96, 64) or (B, 96, 64, 1) float32.
     Returns (B, 1024) float32 embeddings (pre-head, post-GAP).
 
-    ``conv='pallas'`` runs layers 8-14 + pooling as one fused Pallas kernel
-    (ops/pallas_conv.py; TPU or interpret mode only) — measured 1.45x on the
-    whole embed at 7e-08 parity on a v5e. 'xla' is the portable path.
+    ``conv='pallas'`` runs layers 4-7 and 8-14+pooling as two fused Pallas
+    kernels (ops/pallas_conv.py, PALLAS_BLOCKS; TPU or interpret mode only)
+    — measured 1.37x on the whole embed at f32-rounding parity on a v5e.
+    'xla' is the portable path.
     """
     x = patches.astype(compute_dtype)
     if x.ndim == 3:
         x = x[..., None]
 
-    stop = PALLAS_TAIL_START if conv == 'pallas' else len(LAYER_DEFS) + 1
+    stop = PALLAS_BLOCKS[0][0] if conv == 'pallas' else len(LAYER_DEFS) + 1
     for key, kind, stride, _shape in _conv_shapes():
         if int(key.split('/')[0][len('layer'):]) >= stop:
             break
@@ -159,11 +185,7 @@ def embed(params: dict, patches: jnp.ndarray,
         x = jax.nn.relu(x.astype(jnp.float32) + bias).astype(compute_dtype)
 
     if conv == 'pallas':
-        # lazy import: ops.pallas_conv imports LAYER_DEFS from this module
-        from buzzdetect_tpu.ops.pallas_conv import fused_tail
-        return fused_tail(params, x, start_layer=PALLAS_TAIL_START,
-                          block_patches=PALLAS_TAIL_BLOCK,
-                          compute_dtype=compute_dtype)
+        return _pallas_embed(params, x, compute_dtype, PALLAS_BLOCKS)
 
     # global average pool over the spatial axes -> (B, 1024)
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2))

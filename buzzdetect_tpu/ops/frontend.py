@@ -208,6 +208,14 @@ def _dft_mel_constants_impl(window_samples, fft_length, hop_samples,
     return banks, mel
 
 
+# MXU precision for the DFT-bank and mel matmuls. HIGHEST (6-pass f32
+# emulation) is the parity-proof default; HIGH (3-pass) halves the MXU cost
+# and is what tools/frontend_precision_probe.py measures against the score
+# budget — flip only with an on-chip deviation number recorded in
+# docs/tuning.md.
+DFT_PRECISION = jax.lax.Precision.HIGHEST
+
+
 @lru_cache(maxsize=64)
 def _frame_indices(n_input: int, frame_length: int, hop: int):
     """(n_frames, frame_length) gather index matrix (a trace-time constant)."""
@@ -250,13 +258,13 @@ def log_mel_spectrogram(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarr
         rows = view.reshape(*batch, n_frames, hop)
         part = jnp.matmul(rows, jnp.asarray(banks[b]),
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=DFT_PRECISION)
         spectrum = part if spectrum is None else spectrum + part
     re, im = jnp.split(spectrum, 2, axis=-1)         # (..., n_frames, 257) each
     magnitude = jnp.sqrt(re * re + im * im)
     mel_spec = jnp.matmul(magnitude, jnp.asarray(mel),
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=DFT_PRECISION)
     return jnp.log(mel_spec + cfg.log_offset)
 
 

@@ -76,22 +76,26 @@ class SepSpec:
         return -(-self.w // self.stride)
 
 
-def tail_specs(start_layer: int = 8):
-    """SepSpecs for LAYER_DEFS[start_layer-1:], with input spatial sizes.
+def tail_specs(start_layer: int = 8, stop_layer: int = None):
+    """SepSpecs for LAYER_DEFS[start_layer-1:stop_layer-1], with input
+    spatial sizes (stop_layer is exclusive; None runs to the end).
 
     Only 'sep' layers with power-of-two input width qualify (the kernel's
-    flattened-position masks rely on it); every layer from 4 on does.
+    flattened-position masks rely on it); every layer from 2 on does.
     """
+    stop = len(LAYER_DEFS) + 1 if stop_layer is None else stop_layer
     h, w, c = 96, 64, 1
     specs = []
     for i, (kind, stride, filters) in enumerate(LAYER_DEFS, start=1):
-        if i >= start_layer:
+        if start_layer <= i < stop:
             if kind != 'sep':
                 raise ValueError(f'layer {i} is not a sep layer')
             if w & (w - 1):
                 raise ValueError(f'layer {i} input width {w} not pow2')
             specs.append(SepSpec(i, h, w, c, filters, stride))
         h, w, c = -(-h // stride), -(-w // stride), filters
+    if not specs:
+        raise ValueError(f'empty layer range [{start_layer}, {stop})')
     return tuple(specs)
 
 
@@ -191,15 +195,20 @@ def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
 
 
 def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,
-               block_patches: int = 16, compute_dtype=jnp.float32,
-               gap: bool = True, interpret: bool = False) -> jnp.ndarray:
+               stop_layer: int = None, block_patches: int = 16,
+               compute_dtype=jnp.float32, gap: bool = True,
+               interpret: bool = False) -> jnp.ndarray:
     """(B, H, W, C) activations entering `start_layer` -> (B, 1024)
-    embeddings (gap=True) or the last layer's activations.
+    embeddings (gap=True) or the last fused layer's activations
+    (gap=False: (B, Ho*Wo, C_out), flattened spatial).
 
+    With stop_layer set, only layers [start_layer, stop_layer) are fused —
+    the mid-stack block (e.g. 4..7) uses this to stay inside the ~16 MB
+    VMEM budget while the 8..14 block carries its ~10 MB of weights.
     B is padded up to a multiple of block_patches internally; callers get
     exactly B rows back.
     """
-    specs = tail_specs(start_layer)
+    specs = tail_specs(start_layer, stop_layer)
     s0, sl = specs[0], specs[-1]
     b, h, w, c = x.shape
     assert (h, w, c) == (s0.h, s0.w, s0.c_in), \

@@ -17,9 +17,9 @@ from buzzdetect_tpu.ops.pallas_conv import fused_tail, tail_specs
 RNG = np.random.default_rng(11)
 
 
-def xla_tail(params, x, start_layer=8, gap=True):
+def xla_tail(params, x, start_layer=8, stop_layer=None, gap=True):
     """Reference: the same layers run through the production XLA path."""
-    specs = tail_specs(start_layer)
+    specs = tail_specs(start_layer, stop_layer)
     for s in specs:
         dw = params[f'{s.name}/depthwise_conv/kernel']
         dwb = params[f'{s.name}/depthwise_conv/bias']
@@ -83,6 +83,49 @@ def test_fused_tail_no_gap_and_padding():
         got, ref.reshape(got.shape), atol=2e-4, rtol=1e-5)
 
 
+def test_fused_mid_block_matches_xla():
+    """The layers-4..7 block (stop_layer) matches XLA, flattened-spatial out."""
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    s0 = tail_specs(4, 8)[0]
+    x = RNG.standard_normal((5, s0.h, s0.w, s0.c_in)).astype(np.float32)
+    ref = np.asarray(xla_tail(params, jnp.asarray(x), 4, 8, gap=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_tail(params, jnp.asarray(x), start_layer=4,
+                                    stop_layer=8, block_patches=4, gap=False,
+                                    interpret=True))
+    assert got.shape == (5, ref.shape[1] * ref.shape[2], ref.shape[3])
+    np.testing.assert_allclose(
+        got, ref.reshape(got.shape), atol=2e-4, rtol=1e-5)
+
+
+def test_two_block_embed_matches_xla():
+    """embed(conv='pallas') with a (4..7)+(8..14) block chain matches the
+    all-XLA embed — the layout being measured for the production default."""
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=9))
+    patches = RNG.standard_normal((5, 96, 64)).astype(np.float32) * 0.5
+    ref = np.asarray(yam.embed(params, jnp.asarray(patches)))
+    old = yam.PALLAS_BLOCKS
+    try:
+        yam.PALLAS_BLOCKS = ((4, 8, 4), (8, None, 4))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(yam.embed(params, jnp.asarray(patches),
+                                       conv='pallas'))
+    finally:
+        yam.PALLAS_BLOCKS = old
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_tail_specs_validation():
+    with pytest.raises(ValueError, match='empty layer range'):
+        tail_specs(8, 8)
+    with pytest.raises(ValueError, match='not a sep layer'):
+        tail_specs(1, 3)
+    specs = tail_specs(4, 8)
+    assert [s.index for s in specs] == [4, 5, 6, 7]
+    assert (specs[0].h, specs[0].w, specs[0].c_in) == (24, 16, 128)
+    assert (specs[-1].h_out, specs[-1].w_out, specs[-1].c_out) == (6, 4, 512)
+
+
 def test_fused_tail_whole_model_parity():
     """Full embed with the tail swapped in matches embed() end to end."""
     params = yam.fold_batchnorm(yam.init_raw_params(seed=9))
@@ -132,6 +175,18 @@ def test_classifier_conv_pallas_matches_xla():
                                    atol=1e-4)
         np.testing.assert_allclose(pl_cls.embed(wav), ref_cls.embed(wav),
                                    atol=1e-4)
+
+
+def test_conv_auto_resolution_rule():
+    """'auto' picks the fused kernels only on TPU + f32 + unsharded; bf16
+    stays XLA (measured regression: the kernels' f32 VPU depthwise work
+    dominates once XLA's matmuls run 1-pass bf16)."""
+    from buzzdetect_tpu.models.classifier import resolve_conv_auto
+    assert resolve_conv_auto(True, jnp.float32) == 'pallas'
+    assert resolve_conv_auto(True, jnp.bfloat16) == 'xla'
+    assert resolve_conv_auto(False, jnp.float32) == 'xla'
+    assert resolve_conv_auto(True, jnp.float32, mesh=object()) == 'xla'
+    assert resolve_conv_auto(True, jnp.float32, sharding=object()) == 'xla'
 
 
 def test_classifier_conv_validation():

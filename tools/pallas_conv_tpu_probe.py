@@ -16,6 +16,8 @@ Measurement discipline (tunneled dev link — see docs/tuning.md):
 Usage:
     python tools/pallas_conv_tpu_probe.py [--start 8] [--pb 32] [--bf16]
     python tools/pallas_conv_tpu_probe.py --seconds 960 --trials 5
+    # compare fused-block layouts head-to-head (same session, interleaved):
+    python tools/pallas_conv_tpu_probe.py --variants 8::32 4:8:8,8::32
 """
 
 import argparse
@@ -34,6 +36,15 @@ N_INPUTS = 8  # distinct on-device batches — identical (fn, buffer) dispatches
               # unique even across trials (a repeated pair re-measures 0.00).
 
 
+def parse_blocks(spec: str):
+    """'4:8:8,8::32' -> ((4, 8, 8), (8, None, 32))."""
+    blocks = []
+    for part in spec.split(','):
+        start, stop, pb = part.split(':')
+        blocks.append((int(start), int(stop) if stop else None, int(pb)))
+    return tuple(blocks)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--start', type=int, default=8,
@@ -41,10 +52,18 @@ def main():
     ap.add_argument('--pb', type=int, default=32,
                     help='patches per kernel block (32 keeps the late-layer '
                          'dots >=128 MXU rows: 32*6=192)')
+    ap.add_argument('--variants', nargs='*', default=None,
+                    help='fused-block layouts to race, each as comma-joined '
+                         'start:stop:pb (empty stop = end). Overrides '
+                         '--start/--pb; trials are interleaved across all '
+                         'variants so link drift hits them equally.')
     ap.add_argument('--seconds', type=float, default=960.0)
     ap.add_argument('--bf16', action='store_true')
     ap.add_argument('--trials', type=int, default=5)
     args = ap.parse_args()
+
+    if args.variants:
+        return race_variants(args)
 
     import jax
     import jax.numpy as jnp
@@ -145,6 +164,91 @@ def main():
     print(f'  tail {args.start}..14 XLA        : {tail_base * 1e3:8.2f} ms')
     print(f'  tail {args.start}..14 pallas     : {tail_fused * 1e3:8.2f} ms   '
           f'{tail_base / max(tail_fused, 1e-9):5.2f}x tail-only')
+
+
+def race_variants(args):
+    """Race the all-XLA embed against each --variants fused-block layout.
+
+    Unlike the default mode (sequential slope_time per graph), trials here
+    are interleaved variant-by-variant, so the tunneled link's duty-cycle
+    drift degrades every variant equally instead of whichever ran last.
+    """
+    import itertools
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from buzzdetect_tpu.models import yamnet as yam
+
+    dev = jax.devices()[0]
+    print(f'backend: {dev.platform} ({dev.device_kind})', flush=True)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    label = 'bf16' if args.bf16 else 'f32'
+
+    params = jax.device_put(yam.fold_batchnorm(yam.init_raw_params(seed=7)))
+    b = int(args.seconds / 0.96)
+    batches = [jax.random.normal(jax.random.PRNGKey(i), (b, 96, 64),
+                                 jnp.float32) for i in range(N_INPUTS)]
+    ticket = itertools.count(1)
+
+    def make(blocks):
+        if blocks is None:
+            def f(x, i):
+                return jnp.sum(yam.embed(params, x + i * 1e-6,
+                                         compute_dtype=dtype))
+        else:
+            def f(x, i):
+                x = (x + i * 1e-6).astype(dtype)[..., None]
+                for key, kind, stride, _shape in yam._conv_shapes():
+                    if int(key.split('/')[0][len('layer'):]) >= blocks[0][0]:
+                        break
+                    kernel = params[f'{key}/kernel'].astype(dtype)
+                    bias = params[f'{key}/bias'].astype(jnp.float32)
+                    x = yam._conv2d(x, kernel, stride,
+                                    depthwise=(kind == 'depthwise'))
+                    x = jax.nn.relu(
+                        x.astype(jnp.float32) + bias).astype(dtype)
+                return jnp.sum(yam._pallas_embed(params, x, dtype, blocks))
+        return jax.jit(f)
+
+    variants = [('all-XLA', None)] + [
+        (spec, parse_blocks(spec)) for spec in args.variants]
+    fns = {}
+    for name, blocks in variants:
+        print(f'compiling {name} ...', flush=True)
+        t0 = time.perf_counter()
+        fns[name] = make(blocks)
+        got = float(fns[name](batches[0], jnp.float32(0.0)))
+        print(f'  compiled + first run in {time.perf_counter() - t0:.0f} s '
+              f'(sum {got:.1f})', flush=True)
+
+    def run(fn, k):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(k):
+            out = fn(batches[i % N_INPUTS], jnp.float32(next(ticket)))
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    slopes = {name: [] for name, _ in variants}
+    for t in range(args.trials):
+        for name, _ in variants:
+            fn = fns[name]
+            short = min(run(fn, 2) for _ in range(2))
+            long = min(run(fn, N_INPUTS) for _ in range(2))
+            slopes[name].append(
+                max(0.0, (long - short) / (N_INPUTS - 2)))
+        print(f'trial {t + 1}/{args.trials} done', flush=True)
+
+    print(f'\nembed {label}, {b} patches ({args.seconds:.0f} s audio), '
+          f'median slopes (distrust spreads > 2x):')
+    base_med = None
+    for name, _ in variants:
+        ss = sorted(slopes[name])
+        med, spread = ss[len(ss) // 2], ss[-1] / max(ss[0], 1e-9)
+        if base_med is None:
+            base_med = med
+        print(f'  {name:24s}: {med * 1e3:8.2f} ms  (spread {spread:.1f}x)  '
+              f'{base_med / max(med, 1e-9):5.2f}x vs XLA')
 
 
 if __name__ == '__main__':
