@@ -198,6 +198,22 @@ def _embed_padded(params, waveform, cfg: FrontendConfig,
                             compute_dtype=compute_dtype, conv=conv)
 
 
+def _execution_target_is_tpu(device=None, devices=None):
+    """Whether the classifier's jit graphs will actually execute on a TPU.
+
+    A device= pin wins; else an ambient jax.default_device(...) (how
+    tools/tpu_numerics_probe.py builds its CPU reference in a TPU process)
+    wins; only then does "some TPU exists in jax.devices()" decide.
+    ``devices`` is injectable for tests.
+    """
+    target = device if device is not None else getattr(
+        jax.config, 'jax_default_device', None)
+    if target is not None:
+        return target.platform == 'tpu'
+    devs = jax.devices() if devices is None else devices
+    return any(d.platform == 'tpu' for d in devs)
+
+
 def resolve_conv_auto(on_tpu, compute_dtype, mesh=None, sharding=None):
     """conv='auto' resolution rule (kept pure so tests can pin it).
 
@@ -264,8 +280,8 @@ class ChunkClassifier:
         # 1.95 ms all-XLA vs 2.84/3.27 ms fused on v5e (tuning.md).
         self._conv_auto = conv == 'auto'
         if self._conv_auto:
-            on_tpu = any(d.platform == 'tpu' for d in jax.devices())
-            conv = resolve_conv_auto(on_tpu, compute_dtype, mesh, sharding)
+            conv = resolve_conv_auto(_execution_target_is_tpu(device),
+                                     compute_dtype, mesh, sharding)
         elif conv == 'pallas' and (mesh is not None or sharding is not None):
             raise ValueError(
                 "conv='pallas' does not compose with mesh/sharding "

@@ -208,12 +208,18 @@ def _dft_mel_constants_impl(window_samples, fft_length, hop_samples,
     return banks, mel
 
 
-# MXU precision for the DFT-bank and mel matmuls. HIGHEST (6-pass f32
-# emulation) is the parity-proof default; HIGH (3-pass) halves the MXU cost
-# and is what tools/frontend_precision_probe.py measures against the score
-# budget — flip only with an on-chip deviation number recorded in
-# docs/tuning.md.
-DFT_PRECISION = jax.lax.Precision.HIGHEST
+# MXU precision for the DFT-bank and mel matmuls. HIGH (3-pass bf16
+# operand-split) halves these matmuls' MXU cost vs HIGHEST (6-pass f32
+# emulation) and is measured safe ON THE SCORE CONTRACT: worst on-chip
+# |HIGH - cpu f32| score deviation 6.7e-06 — indistinguishable from
+# HIGHEST's 6.9e-06 — including the near-silence worst case where
+# log(mel+1e-3) amplifies absolute mel error (tools/
+# frontend_precision_probe.py; classify 16.63 -> 16.08 ms per 960 s
+# chunk). The round-2 finding that whole-graph HIGH deviates 7.8e-4 was
+# the CONV stack's accumulation over 14 layers; the convs stay HIGHEST.
+# DEFAULT (1-pass bf16) remains off the table here: raw bf16 operand
+# rounding costs ~3 decimal digits and breaks the 1e-3 budget.
+DFT_PRECISION = jax.lax.Precision.HIGH
 
 
 @lru_cache(maxsize=64)
@@ -238,10 +244,9 @@ def log_mel_spectrogram(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarr
     n = waveform.shape[-1]
     n_frames = 1 + (n - win) // hop
 
-    # HIGHEST precision: on TPU the MXU would otherwise round the f32 operands
-    # to bfloat16, which costs ~3 decimal digits and breaks 1e-3 score parity.
-    # These matmuls are a tiny fraction of total FLOPs, so the 6-pass f32
-    # emulation is cheap.
+    # DFT_PRECISION (HIGH): a raw bf16 MXU pass would cost ~3 decimal digits
+    # and break 1e-3 score parity; the 3-pass operand split holds the score
+    # contract at 6.7e-06 on-chip (see the DFT_PRECISION comment above).
     banks, mel = _dft_mel_constants(cfg)
     n_banks = banks.shape[0]
     # shifted view b needs samples [b*hop, b*hop + n_frames*hop); the last

@@ -189,6 +189,26 @@ def test_conv_auto_resolution_rule():
     assert resolve_conv_auto(True, jnp.float32, sharding=object()) == 'xla'
 
 
+def test_execution_target_rule():
+    """conv='auto' must judge the device the graphs will EXECUTE on: a
+    device= pin or an ambient jax.default_device(cpu) overrides the mere
+    presence of a TPU in jax.devices() (regression: the numerics probe's
+    CPU-reference classifier resolved to the fused kernel and crashed)."""
+    from types import SimpleNamespace
+    from buzzdetect_tpu.models.classifier import _execution_target_is_tpu
+    fake_tpu = SimpleNamespace(platform='tpu')
+    fake_cpu = SimpleNamespace(platform='cpu')
+    # device pin wins over the device list
+    assert _execution_target_is_tpu(fake_cpu, devices=[fake_tpu]) is False
+    assert _execution_target_is_tpu(fake_tpu, devices=[fake_cpu]) is True
+    # ambient default_device(cpu) wins over a TPU in the list
+    with jax.default_device(jax.devices('cpu')[0]):
+        assert _execution_target_is_tpu(devices=[fake_tpu]) is False
+    # no pin, no ambient default: the device list decides
+    assert _execution_target_is_tpu(devices=[fake_tpu, fake_cpu]) is True
+    assert _execution_target_is_tpu(devices=[fake_cpu]) is False
+
+
 def test_classifier_conv_validation():
     """'auto' resolves to 'xla' off-TPU; explicit 'pallas' + mesh/sharding
     fails loudly (GSPMD cannot partition the fused kernel); bad names
