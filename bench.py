@@ -15,12 +15,93 @@ dispatch, materialize on collection). Decode is benchmarked separately via
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_REALTIME = 100.0  # north star: >=100x realtime per v5e chip
+
+# The driver runs this script unattended at round end. The tunneled device
+# backend can die outright (observed 2026-08-17: jax.devices() itself hangs
+# forever), which would turn the recorded-bench run into an infinite hang and
+# lose the round's artifact. So the real measurement runs in a supervised
+# child process: a quick preflight proves one real dispatch completes, then
+# the full bench runs under a wall-clock watchdog; either failure emits an
+# honest zero-value record instead of hanging.
+_CHILD_ENV = 'BUZZ_BENCH_CHILD'
+
+# one real dispatch, synced by host materialization (block_until_ready can
+# return early through the tunnel — docs/tuning.md). JAX_PLATFORMS must be
+# re-pinned explicitly: the image's preloaded platform plugin overrides the
+# env var (see classifier._honor_platform_env), and a cpu-pinned test run
+# would otherwise preflight the dead axon tunnel.
+_PREFLIGHT_CODE = (
+    "import os, jax\n"
+    "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
+    "if p: jax.config.update('jax_platforms', p)\n"
+    "import numpy as np, jax.numpy as jnp\n"
+    "x = jnp.ones((128, 128))\n"
+    "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n"
+    "print('BENCH_PREFLIGHT_OK')\n"
+)
+
+
+def _failure_record(mode, reason):
+    metric = {'device': 'realtime_factor_device',
+              'pipeline': 'realtime_factor_pipeline',
+              'both': 'realtime_factor_device_compute'}[mode]
+    return {'metric': metric, 'value': 0.0,
+            'unit': 'audio-seconds per wall-second per chip',
+            'vs_baseline': 0.0, 'error': reason}
+
+
+def _preflight_ok(timeout, retries, retry_sleep):
+    code = os.environ.get('BUZZ_BENCH_PREFLIGHT_CODE', _PREFLIGHT_CODE)
+    for attempt in range(retries + 1):
+        if attempt:
+            time.sleep(retry_sleep)
+        try:
+            out = subprocess.run([sys.executable, '-c', code],
+                                 capture_output=True, text=True,
+                                 timeout=timeout)
+        except subprocess.TimeoutExpired:
+            continue
+        if out.returncode == 0 and 'BENCH_PREFLIGHT_OK' in out.stdout:
+            return True
+    return False
+
+
+def _supervised(args, argv):
+    """Preflight the backend, then run the bench in a watched child.
+
+    Returns the record to print (the child's own JSON on success)."""
+    if not _preflight_ok(args.preflight_timeout, args.preflight_retries,
+                         args.preflight_retry_sleep):
+        return _failure_record(
+            args.mode, 'device backend unreachable: preflight dispatch did '
+            f'not complete within {args.preflight_timeout:.0f}s '
+            f'x{args.preflight_retries + 1} attempts (tunnel outage?)')
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + argv,
+            capture_output=True, text=True,
+            env={**os.environ, _CHILD_ENV: '1'}, timeout=args.watchdog)
+    except subprocess.TimeoutExpired:
+        return _failure_record(
+            args.mode, f'bench hung past the {args.watchdog:.0f}s watchdog '
+            '(device link died mid-run?)')
+    if out.returncode != 0:
+        return _failure_record(
+            args.mode,
+            'bench child failed: ' + out.stderr.strip()[-500:])
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return _failure_record(args.mode, 'bench child printed no JSON record')
 
 
 def bench_device(chunklength: float, n_chunks: int, framehop: float,
@@ -186,7 +267,22 @@ def main():
                     help='device mode: frontend implementation (default '
                          'auto = the hop-banked XLA frontend, the fastest '
                          'measured; pallas = the fused kernel)')
+    ap.add_argument('--no-watchdog', action='store_true',
+                    help='run the measurement in-process (no supervision)')
+    ap.add_argument('--watchdog', type=float, default=3300.0,
+                    help='wall-clock limit for the supervised bench run; on '
+                         'expiry an honest zero-value record is emitted')
+    ap.add_argument('--preflight-timeout', type=float, default=240.0)
+    ap.add_argument('--preflight-retries', type=int, default=2)
+    ap.add_argument('--preflight-retry-sleep', type=float, default=30.0)
     args = ap.parse_args()
+
+    if os.environ.get(_CHILD_ENV) != '1' and not args.no_watchdog:
+        print(json.dumps(_supervised(args, sys.argv[1:])))
+        return
+    # test hook: lets the suite exercise the watchdog-expiry path without a
+    # real device-link hang
+    time.sleep(float(os.environ.get('BUZZ_BENCH_TEST_SLEEP', 0) or 0))
 
     devices = args.devices
     if devices is not None and devices != 'all':

@@ -13,11 +13,12 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_bench(*args):
+def _run_bench(*args, env=None):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, 'bench.py'), *args],
         capture_output=True, text=True, cwd=REPO,
-        env={**os.environ, 'JAX_PLATFORMS': 'cpu'}, timeout=600)
+        env={**os.environ, 'JAX_PLATFORMS': 'cpu', **(env or {})},
+        timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -75,6 +76,30 @@ def test_bench_both_mode_full_record():
     assert rec['device_link'] > 0
     assert rec['pipeline_default'] > 0
     assert rec['pipeline_tuned_mulaw'] > 0
+
+
+def test_bench_preflight_failure_emits_honest_record():
+    """A dead device backend (observed: the tunnel hangs jax.devices()
+    forever) must yield a zero-value record quickly, not an infinite hang
+    of the driver's unattended round-end run."""
+    rec = _run_bench(
+        '--mode', 'device', '--preflight-timeout', '2',
+        '--preflight-retries', '0',
+        env={'BUZZ_BENCH_PREFLIGHT_CODE': 'import time; time.sleep(60)'})
+    assert rec['value'] == 0.0 and rec['vs_baseline'] == 0.0
+    assert rec['metric'] == 'realtime_factor_device'
+    assert 'unreachable' in rec['error']
+
+
+def test_bench_watchdog_expiry_emits_honest_record():
+    """A mid-run hang (link dying after preflight passed) hits the
+    wall-clock watchdog and still produces a record."""
+    rec = _run_bench(
+        '--mode', 'pipeline', '--watchdog', '3', '--preflight-timeout', '60',
+        env={'BUZZ_BENCH_TEST_SLEEP': '120'})
+    assert rec['value'] == 0.0 and rec['vs_baseline'] == 0.0
+    assert rec['metric'] == 'realtime_factor_pipeline'
+    assert 'watchdog' in rec['error']
 
 
 @pytest.mark.slow
