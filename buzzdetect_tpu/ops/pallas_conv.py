@@ -21,10 +21,14 @@ the real toolchain — strided slices do NOT compile; leading-dim reshapes,
 sublane rolls, 2-D row gathers and minor transposes do):
 
 * depthwise 3x3: 9 taps, each a per-patch sublane roll of the flattened
-  spatial axis (axis=1 never crosses patch boundaries) + an edge mask
-  derived from an iota over flattened positions (W is a power of two at
-  every tail layer, so h = pos >> log2(W), w = pos & (W-1)) + a
-  lane-broadcast multiply by that tap's per-channel weights — pure VPU;
+  spatial axis (axis=1 never crosses patch boundaries) followed by one
+  fused multiply-add against precomputed masked weights — the edge-validity
+  mask is static per (layer, tap), so it rides in as a tiny (9, H*W, 1)
+  operand and folds into the tap weights ((HW,1)x(1,C) broadcast), deleting
+  the per-tap full-size select a positional-iota mask would cost; the
+  center tap is valid everywhere and needs neither roll nor mask, so it
+  initializes the accumulator — pure VPU, 3 full-size ops per off-center
+  tap (roll, mul, add);
 * stride-2 subsample: a 2-D row gather with indices computed from iotas
   (rows 2*ho*W + 2*wo of each patch), on the (Pb*H*W, C) collapsed view;
 * pointwise 1x1: the (Pb*HW, C) collapsed view @ (C, F) on the MXU at
@@ -51,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from buzzdetect_tpu.models.yamnet import LAYER_DEFS
 
 TAPS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+CENTER = TAPS.index((0, 0))
 
 
 @dataclass(frozen=True)
@@ -80,8 +85,9 @@ def tail_specs(start_layer: int = 8, stop_layer: int = None):
     """SepSpecs for LAYER_DEFS[start_layer-1:stop_layer-1], with input
     spatial sizes (stop_layer is exclusive; None runs to the end).
 
-    Only 'sep' layers with power-of-two input width qualify (the kernel's
-    flattened-position masks rely on it); every layer from 2 on does.
+    Only 'sep' layers qualify (the first full-conv layer stays XLA); the
+    edge masks are precomputed host-side so no shape constraint beyond
+    even H/W at stride-2 layers applies.
     """
     stop = len(LAYER_DEFS) + 1 if stop_layer is None else stop_layer
     h, w, c = 96, 64, 1
@@ -90,8 +96,6 @@ def tail_specs(start_layer: int = 8, stop_layer: int = None):
         if start_layer <= i < stop:
             if kind != 'sep':
                 raise ValueError(f'layer {i} is not a sep layer')
-            if w & (w - 1):
-                raise ValueError(f'layer {i} input width {w} not pow2')
             specs.append(SepSpec(i, h, w, c, filters, stride))
         h, w, c = -(-h // stride), -(-w // stride), filters
     if not specs:
@@ -99,12 +103,26 @@ def tail_specs(start_layer: int = 8, stop_layer: int = None):
     return tuple(specs)
 
 
+def _tap_masks(spec: SepSpec) -> np.ndarray:
+    """(9, H*W, 1) f32 edge-validity mask per tap: 1 where the tap's shifted
+    read stays inside the patch's spatial plane. Static per layer, so it is
+    precomputed host-side and folded into the tap weights inside the kernel
+    ((HW,1)x(1,C) broadcast) instead of paying a full-size select per tap."""
+    pos = np.arange(spec.h * spec.w)
+    hpos, wpos = pos // spec.w, pos % spec.w
+    return np.stack([
+        ((hpos + dy >= 0) & (hpos + dy < spec.h)
+         & (wpos + dx >= 0) & (wpos + dx < spec.w)).astype(np.float32)
+        for dy, dx in TAPS]).reshape(9, spec.h * spec.w, 1)
+
+
 def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
     """Folded yamnet params -> the kernel's flat operand list.
 
     Per layer: dw taps (9, 1, C) [tap t = kernel[dy, dx, 0, :]], dw bias
-    (1, C) f32, pw kernel (C, F), pw bias (1, F) f32. Weights are cast to
-    the compute dtype; biases stay f32 (they add into the f32 accumulator).
+    (1, C) f32, tap edge masks (9, H*W, 1) f32, pw kernel (C, F), pw bias
+    (1, F) f32. Weights are cast to the compute dtype; biases stay f32
+    (they add into the f32 accumulator).
     """
     ops = []
     for s in specs:
@@ -116,6 +134,7 @@ def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
             dw.reshape(9, 1, s.c_in).astype(compute_dtype),
             jnp.asarray(params[f'{s.name}/depthwise_conv/bias'],
                         jnp.float32).reshape(1, s.c_in),
+            jnp.asarray(_tap_masks(s)),
             pw.reshape(s.c_in, s.c_out).astype(compute_dtype),
             jnp.asarray(params[f'{s.name}/pointwise_conv/bias'],
                         jnp.float32).reshape(1, s.c_out),
@@ -142,7 +161,7 @@ def _subsample_rows(x, spec: SepSpec, pb: int):
 
 
 def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
-    """refs = [x_ref, (dw, dw_b, pw, pw_b) * len(specs), out_ref].
+    """refs = [x_ref, (dw, dw_b, masks, pw, pw_b) * len(specs), out_ref].
 
     Activations stay float32 on the VPU side regardless of compute_dtype:
     Mosaic's dynamic_rotate only handles 32-bit vectors ("Rotate with
@@ -157,26 +176,22 @@ def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
     x = x_ref[:].astype(jnp.float32)
 
     for li, spec in enumerate(specs):
-        dw_ref, dwb_ref, pw_ref, pwb_ref = refs[1 + 4 * li: 5 + 4 * li]
+        dw_ref, dwb_ref, mask_ref, pw_ref, pwb_ref = \
+            refs[1 + 5 * li: 6 + 5 * li]
         hw = spec.h * spec.w
-        # edge-validity masks from an iota over flattened positions; W is a
-        # power of two at every tail layer, so h/w split is shift/and
-        # (consts can't be captured in a pallas kernel — compute, don't pack)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, hw, 1), 1)
-        hpos = pos >> (spec.w.bit_length() - 1)
-        wpos = pos & (spec.w - 1)
 
-        acc = jnp.zeros((pb, hw, spec.c_in), jnp.float32)
+        # center tap: valid everywhere, zero shift — it seeds the
+        # accumulator, saving a zeros-init add and a mask multiply
+        acc = x * dw_ref[CENTER]
         for t, (dy, dx) in enumerate(TAPS):
+            if t == CENTER:
+                continue
             # circular roll bringing x[pos + shift] to pos (shift may be
-            # negative; pltpu.roll wants a non-negative amount, so wrap)
+            # negative; pltpu.roll wants a non-negative amount, so wrap);
+            # wrapped-in garbage is zeroed by the masked weights
             shift = (-(dy * spec.w + dx)) % hw
-            shifted = pltpu.roll(x, shift, 1) if shift else x
-            tap = dw_ref[t]                              # (1, C)
-            valid = ((hpos + dy >= 0) & (hpos + dy < spec.h)
-                     & (wpos + dx >= 0) & (wpos + dx < spec.w))
-            acc = acc + jnp.where(
-                valid, shifted, 0).astype(jnp.float32) * tap
+            shifted = pltpu.roll(x, shift, 1)
+            acc = acc + shifted * (mask_ref[t] * dw_ref[t])
         if spec.stride > 1:
             acc = _subsample_rows(acc, spec, pb)
         y = jax.nn.relu(acc + dwb_ref[:])
