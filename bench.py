@@ -83,24 +83,40 @@ def _supervised(args, argv):
             args.mode, 'device backend unreachable: preflight dispatch did '
             f'not complete within {args.preflight_timeout:.0f}s '
             f'x{args.preflight_retries + 1} attempts (tunnel outage?)')
+    # start_new_session so a timeout can kill the whole process GROUP: a
+    # plain child kill leaves descendants holding the stdout pipe and the
+    # post-kill communicate() would block forever — the very hang this
+    # supervisor exists to prevent
+    import signal
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + argv,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={**os.environ, _CHILD_ENV: '1'}, start_new_session=True)
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)] + argv,
-            capture_output=True, text=True,
-            env={**os.environ, _CHILD_ENV: '1'}, timeout=args.watchdog)
+        stdout, stderr = proc.communicate(timeout=args.watchdog)
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        try:
+            stdout, stderr = proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
         return _failure_record(
             args.mode, f'bench hung past the {args.watchdog:.0f}s watchdog '
             '(device link died mid-run?)')
-    if out.returncode != 0:
+    if proc.returncode != 0:
         return _failure_record(
             args.mode,
-            'bench child failed: ' + out.stderr.strip()[-500:])
-    for line in reversed(out.stdout.strip().splitlines()):
+            'bench child failed: ' + (stderr or '').strip()[-500:])
+    for line in reversed((stdout or '').strip().splitlines()):
         try:
-            return json.loads(line)
+            rec = json.loads(line)
         except ValueError:
             continue
+        if isinstance(rec, dict) and 'metric' in rec:
+            return rec
     return _failure_record(args.mode, 'bench child printed no JSON record')
 
 

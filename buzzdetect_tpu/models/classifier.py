@@ -209,7 +209,9 @@ def _execution_target_is_tpu(device=None, devices=None):
     target = device if device is not None else getattr(
         jax.config, 'jax_default_device', None)
     if target is not None:
-        return target.platform == 'tpu'
+        # jax accepts a platform STRING for jax_default_device too
+        platform = target if isinstance(target, str) else target.platform
+        return platform == 'tpu'
     devs = jax.devices() if devices is None else devices
     return any(d.platform == 'tpu' for d in devs)
 

@@ -283,13 +283,15 @@ def patches_from_log_mel(log_mel: jnp.ndarray,
     performance-neutral on v5e (XLA already lowers the contiguous gather
     well); kept because the reshape states the intent directly instead of
     relying on the compiler recognizing a 25 MB/chunk gather as a copy."""
-    idx = _frame_indices(log_mel.shape[-2], cfg.patch_frames,
-                         cfg.patch_hop_frames)
     if cfg.patch_hop_frames == cfg.patch_frames:
-        n_p, pf = idx.shape[0], cfg.patch_frames
+        # no gather-index matrix needed (or lru-cached) on this path
+        pf = cfg.patch_frames
+        n_p = (log_mel.shape[-2] - pf) // cfg.patch_hop_frames + 1
         lead = log_mel.shape[:-2]
         trimmed = log_mel[..., :n_p * pf, :]
         return trimmed.reshape(*lead, n_p, pf, log_mel.shape[-1])
+    idx = _frame_indices(log_mel.shape[-2], cfg.patch_frames,
+                         cfg.patch_hop_frames)
     return log_mel[..., idx, :]
 
 

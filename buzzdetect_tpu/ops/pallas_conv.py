@@ -29,8 +29,10 @@ sublane rolls, 2-D row gathers and minor transposes do):
   center tap is valid everywhere and needs neither roll nor mask, so it
   initializes the accumulator — pure VPU, 3 full-size ops per off-center
   tap (roll, mul, add);
-* stride-2 subsample: a 2-D row gather with indices computed from iotas
-  (rows 2*ho*W + 2*wo of each patch), on the (Pb*H*W, C) collapsed view;
+* stride-2 subsample: keep the ODD positions (rows (2*ho+1)*W + 2*wo+1 —
+  SAME padding on even input pads only bottom/right, so parity with the
+  XLA/TF conv demands the odd offsets) via reshape-split + static index
+  steps, since strided slices do not compile (see _subsample_rows);
 * pointwise 1x1: the (Pb*HW, C) collapsed view @ (C, F) on the MXU at
   Precision.HIGHEST (f32 parity mode) or DEFAULT (bf16 mode) — Pb is
   chosen so Pb*HW >= 128 rows even at the 3x2-spatial layers;
@@ -121,8 +123,8 @@ def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
 
     Per layer: dw taps (9, 1, C) [tap t = kernel[dy, dx, 0, :]], dw bias
     (1, C) f32, tap edge masks (9, H*W, 1) f32, pw kernel (C, F), pw bias
-    (1, F) f32. Weights are cast to the compute dtype; biases stay f32
-    (they add into the f32 accumulator).
+    (1, F) f32. Only the pointwise kernel is cast to the compute dtype
+    (it feeds the MXU dot); dw taps and biases stay f32 for the VPU math.
     """
     ops = []
     for s in specs:
@@ -131,7 +133,10 @@ def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
         dw = jnp.asarray(params[f'{s.name}/depthwise_conv/kernel'])
         pw = jnp.asarray(params[f'{s.name}/pointwise_conv/kernel'])
         ops += [
-            dw.reshape(9, 1, s.c_in).astype(compute_dtype),
+            # dw taps stay f32: they feed the f32 VPU multiply-adds (where
+            # bf16 buys no throughput) — compute_dtype touches only the
+            # MXU dot operands, as the kernel docstring promises
+            dw.reshape(9, 1, s.c_in).astype(jnp.float32),
             jnp.asarray(params[f'{s.name}/depthwise_conv/bias'],
                         jnp.float32).reshape(1, s.c_in),
             jnp.asarray(_tap_masks(s)),
@@ -210,7 +215,7 @@ def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
 
 
 def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,
-               stop_layer: int = None, block_patches: int = 16,
+               stop_layer: int = None, block_patches: int = 32,
                compute_dtype=jnp.float32, gap: bool = True,
                interpret: bool = False) -> jnp.ndarray:
     """(B, H, W, C) activations entering `start_layer` -> (B, 1024)

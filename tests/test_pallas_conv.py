@@ -207,6 +207,11 @@ def test_execution_target_rule():
     # no pin, no ambient default: the device list decides
     assert _execution_target_is_tpu(devices=[fake_tpu, fake_cpu]) is True
     assert _execution_target_is_tpu(devices=[fake_cpu]) is False
+    # jax accepts a platform STRING for jax_default_device (regression:
+    # `target.platform` raised AttributeError on str, crashing every
+    # default-construction under that config)
+    with jax.default_device('cpu'):
+        assert _execution_target_is_tpu(devices=[fake_tpu]) is False
 
 
 def test_classifier_conv_validation():
