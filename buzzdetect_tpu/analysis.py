@@ -200,7 +200,21 @@ class Analyzer:
     def _setup_classes_out(self, classes_out):
         if classes_out == 'all':
             return list(self.model.config['classes'])
-        return classes_out
+        # fail fast on typos and bare strings (iterated per-character!): a
+        # bad class would otherwise burn the whole run and fail per-chunk
+        # inside the writer — same contract as _setup_threshold
+        if classes_out is None or isinstance(classes_out, str):
+            raise ValueError(
+                f"classes_out must be 'all' or a list of class names, "
+                f"got {classes_out!r}")
+        bad = [c for c in classes_out
+               if c not in self.model.config['classes']]
+        if bad:
+            raise ValueError(
+                f'classes_out contains classes not in model '
+                f'{self.modelname}: {bad} (model classes: '
+                f"{list(self.model.config['classes'])})")
+        return list(classes_out)
 
     def _setup_threshold(self, precision):
         if precision is None:
@@ -436,7 +450,14 @@ class Analyzer:
                     duration = get_duration(track)
                 finally:
                     track.close()
-                coverage = coverage_from_csv(a.path_results_complete, fl)
+                # framehop-aware, exactly like the streamer's resume read
+                # (streamer.py:91): at sparse hops a row attests its whole
+                # stride; melting with only framelength would read every
+                # inter-row stride of a fully-covered file as a gap and
+                # demote/re-analyze it on each signature change
+                coverage = coverage_from_csv(
+                    a.path_results_complete, fl,
+                    framehop=self.model.embedder.framehop_s)
                 gaps = smooth_gaps(get_gaps((0, duration), coverage),
                                    (0, duration), framelength=fl,
                                    gap_tolerance=fl / 4)
@@ -531,6 +552,18 @@ class Analyzer:
                 end_reason='interrupted'))
             if self.thread_writer is not None:
                 self.thread_writer.join(timeout=30)
+
+        if (self.coordinator.end_reason != 'completed'
+                and self.thread_writer is not None):
+            # early exit (stop event / q_earlyexit): wait_for_exit returns
+            # the moment the event fires, while the writer may still be
+            # draining its backlog into the partials. Returning to the
+            # caller now would let a rerun over the same dir_out start a
+            # SECOND writer appending to the same files (interleaved
+            # buffered rows read as torn and are silently dropped at
+            # finalization). The bound keeps a wedged writer from hanging
+            # the stop forever; poison_all has already woken it.
+            self.thread_writer.join(timeout=30)
 
         self.timer_total.stop()
         if self.coordinator.end_reason == 'completed':

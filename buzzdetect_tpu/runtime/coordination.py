@@ -296,3 +296,10 @@ class Coordinator:
         threading.Thread(target=watch_event, daemon=True,
                          name='watch_event').start()
         self.event_exitanalysis.wait()
+        # NOTE: on an early exit this returns while workers may still be
+        # draining (on completion watch_workers joined them all first) —
+        # deliberately, so a wedged worker can never hang the stop
+        # (test_watcher_threads_exit_after_early_stop pins this contract).
+        # The caller (analysis._run) joins the WRITER before returning to
+        # the user: that is the one worker whose lingering appends could
+        # interleave with a rerun's writer on the same partials.

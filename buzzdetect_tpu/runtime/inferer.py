@@ -221,6 +221,9 @@ class WorkerInferer:
 
         batching = (self.batch_chunks > 1
                     and hasattr(self.model, 'predict_async_batch'))
+        # the rate metric must not charge model load + warmup compiles
+        # (tens of seconds) to the first chunk's wall time
+        self.timer_analysis.restart()
         self.timer_bottleneck.restart()
         while True:
             a_chunk = self.coordinator.get_analyze()

@@ -204,9 +204,14 @@ class WorkerStreamer:
                 return
             last_index = len(a_file.chunklist) - 1
             for i, chunk in enumerate(a_file.chunklist):
-                # decode can be slow; bail opportunistically on exit
+                # decode can be slow; bail opportunistically on exit.
+                # FAILED, not finished: chunks i.. were never queued, and
+                # 'finished' would let the writer promote a truncated
+                # partial to a permanent complete result the moment the
+                # already-queued chunks drain (silent data loss on every
+                # interrupted run); 'failed' leaves a resumable partial
                 if self.coordinator.event_exitanalysis.is_set():
-                    self.coordinator.mark_stream_finished(a_file.ident)
+                    self.coordinator.mark_stream_failed(a_file.ident)
                     return
                 if not self.queue_chunk(a_file, chunk,
                                         force_last=(i == last_index)):
@@ -232,6 +237,11 @@ class WorkerStreamer:
                 a_file = self.coordinator.get_stream()
                 if a_file == 'exit':
                     break
+                # prompt shutdown: files still queued ahead of the poison
+                # sentinels must not each pay a container-open + coverage
+                # parse in _chunk_file just to discover the exit
+                if self.coordinator.event_exitanalysis.is_set():
+                    continue
                 self.log(f'buffering {a_file.shortpath_audio}', 'INFO')
                 self.stream_to_queue(a_file)
         finally:

@@ -117,6 +117,34 @@ class WorkerWriter:
                  f'partial fresh', 'WARNING')
         return False
 
+    @staticmethod
+    def _truncate_torn_tail(path_partial: str) -> str:
+        """Drop a torn (newline-less) final line before appending.
+
+        Returns the prefix the caller must prepend to its append text: ''
+        after a clean tail or a successful truncation; '\\n' in the
+        pathological fallback where no earlier newline exists in the file
+        (e.g. a header-only partial whose header line itself lacks the
+        newline — truncating would empty the file under a header the
+        caller isn't going to rewrite), preserving the old glue-guard
+        behavior there.
+        """
+        with open(path_partial, 'rb+') as f:
+            size = f.seek(0, os.SEEK_END)
+            f.seek(-1, os.SEEK_END)
+            if f.read(1) == b'\n':
+                return ''
+            # a row is a few hundred bytes; 64 KiB is orders of magnitude
+            # more, so the window virtually always contains the previous
+            # row's newline
+            window = min(size, 65536)
+            f.seek(size - window)
+            cut = f.read(window).rfind(b'\n')
+            if cut < 0:
+                return '\n'
+            f.truncate(size - window + cut + 1)
+        return ''
+
     def write_results(self, a_chunk: AssignChunk, fully_analyzed: bool):
         if a_chunk.results is None:
             # inference failed (or was interrupted) for this chunk: record
@@ -147,13 +175,17 @@ class WorkerWriter:
                                     include_header=not file_exists)
             if file_exists and os.path.getsize(path_partial) > 0:
                 # a SIGKILL-torn previous append may have left the file
-                # without a trailing newline; appending directly would glue
-                # the torn line to this table's FIRST row — which is exactly
-                # the torn frame's replacement — and finalize would drop both
-                with open(path_partial, 'rb') as rf:
-                    rf.seek(-1, os.SEEK_END)
-                    if rf.read(1) != b'\n':
-                        text = '\n' + text
+                # without a trailing newline. TRUNCATE the torn line before
+                # appending: appending directly would glue it to this
+                # table's FIRST row, and merely prepending '\n' would
+                # launder a parseable-torn tear ('19.2,0.53' torn to
+                # '19.2,0.5' — right column count, every cell parses) into
+                # a newline-terminated row that survives to finalization
+                # with the corrupt value. Truncation loses nothing: the
+                # torn frame's span was subtracted from resume coverage
+                # (read_result_rows torn_starts), so its replacement row is
+                # already scheduled.
+                text = self._truncate_torn_tail(path_partial) + text
             with open(path_partial, 'a', newline='') as f:
                 f.write(text)
             seconds = a_chunk.chunk[1] - a_chunk.chunk[0]

@@ -77,7 +77,14 @@ def smooth_gaps(gaps, range_in, framelength: float, gap_tolerance: float = None)
       frame of the gap uncovered and can produce negative start times for
       gaps near t=0; both fixed here.)
     """
-    gaps = [g for g in gaps if g[0] < (range_in[1] - framelength)]
+    # keep a tail gap when one full frame still fits, INCLUDING the exact
+    # boundary: a 9.6 s file interrupted after 8.64 s leaves gap (8.64, 9.6)
+    # whose single frame ends exactly at EOF — a fresh run analyzes it, so
+    # resume must too (one frame short otherwise). The epsilon absorbs float
+    # noise: range_end - framelength computes to e.g. 8.639999999999999,
+    # which a strict comparison against the CSV-rounded 8.64 would fail.
+    tol = framelength * 1e-6
+    gaps = [g for g in gaps if g[0] <= (range_in[1] - framelength) + tol]
     if gap_tolerance is not None:
         gaps = [g for g in gaps if (g[1] - g[0]) > gap_tolerance]
     out = []
@@ -125,34 +132,46 @@ def read_result_rows(path: str):
     frame's re-analysis even when overlapping neighbors cover its span.
     """
     import csv
+    import io
     rows, torn_starts = [], []
     with open(path, 'r', newline='') as f:
-        reader = csv.reader(f)
-        header = next(reader, None)
-        if header is None or 'start' not in header:
-            # empty file, or a SIGKILL tore the very first append mid-header:
-            # the file is unusable — report no header so callers treat it as
-            # empty coverage (full re-analysis) instead of raising; the
-            # writer quarantines and rebuilds such partials on next append
-            return None, [], []
-        idx = header.index('start')
-        n_cols = len(header)
-        for row in reader:
-            if not row:
-                continue
-            complete = len(row) == n_cols
-            if complete:
-                try:
-                    [float(c) for c in row]
-                except ValueError:
-                    complete = False
-            if complete:
-                rows.append(row)
-            else:
-                try:
-                    torn_starts.append(float(row[idx]))
-                except (ValueError, IndexError):
-                    pass  # even the start cell is gone; nothing to locate
+        text = f.read()
+    # every writer append is newline-terminated (formatting.render_csv), so
+    # a final line WITHOUT one is torn mid-append even when it happens to
+    # parse — '19.2,0.53\n' torn after '19.2,0.5' has the right column
+    # count and every cell float-parseable, but the value is corrupt;
+    # adopting it would bake the wrong activation into the finalized CSV
+    # and never re-analyze the frame
+    last_line_torn = bool(text) and not text.endswith(('\n', '\r'))
+    reader = csv.reader(io.StringIO(text, newline=''))
+    header = next(reader, None)
+    if header is None or 'start' not in header:
+        # empty file, or a SIGKILL tore the very first append mid-header:
+        # the file is unusable — report no header so callers treat it as
+        # empty coverage (full re-analysis) instead of raising; the
+        # writer quarantines and rebuilds such partials on next append
+        return None, [], []
+    idx = header.index('start')
+    n_cols = len(header)
+    pending = list(reader)
+    for i, row in enumerate(pending):
+        if not row:
+            continue
+        complete = len(row) == n_cols
+        if complete and last_line_torn and i == len(pending) - 1:
+            complete = False
+        if complete:
+            try:
+                [float(c) for c in row]
+            except ValueError:
+                complete = False
+        if complete:
+            rows.append(row)
+        else:
+            try:
+                torn_starts.append(float(row[idx]))
+            except (ValueError, IndexError):
+                pass  # even the start cell is gone; nothing to locate
     return header, rows, torn_starts
 
 

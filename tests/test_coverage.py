@@ -61,6 +61,17 @@ def test_smooth_drops_tail_gap():
     assert smooth_gaps(gaps, (0, 100), FL, gap_tolerance=FL / 4) == []
 
 
+def test_smooth_keeps_exact_final_frame_gap():
+    """A tail gap whose single frame ends exactly at EOF must be KEPT: a
+    9.6 s file interrupted after 8.64 s analyzed leaves (8.64, 9.6), and a
+    fresh run emits that 10th frame — resume must too (regression: the
+    strict `<` comparison, aggravated by 9.6-0.96 == 8.639999999999999,
+    dropped it and finalized the file one row short, permanently)."""
+    out = smooth_gaps([(8.64, 9.6)], (0, 9.6), FL, gap_tolerance=FL / 4)
+    (lo, hi), = out  # float noise may route it through sub-frame widening
+    assert lo == pytest.approx(8.64) and hi == pytest.approx(9.6)
+
+
 def test_smooth_drops_subtolerance_gap():
     gaps = [(10.0, 10.1)]
     assert smooth_gaps(gaps, (0, 100), FL, gap_tolerance=FL / 4) == []

@@ -31,9 +31,53 @@ def patched_models(dir_models, monkeypatch):
 
 # --- coverage math ----------------------------------------------------------
 
-def _write_csv(path, lines):
+def _write_csv(path, lines, newline_terminated=True):
+    """Every real append is newline-terminated (formatting.render_csv);
+    pass newline_terminated=False to simulate a mid-append tear."""
     with open(path, 'w') as f:
-        f.write('\n'.join(lines))
+        f.write('\n'.join(lines) + ('\n' if newline_terminated else ''))
+
+
+def test_parseable_torn_tail_not_adopted(tmp_path):
+    """A tear can land mid-cell and still leave a line with the right
+    column count and float-parseable cells ('19.2,0.53' torn to '19.2,0.5'):
+    the missing trailing newline is the only evidence. Such a line must be
+    treated as torn — adopting it would bake the corrupt value into the
+    finalized CSV and never re-analyze the frame."""
+    from buzzdetect_tpu.write.coverage import read_result_rows
+    p = str(tmp_path / 'x_buzzpart.csv')
+    _write_csv(p, ['start,activation_a', '0.0,1.0', '19.2,0.5'],
+               newline_terminated=False)
+    header, rows, torn = read_result_rows(p)
+    assert [r[0] for r in rows] == ['0.0']
+    assert torn == [19.2]
+    # the same file cleanly terminated is fully adopted
+    _write_csv(p, ['start,activation_a', '0.0,1.0', '19.2,0.5'])
+    header, rows, torn = read_result_rows(p)
+    assert [r[0] for r in rows] == ['0.0', '19.2']
+    assert torn == []
+
+
+def test_writer_truncates_parseable_torn_tail(tmp_path):
+    """The writer must TRUNCATE a newline-less final line before appending,
+    not just glue a '\\n': gluing launders a parseable-torn tear into a
+    valid terminated row that survives to finalization with the corrupt
+    value (the tear '19.2,0.53' -> '19.2,0.5' parses clean)."""
+    from buzzdetect_tpu.runtime.writer import WorkerWriter
+    p = str(tmp_path / 'x_buzzpart.csv')
+    _write_csv(p, ['start,activation_a', '0.0,1.0', '19.2,0.5'],
+               newline_terminated=False)
+    assert WorkerWriter._truncate_torn_tail(p) == ''
+    assert open(p).read() == 'start,activation_a\n0.0,1.0\n'
+    # clean tail: untouched
+    assert WorkerWriter._truncate_torn_tail(p) == ''
+    assert open(p).read() == 'start,activation_a\n0.0,1.0\n'
+    # pathological: no newline anywhere — keep the glue-guard fallback
+    # instead of emptying the file under a header the caller won't rewrite
+    with open(p, 'w') as f:
+        f.write('start,activation_a')
+    assert WorkerWriter._truncate_torn_tail(p) == '\n'
+    assert open(p).read() == 'start,activation_a'
 
 
 def test_torn_row_span_subtracted_for_overlapping_framehop(tmp_path):

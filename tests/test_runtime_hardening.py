@@ -357,6 +357,56 @@ def test_truncated_read_end_uses_embedder_time_precision():
     assert end == round(12345 / 16000, 4) == 0.7716
 
 
+def test_early_exit_mid_file_marks_stream_failed():
+    """An exit request mid-file must mark the stream FAILED (resumable
+    partial), not finished: with chunks never queued, 'finished' lets the
+    writer promote a truncated partial to a permanent complete result the
+    moment the already-queued chunks drain — silent data loss on every
+    interrupted run, invisible to later runs (they skip complete files)."""
+    from buzzdetect_tpu.runtime.streamer import WorkerStreamer
+
+    class Embedder:
+        digits_time = 2
+        framelength_s = 0.96
+        framehop_s = 0.96
+        samplerate = 16000
+
+    class Model:
+        embedder = Embedder()
+        transfer_dtype = 'float32'
+
+    class Coord:
+        def __init__(self):
+            self.q_log = queue.Queue()
+            self.finished = []
+            self.failed = []
+            self.event_exitanalysis = threading.Event()
+
+        def put_analyze(self, c):
+            raise AssertionError('no chunk may be queued after exit')
+
+        def mark_stream_finished(self, ident):
+            self.finished.append(ident)
+
+        def mark_stream_failed(self, ident):
+            self.failed.append(ident)
+
+    coord = Coord()
+    coord.event_exitanalysis.set()  # exit lands mid-file
+    s = WorkerStreamer(0, Model(), chunklength=2.0, coordinator=coord)
+    f = AssignFile(path_audio='/tmp/t.wav', dir_audio='/tmp',
+                   dir_results='/tmp/out')
+    f.chunklist = [(0.0, 2.0), (2.0, 4.0)]
+    s._chunk_file = lambda a_file: None  # chunklist prebuilt above
+    s.stream_to_queue(f)
+    assert coord.failed == [f.ident], \
+        'unqueued chunks must leave the file a resumable partial'
+    # mark_stream_failed itself also clears stream_in_progress via
+    # mark_stream_finished on the real coordinator; the streamer must not
+    # have taken the finished-only path
+    assert coord.finished == []
+
+
 def test_fatal_replica_death_stops_run(tmp_path, monkeypatch):
     """Replica mode: ONE replica failing fatally at initialize must stop the
     whole run loudly (same contract as the shared-model fatal-death path) —
