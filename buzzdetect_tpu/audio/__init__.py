@@ -87,9 +87,17 @@ def _discover_plugin_drivers():
         spec = importlib.util.spec_from_file_location(
             f'buzzdetect_tpu.audio.drivers.{fname[:-3]}', path)
         module = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(module)
-        for ext in getattr(module, 'EXTENSIONS', []):
-            plugins[ext.lower()] = module.Driver
+        try:
+            spec.loader.exec_module(module)
+            for ext in getattr(module, 'EXTENSIONS', []):
+                plugins[ext.lower()] = module.Driver
+        except Exception as e:
+            # one broken plugin (syntax error, missing third-party import)
+            # must not make ALL audio decoding unimportable — including the
+            # built-in native formats every entry point needs at startup
+            import warnings
+            warnings.warn(f'skipping broken audio driver plugin {fname}: '
+                          f'{type(e).__name__}: {e}')
     return plugins
 
 

@@ -210,13 +210,17 @@ def main(argv=None):
         compute_dtype = jnp.bfloat16
 
     devices = args.devices
-    if devices is not None and devices != 'all':
-        try:
-            devices = int(devices)
-        except ValueError:
-            parser.error("--devices must be an integer or 'all'")
-        if devices < 1:
-            parser.error('--devices must be >= 1')
+    if devices is not None:
+        # same normalization as validate_devices ('All ' etc.) — the
+        # validator's acceptance must be honored by the parse
+        devices = str(devices).strip().lower()
+        if devices != 'all':
+            try:
+                devices = int(devices)
+            except ValueError:
+                parser.error("--devices must be an integer or 'all'")
+            if devices < 1:
+                parser.error('--devices must be >= 1')
 
     host_shard = None
     if args.host_shard is not None:

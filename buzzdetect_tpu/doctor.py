@@ -24,13 +24,23 @@ def _check(name, fn):
 
 def main(modelname: str = None):
     from buzzdetect_tpu import config as cfg
-    # importing the classifier applies the JAX_PLATFORMS pin before any
-    # check initializes a backend (the image's preloaded TPU plugin would
-    # otherwise override the user's env var — see _honor_platform_env)
-    import buzzdetect_tpu.models.classifier  # noqa: F401
     modelname = modelname or cfg.DEFAULT_MODEL
     print('buzzdetect-tpu doctor')
     ok = True
+
+    # importing the classifier applies the JAX_PLATFORMS pin before any
+    # check initializes a backend (the image's preloaded TPU plugin would
+    # otherwise override the user's env var — see _honor_platform_env).
+    # Guarded: a machine where jax itself fails to import is exactly what
+    # the doctor exists to triage — it must print a FAIL line, not die
+    # with a raw traceback before the first check
+    def check_import():
+        import buzzdetect_tpu.models.classifier  # noqa: F401
+        return 'jax + classifier importable'
+    if not _check('jax import', check_import):
+        print('cannot continue without jax; set BUZZDETECT_DOCTOR_TRACE=1 '
+              'for the full traceback')
+        return 1
 
     def check_jax():
         import jax

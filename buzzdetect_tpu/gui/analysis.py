@@ -137,6 +137,15 @@ class AnalysisWindow(tk.Toplevel):
                 drained += 1
         except queue_mod.Empty:
             pass
+        except Exception as e:
+            # a child killed mid-pipe-write can leave a truncated pickle in
+            # the queue (EOFError/UnpicklingError, not Empty); letting it
+            # escape the Tk callback would never re-arm the poll and wedge
+            # the window with Stop enabled forever
+            from buzzdetect_tpu.runtime.assignments import AssignLog
+            self._append(AssignLog(
+                message=f'[gui] log stream broke: {type(e).__name__}: {e}',
+                level_str='WARNING'))
         if (self.process is not None and self.process.is_alive()) \
                 or drained > 0:
             self._dead_polls = 0

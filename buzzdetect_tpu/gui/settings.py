@@ -16,7 +16,7 @@ from buzzdetect_tpu.gui.viewmodel import (SettingsModel, BASIC_FIELDS,
 from buzzdetect_tpu.gui.widgets import (TextEntry, FilePathEntry,
                                         CheckBoxEntry, DropDownEntry)
 from buzzdetect_tpu.loglevels import loglevels
-from buzzdetect_tpu.validation import validate_map
+from buzzdetect_tpu.validation import ArgValid, validate_map
 
 
 class AnalysisSettings(tk.Tk):
@@ -67,9 +67,15 @@ class AnalysisSettings(tk.Tk):
         validator = validate_map.get(name)
         if validator is not None:
             # widgets hold raw strings; validators expect coerced values
-            # ('' -> None for optional fields, numerics per annotation)
+            # ('' -> None for optional fields, numerics per annotation).
+            # dir_audio is exempt while 'watch' is checked: a not-yet-
+            # created recorder directory is normal there (CLI parity —
+            # cli.py skips the validator in exactly this case; the
+            # launch would otherwise brick a feature the CLI allows)
             validator = (lambda raw, _v=validator, _n=name:
-                         _v(coerce_field(_n, raw)))
+                         ArgValid(True, None)
+                         if _n == 'dir_audio' and self._watch_checked()
+                         else _v(coerce_field(_n, raw)))
         if name in ('dir_audio', 'dir_out'):
             return FilePathEntry(parent, name, validator, self._on_change)
         if name in ('verbosity_print', 'verbosity_log'):
@@ -145,6 +151,13 @@ class AnalysisSettings(tk.Tk):
     def _pull_values(self):
         for name, w in self.entries.items():
             self.model.values[name] = coerce_field(name, w.get())
+
+    def _watch_checked(self) -> bool:
+        w = getattr(self, 'entries', {}).get('watch')
+        try:
+            return bool(w.get()) if w is not None else False
+        except Exception:
+            return False
 
     def launch(self):
         # one analysis window at a time: two children appending to the same

@@ -90,7 +90,12 @@ def coerce_field(name, raw):
         if want is float:
             return float(raw)
         if want is int:
-            return int(float(raw))
+            # strict, like devices above: '2.9' typed into a thread/depth
+            # COUNT is a typo to reject (the validator fires on the raw
+            # string), not a value to silently truncate to 2
+            f = float(raw)
+            if f.is_integer():
+                return int(f)
     except (TypeError, ValueError):
         pass
     return raw
@@ -119,8 +124,13 @@ class SettingsModel:
         serializable = {k: v for k, v in self.values.items()
                         if isinstance(v, (str, int, float, bool, list,
                                           type(None)))}
-        with open(self.path_cache, 'w') as f:
-            json.dump(serializable, f, indent=2)
+        try:
+            with open(self.path_cache, 'w') as f:
+                json.dump(serializable, f, indent=2)
+        except OSError:
+            # an unwritable CWD (read-only install, full disk) must never
+            # block launching the analysis — same contract as load_cache
+            pass
 
     # --- validation -------------------------------------------------------
     def validate_field(self, name) -> ArgValid:
@@ -128,7 +138,11 @@ class SettingsModel:
         if validator is None:
             return ArgValid(True, None)
         value = self.values.get(name)
-        if name == 'dir_out' and value is None:
+        if name == 'dir_audio' and self.values.get('watch'):
+            # watch mode tolerates a not-yet-created recorder directory
+            # (CLI parity: cli.py skips the dir_audio validator there; the
+            # pipeline downgrades the empty listing to DEBUG and keeps
+            # polling)
             return ArgValid(True, None)
         return validator(value)
 

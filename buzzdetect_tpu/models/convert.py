@@ -166,12 +166,19 @@ def build_model_bundle(dir_out: str,
                        provenance: str = ''):
     """Assemble a complete inference bundle for a model directory.
 
-    Any missing source falls back to deterministic seeded initialization (the
-    graph is then structurally complete but untrained — documented in the
-    bundle's provenance).
+    An OMITTED source (None) falls back to deterministic seeded
+    initialization (the graph is then structurally complete but untrained —
+    documented in the bundle's provenance). An explicitly NAMED source that
+    does not exist raises: silently substituting random weights for a
+    typo'd path would produce a bundle that loads and 'works' while scoring
+    garbage, with the downgrade recorded only in a provenance string.
     """
     notes = []
-    if yamnet_h5 and os.path.exists(yamnet_h5):
+    if yamnet_h5:
+        if not os.path.exists(yamnet_h5):
+            raise FileNotFoundError(
+                f'yamnet_h5 was explicitly given but does not exist: '
+                f'{yamnet_h5} (omit it to build with seeded-init weights)')
         raw = yamnet_from_keras_h5(yamnet_h5)
         notes.append(f'yamnet weights from {yamnet_h5}')
     else:
@@ -179,8 +186,12 @@ def build_model_bundle(dir_out: str,
         notes.append('yamnet weights: deterministic seeded init '
                      '(pretrained blob not available in this environment)')
 
-    if head_checkpoint_prefix and os.path.exists(
-            head_checkpoint_prefix + '.index'):
+    if head_checkpoint_prefix:
+        if not os.path.exists(head_checkpoint_prefix + '.index'):
+            raise FileNotFoundError(
+                f'head_checkpoint_prefix was explicitly given but '
+                f'{head_checkpoint_prefix}.index does not exist (omit it '
+                f'to build with seeded-init head weights)')
         head = head_from_savedmodel_checkpoint(head_checkpoint_prefix)
         notes.append(f'head weights from {head_checkpoint_prefix}')
     else:
@@ -192,7 +203,11 @@ def build_model_bundle(dir_out: str,
     arrays = {}
     arrays.update({f'yamnet_raw/{k}': v for k, v in raw.items()})
     arrays.update(head)
-    if metrics_csv and os.path.exists(metrics_csv):
+    if metrics_csv:
+        if not os.path.exists(metrics_csv):
+            raise FileNotFoundError(
+                f'metrics_csv was explicitly given but does not exist: '
+                f'{metrics_csv} (omit it to build without a metrics table)')
         arrays.update(metrics_from_csv(metrics_csv))
         notes.append(f'metrics from {metrics_csv}')
 

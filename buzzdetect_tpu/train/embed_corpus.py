@@ -59,10 +59,32 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
 
     Writes ``<ident>_embeddings.npz`` (keys: starts, embeddings) under
     ``dir_out`` and returns the list of written paths. Already-embedded
-    files are skipped (same resumability contract as analysis).
+    files are skipped (same resumability contract as analysis — including
+    the settings pin: a manifest records the model and framehop these
+    embeddings were produced under, and a rerun with different settings
+    fails loudly instead of silently adopting stale npz files whose starts
+    grid no longer matches).
     """
+    import json
     from buzzdetect_tpu.audio import driver_map
     from buzzdetect_tpu.models.registry import load_model
+
+    settings = {'model': modelname or cfg.DEFAULT_MODEL,
+                'framehop_prop': framehop_prop}
+    path_manifest = os.path.join(dir_out, 'embeddings_manifest.json')
+    if os.path.exists(path_manifest):
+        with open(path_manifest) as f:
+            prior = json.load(f)
+        if prior != settings:
+            raise ValueError(
+                f'{dir_out} holds embeddings produced with {prior}, which '
+                f'conflicts with the requested {settings}; embed into a '
+                f'fresh dir_out (or delete the stale one) instead of '
+                f'mixing incompatible embedding grids')
+    else:
+        os.makedirs(dir_out, exist_ok=True)
+        with open(path_manifest, 'w') as f:
+            json.dump(settings, f)
 
     # lazy: a fully-resumed corpus (every npz present) must not pay the
     # model load / device placement just to skip every file

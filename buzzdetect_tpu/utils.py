@@ -150,3 +150,36 @@ def write_wav(path, samples, rate: int = 16000):
         w.setsampwidth(2)
         w.setframerate(int(rate))
         w.writeframes(ints.tobytes())
+
+
+def dispatch_slope(fn, inputs, n_long, trials=5, floor=0.0):
+    """(best, median, worst) seconds per call via the dispatch-slope method.
+
+    Times N back-to-back dispatches minus a short run, synced by host
+    materialization of the final output (the only reliable barrier: through
+    the tunneled device link ``block_until_ready`` returns early, and the
+    runtime dedups repeated identical dispatches — so callers must pass
+    several distinct device-resident ``inputs``). The link's duty cycle
+    makes single slopes noisy (the same stage has measured 0.2 ms and
+    6.9 ms minutes apart); interleaved trials with the spread reported keep
+    the numbers honest — read the MEDIAN, and distrust any measurement
+    whose spread spans a factor of 2. Shared by tools/graph_cost_probe.py,
+    tools/roofline.py and tools/int8_tpu_probe.py (they used to carry
+    drifting copies of this loop).
+    """
+    def run(k):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(k):
+            out = fn(inputs[i % len(inputs)])
+        np.asarray(out)  # host materialization = the only reliable barrier
+        return time.perf_counter() - t0
+
+    run(2)  # warm (compile)
+    slopes = []
+    for _ in range(trials):
+        short = min(run(2) for _ in range(2))
+        long = min(run(n_long) for _ in range(2))
+        slopes.append(max(floor, (long - short) / (n_long - 2)))
+    slopes.sort()
+    return slopes[0], slopes[len(slopes) // 2], slopes[-1]

@@ -36,11 +36,17 @@ OK = ArgValid(True, None)
 # --- rule toolkit -----------------------------------------------------------
 
 def _as_number(value, kind):
+    err = ArgValid(False, 'must be numeric'
+                   if kind is float else 'must be an integer')
+    if kind is int and isinstance(value, float) and not value.is_integer():
+        # int(2.9) would silently truncate a value analyze() later crashes
+        # on (range(2.9)); reject non-integral floats like the string
+        # parse already does (int('2.9') raises)
+        return None, err
     try:
         return kind(value), None
     except (TypeError, ValueError):
-        return None, ArgValid(False, 'must be numeric'
-                              if kind is float else 'must be an integer')
+        return None, err
 
 
 def numeric_rule(*, kind=float, minimum=None, maximum=None,

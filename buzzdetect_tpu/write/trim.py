@@ -7,7 +7,6 @@ start-time grid (reconstructed from offset+hop when uniform) and one
 small-integer array per kept class (activations quantized to ``decimals``).
 """
 
-import csv
 import os
 
 import numpy as np
@@ -23,10 +22,14 @@ def trim_results(path_csv: str, classes_keep=('ins_buzz',), decimals: int = 1):
         # a bare string would do SUBSTRING matching in the `in` test below
         # ('buzz' silently keeping 'ins_buzz'); treat it as one class name
         classes_keep = (classes_keep,)
-    with open(path_csv, newline='') as f:
-        reader = csv.reader(f)
-        header = next(reader)
-        rows = [r for r in reader if r]
+    # the canonical torn-row-tolerant reader (coverage.read_result_rows):
+    # a torn line (e.g. a reference-implementation CSV interrupted
+    # mid-append — the two implementations are mutually resumable) must be
+    # skipped, not crash the whole trim_directory walk with an IndexError
+    from buzzdetect_tpu.write.coverage import read_result_rows
+    header, rows, _torn = read_result_rows(path_csv)
+    if header is None:
+        raise ValueError(f'{path_csv} has no usable header; not a result CSV')
 
     cols = {}
     start_idx = header.index('start')
@@ -69,10 +72,10 @@ def read_results(path_csv: str):
     The reading API downstream analysis needs (the buzzr-style accessor),
     for both activations and detections files.
     """
-    with open(path_csv, newline='') as f:
-        reader = csv.reader(f)
-        header = next(reader)
-        rows = [r for r in reader if len(r) == len(header)]
+    from buzzdetect_tpu.write.coverage import read_result_rows
+    header, rows, _torn = read_result_rows(path_csv)
+    if header is None:
+        raise ValueError(f'{path_csv} has no usable header; not a result CSV')
     data = np.array([[float(c) for c in r] for r in rows], np.float64)
     if data.size == 0:
         data = data.reshape(0, len(header))

@@ -125,6 +125,24 @@ def test_coerce_field_empty_optionals_and_numerics():
     assert coerce_field('framehop_prop', '0.5') == 0.5
     assert coerce_field('chunklength', 'abc') == 'abc'   # validator reports
     assert coerce_field('modelname', 'm') == 'm'
+    # '2.9' typed into a COUNT field is a typo to reject, not a value to
+    # silently truncate — it stays raw so the validator fires
+    assert coerce_field('analyzers_cpu', '2.9') == '2.9'
+    assert coerce_field('stream_buffer_depth', '2.9') == '2.9'
+    assert coerce_field('analyzers_cpu', '3.0') == 3
+
+
+def test_watch_mode_exempts_dir_audio_validation():
+    """Watch mode tolerates a not-yet-created recorder directory (CLI
+    parity: cli.py skips the dir_audio validator there); the GUI must not
+    brick a feature the CLI allows."""
+    from buzzdetect_tpu.gui.viewmodel import SettingsModel
+    m = SettingsModel(path_cache='/nonexistent/never-written.json')
+    m.values['dir_audio'] = '/no/such/recorder/dir'
+    m.values['watch'] = False
+    assert not m.validate_field('dir_audio').valid
+    m.values['watch'] = True
+    assert m.validate_field('dir_audio').valid
 
 
 def test_default_form_values_validate():

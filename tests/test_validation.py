@@ -46,6 +46,10 @@ def test_validate_int():
     assert not validate_int(-1, none_ok=False, value_min=0).valid
     assert not validate_int(5, none_ok=False, value_max=1).valid
     assert validate_int('3', none_ok=False).valid
+    # non-integral floats must be REJECTED, not silently truncated to a
+    # value analyze() later crashes on (regression: int(2.9) passed as 2)
+    assert not validate_int(2.9, none_ok=False).valid
+    assert validate_int(3.0, none_ok=False).valid
 
 
 def test_verbosity():

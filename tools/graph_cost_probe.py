@@ -20,37 +20,12 @@ Usage: python tools/graph_cost_probe.py [--seconds 960] [--chunks 20]
 import argparse
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def slope_time(fn, inputs, n_long, trials=5):
-    """(best, median, worst) seconds per call via the dispatch-slope method.
-
-    The tunneled link's duty cycle makes single slopes noisy (same stage
-    has measured 0.2 ms and 6.9 ms minutes apart); interleaved trials with
-    the spread reported keep the numbers honest — read the MEDIAN, and
-    distrust any stage whose spread spans a factor of 2."""
-    import numpy as np
-
-    def run(k):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(k):
-            out = fn(inputs[i % len(inputs)])
-        np.asarray(out)  # host materialization = the only reliable barrier
-        return time.perf_counter() - t0
-
-    run(2)  # warm (compile)
-    slopes = []
-    for _ in range(trials):
-        short = min(run(2) for _ in range(2))
-        long = min(run(n_long) for _ in range(2))
-        slopes.append(max(0.0, (long - short) / (n_long - 2)))
-    slopes.sort()
-    return slopes[0], slopes[len(slopes) // 2], slopes[-1]
+from buzzdetect_tpu.utils import dispatch_slope as slope_time  # noqa: E402
 
 
 def main():
@@ -93,8 +68,12 @@ def main():
     frontend = jax.jit(partial(log_mel_patches, cfg=cfg))
     spect = jax.jit(lambda w: log_mel_spectrogram(w, cfg))
     patches = [frontend(w) for w in wavs]  # stay device-resident
+    # the standalone stages must measure the SAME implementations the
+    # product graph runs (clf.conv is the auto-resolved fused-Pallas/XLA
+    # choice) — an all-XLA embed stage next to a fused-conv full graph
+    # would misattribute the conv cost by the fusion's own ~1.37x
     embed = jax.jit(partial(yamnet_lib.embed, params['yamnet'],
-                            compute_dtype=dtype))
+                            compute_dtype=dtype, conv=clf.conv))
     embs = [embed(p) for p in patches]
     head = jax.jit(partial(apply_head, params['head']))
 
@@ -102,7 +81,7 @@ def main():
         ('full graph', full, wavs),
         ('frontend (dft+mel+log+patches)', frontend, wavs),
         ('log-mel spectrogram only', spect, wavs),
-        ('embed (conv stack)', embed, patches),
+        (f'embed (conv stack, {clf.conv})', embed, patches),
         ('head', head, embs),
     ]
     label = 'bf16' if args.bf16 else 'f32'

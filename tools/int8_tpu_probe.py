@@ -28,32 +28,12 @@ Usage: python tools/int8_tpu_probe.py [--patches 1000] [--chunks 20]
 import argparse
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def slope_time(fn, inputs, n_long, trials=5):
-    """(best, median, worst) seconds per call; see graph_cost_probe.py."""
-    import numpy as np
-
-    def run(k):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(k):
-            out = fn(inputs[i % len(inputs)])
-        np.asarray(out)  # host materialization = the only reliable barrier
-        return time.perf_counter() - t0
-
-    run(2)  # warm (compile)
-    slopes = []
-    for _ in range(trials):
-        short = min(run(2) for _ in range(2))
-        long = min(run(n_long) for _ in range(2))
-        slopes.append(max(0.0, (long - short) / (n_long - 2)))
-    slopes.sort()
-    return slopes[0], slopes[len(slopes) // 2], slopes[-1]
+from buzzdetect_tpu.utils import dispatch_slope as slope_time  # noqa: E402
 
 
 def main():

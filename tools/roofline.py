@@ -119,22 +119,9 @@ def lower_bound(flops, nbytes, engine, mxu_peak, vpu_peak, bw):
 # --- empirical peaks ---------------------------------------------------------
 
 def _slope(fn, inputs, n_long=16, trials=5):
-    import numpy as np
-    def run(k):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(k):
-            out = fn(inputs[i % len(inputs)])
-        np.asarray(out)
-        return time.perf_counter() - t0
-    run(2)
-    slopes = []
-    for _ in range(trials):
-        short = min(run(2) for _ in range(2))
-        long = min(run(n_long) for _ in range(2))
-        slopes.append(max(1e-12, (long - short) / (n_long - 2)))
-    slopes.sort()
-    return slopes[len(slopes) // 2]
+    """Median seconds per call (floor 1e-12: ratios divide by this)."""
+    from buzzdetect_tpu.utils import dispatch_slope
+    return dispatch_slope(fn, inputs, n_long, trials, floor=1e-12)[1]
 
 
 def measure_peaks(dtype):

@@ -132,6 +132,15 @@ def main():
     t.join(timeout=5)
     wall = time.time() - t0
 
+    # settle: analyze() returns the moment the exit event fires, which is
+    # also what wakes the final pass's watcher daemons — up to 3 of them
+    # (plus the mutator) can still be alive for a beat; sampling then would
+    # flag a spurious residue where there is no leak
+    for _ in range(50):
+        if n_threads() <= base_threads:
+            break
+        time.sleep(0.1)
+
     d_threads = n_threads() - base_threads
     d_fds = n_fds() - base_fds
     d_rss = rss_mb() - base_rss
