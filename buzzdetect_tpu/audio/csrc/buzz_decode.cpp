@@ -629,7 +629,9 @@ int bz_encode_fixture(const char* path, const char* codec_name,
     const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) return fail("no encoder", 0);
     AVStream* st = avformat_new_stream(fmt, nullptr);
+    if (!st) return fail("new_stream", 0);
     enc = avcodec_alloc_context3(codec);
+    if (!enc) return fail("alloc_context", 0);
     enc->sample_rate = sample_rate;
     av_channel_layout_default(&enc->ch_layout, channels);
     enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
@@ -659,6 +661,11 @@ int bz_encode_fixture(const char* path, const char* codec_name,
 
     AVFrame* frame = av_frame_alloc();
     AVPacket* pkt = av_packet_alloc();
+    if (!frame || !pkt) {
+        if (frame) av_frame_free(&frame);
+        if (pkt) av_packet_free(&pkt);
+        return fail("frame/packet alloc", 0);
+    }
     int frame_size = enc->frame_size > 0 ? enc->frame_size : 1024;
     int64_t total = (int64_t)(seconds * sample_rate);
     int64_t pos = 0;
@@ -666,9 +673,17 @@ int bz_encode_fixture(const char* path, const char* codec_name,
     SwrContext* swr = nullptr;  // float -> encoder fmt
     AVChannelLayout lay;
     av_channel_layout_default(&lay, channels);
-    swr_alloc_set_opts2(&swr, &lay, enc->sample_fmt, sample_rate,
-                        &lay, AV_SAMPLE_FMT_FLT, sample_rate, 0, nullptr);
-    swr_init(swr);
+    ret = swr_alloc_set_opts2(&swr, &lay, enc->sample_fmt, sample_rate,
+                              &lay, AV_SAMPLE_FMT_FLT, sample_rate, 0,
+                              nullptr);
+    if (ret < 0 || !swr || swr_init(swr) < 0) {
+        // swr may be null here — every other path in this function reports
+        // through errbuf instead of dereferencing
+        av_frame_free(&frame);
+        av_packet_free(&pkt);
+        if (swr) swr_free(&swr);
+        return fail("swr setup", ret);
+    }
 
     std::vector<float> buf((size_t)frame_size * channels);
     auto drain = [&](bool flush) {

@@ -157,7 +157,7 @@ def encode_fixture(path: str, codec: str, sample_rate: int = 48000,
     byte-interpolated timestamps lie (VBR MP3)."""
     lib = get_lib()
     err = ctypes.create_string_buffer(256)
-    ret = lib.bz_encode_fixture(path.encode(), codec.encode(),
+    ret = lib.bz_encode_fixture(os.fsencode(path), codec.encode(),
                                 sample_rate, channels, seconds, err, 256,
                                 1 if vbr else 0)
     if ret != 0:
@@ -175,7 +175,11 @@ class NativeStream:
     def __init__(self, path: str, target_rate: int = 0):
         self._lib = get_lib()
         err = ctypes.create_string_buffer(512)
-        self._h = self._lib.bz_open(path.encode(), int(target_rate), err, 512)
+        # fsencode, not encode(): recorder media can carry non-UTF-8
+        # filenames (surrogate-escaped by os.walk); strict UTF-8 would raise
+        # UnicodeEncodeError on a file libav opens fine with the raw bytes
+        self._h = self._lib.bz_open(os.fsencode(path), int(target_rate),
+                                    err, 512)
         if not self._h:
             raise DecodeError(
                 f'cannot open {path}: {err.value.decode(errors="replace")}')
@@ -239,7 +243,7 @@ class NativeStream:
 
     def last_error(self) -> str:
         buf = ctypes.create_string_buffer(512)
-        self._lib.bz_last_error(self._h, buf, 512)
+        self._lib.bz_last_error(self._handle(), buf, 512)
         return buf.value.decode(errors='replace')
 
     def close(self):

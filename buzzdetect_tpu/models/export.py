@@ -36,8 +36,14 @@ def export_classifier(modelname: str, chunk_seconds: float,
     clf = model.classifier
     cfg = clf.cfg
     fl = model.embedder.framelength_s
-    chunk_seconds = round(chunk_seconds / fl) * fl
-    n_samples = int(chunk_seconds * 16000)
+    n_frames = round(chunk_seconds / fl)
+    if n_frames < 1:
+        raise ValueError(f'chunk_seconds={chunk_seconds} snaps to zero '
+                         f'frames (framelength {fl}s)')
+    # integer sample math: int(n_frames * 0.96 * 16000) would truncate a
+    # sample off the inexact binary product (960.0 -> 15359999)
+    chunk_seconds = round(n_frames * fl, 6)
+    n_samples = n_frames * int(round(fl * 16000))
     target = padded_length(n_samples, cfg)
 
     if conv not in ('xla', 'pallas'):
@@ -50,7 +56,13 @@ def export_classifier(modelname: str, chunk_seconds: float,
     from buzzdetect_tpu.models.classifier import _classify_padded
 
     def forward(waveform):
-        return _classify_padded(params, waveform, cfg, conv=conv)
+        # honor the model's configured frontend/compute dtype — an export
+        # built with defaults would silently diverge from the live model
+        # the user validated (classifier.py forbids exactly that
+        # substitution on the serving path)
+        return _classify_padded(params, waveform, cfg,
+                                compute_dtype=clf.compute_dtype,
+                                frontend=clf.frontend, conv=conv)
 
     dtype = {'int16': jnp.int16, 'mulaw': jnp.int8}.get(
         transfer_dtype, jnp.float32)
@@ -98,6 +110,9 @@ def load_exported(dir_in: str):
         waveform = np.asarray(waveform)
         assert len(waveform) == meta['input_samples'], \
             f"expected {meta['input_samples']} samples"
-        return exported.call(waveform)
+        # slice to the real patch count, exactly like the live predict()
+        # path: at framehop_prop > 1 the padded graph emits one extra
+        # pure-padding patch whose score row is not real audio
+        return exported.call(waveform)[:meta['n_patches']]
 
     return call, meta

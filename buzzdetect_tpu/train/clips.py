@@ -174,8 +174,14 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
     losses = []
     for epoch in range(epochs):
         order = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        for i in range(0, n, batch_size):
+            # remainder batch wraps to a fresh shuffle's head (see
+            # trainer.train_head): no samples silently dropped per epoch,
+            # and the single static batch shape compiles one program
             idx = order[i:i + batch_size]
+            if len(idx) < batch_size:
+                idx = np.concatenate(
+                    [idx, rng.permutation(n)[:batch_size - len(idx)]])
             params, opt_state, loss = step(
                 params, opt_state,
                 jnp.asarray(clips[idx]), jnp.asarray(labels[idx]))

@@ -94,16 +94,20 @@ def train_head(embeddings, labels, n_classes=None, *, epochs=10,
     rng = np.random.default_rng(seed)
     losses = []
     n = len(embeddings)
+    batch_size = min(batch_size, n)
     for epoch in range(epochs):
         order = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        for i in range(0, n, batch_size):
+            # the remainder batch trains too (a drop-last loop silently
+            # skipped up to batch_size-1 shuffled samples per epoch); it is
+            # padded by WRAPPING to the next epoch's head of the shuffle —
+            # one static batch shape, so jit compiles exactly one program
             idx = order[i:i + batch_size]
+            if len(idx) < batch_size:
+                idx = np.concatenate(
+                    [idx, rng.permutation(n)[:batch_size - len(idx)]])
             params, opt_state, loss = step(params, opt_state,
                                            embeddings[idx], labels[idx])
-            losses.append(float(loss))
-        if n < batch_size:
-            params, opt_state, loss = step(params, opt_state, embeddings,
-                                           labels)
             losses.append(float(loss))
     return {k: np.asarray(v) for k, v in params.items()}, losses
 

@@ -171,6 +171,36 @@ def test_aot_export_roundtrip(bundle_dir, monkeypatch, tmp_path):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_aot_export_slices_phantom_padding_row(bundle_dir, monkeypatch,
+                                               tmp_path):
+    """At framehop_prop > 1 the padded graph emits an extra pure-padding
+    patch; load_exported must slice to n_patches like the live predict()
+    path (regression: consumers scored a phantom patch of silence past the
+    end of every chunk)."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.export import (export_classifier,
+                                              save_exported, load_exported)
+    from buzzdetect_tpu.ops.frontend import (FrontendConfig, num_patches,
+                                             padded_length)
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', os.path.dirname(bundle_dir))
+    blob, meta = export_classifier('testmodel', chunk_seconds=4.0,
+                                   framehop_prop=2.0, platforms=('cpu',))
+    # precondition: these settings really do pad in an extra patch — the
+    # test is vacuous otherwise
+    fcfg = FrontendConfig().with_framehop(2.0)
+    n_samples = round(4.0 / 0.96) * int(round(0.96 * 16000))
+    assert num_patches(padded_length(n_samples, fcfg), fcfg) \
+        > meta['n_patches']
+
+    call, meta2 = load_exported(save_exported(str(tmp_path / 's'), blob,
+                                              meta))
+    wav = (RNG.standard_normal(meta2['input_samples'])
+           * 20000).astype(np.int16)
+    out = np.asarray(call(wav))
+    assert out.shape[0] == meta2['n_patches']
+
+
 def test_full_pipeline_parity_vs_tf_halfhop(arrays):
     """Same waveform->scores parity check at framehop 0.5 (overlapping
     patches), the reference's yamnet_halfhop configuration."""
