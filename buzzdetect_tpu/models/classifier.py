@@ -390,12 +390,33 @@ class ChunkClassifier:
         target_native = -(-target_model * input_rate // sr)
         return n_valid, n_model, target_model, target_native
 
+    def _dispatch(self, thunk):
+        """Run a jitted-graph thunk; if the AUTO-resolved fused Pallas conv
+        fails to compile (Mosaic constraints vary across TPU generations and
+        toolchain versions), degrade once to the portable XLA conv with a
+        warning instead of crashing the product. An EXPLICIT conv='pallas'
+        still fails loudly — no silent substitution, same contract as the
+        frontend knob. The thunk must read self.conv at call time so the
+        retry picks up the flip."""
+        try:
+            return thunk()
+        except Exception as e:
+            if not (self._conv_auto and self.conv == 'pallas'):
+                raise
+            import warnings
+            warnings.warn(
+                f'fused Pallas conv failed to compile on this backend '
+                f'({type(e).__name__}: {str(e)[:300]}); conv=auto falling '
+                f'back to the XLA conv stack', RuntimeWarning)
+            self.conv = 'xla'
+            return thunk()
+
     def _classify(self, wav_device, *resample_args):
         """Run the jitted classify graph with the selected frontend. An
         explicit frontend choice fails loudly — no silent substitution."""
-        return _classify_padded(self._device_params(), wav_device,
-                                self.cfg, self.compute_dtype, self.mesh,
-                                self.frontend, self.conv, *resample_args)
+        return self._dispatch(lambda: _classify_padded(
+            self._device_params(), wav_device, self.cfg, self.compute_dtype,
+            self.mesh, self.frontend, self.conv, *resample_args))
 
     # --- public API ------------------------------------------------------------
     def predict(self, samples: np.ndarray,
@@ -454,18 +475,18 @@ class ChunkClassifier:
             batch = np.stack([self._pad_to(a, t_native) for a in arrs])
             batch = jax.device_put(batch, self._placement)
             valid = jnp.asarray(n_models, jnp.int32)[:, None]  # (B, 1)
-            out = _classify_padded_batch(self._device_params(), batch,
-                                         self.cfg, self.compute_dtype,
-                                         self.mesh, self.frontend, self.conv,
-                                         int(input_rate), int(t_model), valid)
+            out = self._dispatch(lambda: _classify_padded_batch(
+                self._device_params(), batch, self.cfg, self.compute_dtype,
+                self.mesh, self.frontend, self.conv,
+                int(input_rate), int(t_model), valid))
             return out, n_valids
         n_valids = [num_patches(len(a), self.cfg) for a in arrs]
         target = self._target_length(max(len(a) for a in arrs))
         batch = np.stack([self._pad_to(a, target) for a in arrs])
         batch = jax.device_put(batch, self._placement)
-        out = _classify_padded_batch(self._device_params(), batch, self.cfg,
-                                     self.compute_dtype, self.mesh,
-                                     self.frontend, self.conv)
+        out = self._dispatch(lambda: _classify_padded_batch(
+            self._device_params(), batch, self.cfg, self.compute_dtype,
+            self.mesh, self.frontend, self.conv))
         return out, n_valids
 
     def classify_resident(self, wav_device):
@@ -481,8 +502,9 @@ class ChunkClassifier:
         samples = np.asarray(samples)
         n_valid = num_patches(len(samples), self.cfg)
         wav = self._pad_to(samples, self._target_length(len(samples)))
-        out = _embed_padded(self._device_params(), wav, self.cfg,
-                            self.compute_dtype, self.conv)
+        out = self._dispatch(lambda: _embed_padded(
+            self._device_params(), wav, self.cfg, self.compute_dtype,
+            self.conv))
         return np.asarray(out)[:n_valid]
 
     def warmup(self, chunk_samples: int):

@@ -214,6 +214,42 @@ def test_execution_target_rule():
         assert _execution_target_is_tpu(devices=[fake_tpu]) is False
 
 
+def test_conv_auto_compile_failure_falls_back_to_xla(monkeypatch):
+    """Mosaic constraints vary across TPU generations/toolchains: if the
+    AUTO-resolved fused conv fails to compile at first dispatch, conv=auto
+    must degrade to the XLA stack with a warning — the product must not
+    crash. An EXPLICIT conv='pallas' still fails loudly."""
+    import warnings
+    from buzzdetect_tpu.models import classifier as clf_mod
+
+    real = clf_mod._classify_padded
+
+    def fake(params, wav, cfg, compute_dtype=jnp.float32, mesh=None,
+             frontend='xla', conv='xla', *a):
+        if conv == 'pallas':
+            raise RuntimeError('Mosaic failed to compile (simulated)')
+        return real(params, wav, cfg, compute_dtype, mesh, frontend,
+                    conv, *a)
+
+    monkeypatch.setattr(clf_mod, '_classify_padded', fake)
+    arrays = _bundle_arrays()
+    clf = clf_mod.ChunkClassifier(arrays, framehop_prop=1.0)
+    clf._conv_auto, clf.conv = True, 'pallas'  # as on a TPU backend
+    wav = np.zeros(int(2 * 0.96 * 16000) + 240, np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        out, n_valid = clf.predict_async(wav)
+    assert np.asarray(out).shape[1] == 3 and n_valid == 2
+    assert clf.conv == 'xla'
+    assert any('falling back' in str(x.message) for x in w)
+
+    # explicit pallas: no silent substitution
+    clf2 = clf_mod.ChunkClassifier(arrays, framehop_prop=1.0)
+    clf2._conv_auto, clf2.conv = False, 'pallas'
+    with pytest.raises(RuntimeError, match='simulated'):
+        clf2.predict_async(wav)
+
+
 def test_classifier_conv_validation():
     """'auto' resolves to 'xla' off-TPU; explicit 'pallas' + mesh/sharding
     fails loudly (GSPMD cannot partition the fused kernel); bad names
