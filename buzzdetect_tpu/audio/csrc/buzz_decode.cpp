@@ -74,6 +74,15 @@ struct BzStream {
     // drop this many OUTPUT samples produced after a seek (swr warmup + phase)
     int64_t out_drop = 0;
 
+    // the input format swr is currently configured for; push_frame compares
+    // every decoded frame against this (corrupt streams — and legitimately,
+    // broadcast codecs like AC3 — can switch layout/format/rate mid-stream;
+    // converting a mismatched frame makes swr read channel planes that do
+    // not exist)
+    AVChannelLayout swr_in_layout {};
+    int swr_in_fmt = -1;       // AVSampleFormat
+    int swr_in_rate = 0;
+
     std::string error;
 };
 
@@ -81,6 +90,54 @@ void set_err(BzStream* s, const char* what, int averr = 0) {
     char buf[256] = {0};
     if (averr) av_strerror(averr, buf, sizeof(buf));
     s->error = std::string(what) + (averr ? std::string(": ") + buf : "");
+}
+
+// (Re)build the mono-f32 resampler for the given input parameters and
+// record them in the stream so per-frame validation can detect changes.
+// ``src_layout`` may be UNSPEC (or null), in which case the default layout
+// for ``in_channels`` is used — matching what the decoder actually emits.
+int config_swr(BzStream* s, const AVChannelLayout* src_layout,
+               AVSampleFormat in_fmt, int in_rate, int in_channels) {
+    if (s->swr) swr_free(&s->swr);
+    av_channel_layout_uninit(&s->swr_in_layout);
+    s->swr_in_fmt = -1;
+    s->swr_in_rate = 0;
+
+    AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+    AVChannelLayout in_layout;
+    if (!src_layout || src_layout->order == AV_CHANNEL_ORDER_UNSPEC)
+        av_channel_layout_default(&in_layout, in_channels);
+    else
+        av_channel_layout_copy(&in_layout, src_layout);
+
+    int ret = swr_alloc_set_opts2(&s->swr,
+                                  &mono, AV_SAMPLE_FMT_FLT, s->out_rate,
+                                  &in_layout, in_fmt, in_rate,
+                                  0, nullptr);
+    if (ret < 0) {
+        av_channel_layout_uninit(&in_layout);
+        set_err(s, "swr alloc", ret);
+        return ret;
+    }
+    // equal-weight mean downmix (swresample defaults to 0.707 gains for
+    // stereo->mono; the contract is np.mean over channels, as in the
+    // reference streamer `src/stream/worker.py:117`)
+    int nch = in_layout.nb_channels;
+    if (nch > 1) {
+        std::vector<double> matrix(nch, 1.0 / nch);
+        swr_set_matrix(s->swr, matrix.data(), nch);
+    }
+    ret = swr_init(s->swr);
+    if (ret < 0) {
+        av_channel_layout_uninit(&in_layout);
+        set_err(s, "swr init", ret);
+        return ret;
+    }
+    av_channel_layout_copy(&s->swr_in_layout, &in_layout);
+    av_channel_layout_uninit(&in_layout);
+    s->swr_in_fmt = (int)in_fmt;
+    s->swr_in_rate = in_rate;
+    return 0;
 }
 
 SeekStrategy strategy_for(AVCodecID id) {
@@ -151,33 +208,9 @@ int open_internal(BzStream* s) {
         && !strstr(s->fmt->iformat->name, "mov"))
         s->strategy = SEEK_REOPEN;
 
-    AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
-    AVChannelLayout in_layout;
-    if (s->dec->ch_layout.order == AV_CHANNEL_ORDER_UNSPEC)
-        av_channel_layout_default(&in_layout, s->native_channels);
-    else
-        av_channel_layout_copy(&in_layout, &s->dec->ch_layout);
-
-    ret = swr_alloc_set_opts2(&s->swr,
-                              &mono, AV_SAMPLE_FMT_FLT, s->out_rate,
-                              &in_layout, s->dec->sample_fmt, s->native_rate,
-                              0, nullptr);
-    if (ret < 0) {
-        av_channel_layout_uninit(&in_layout);
-        set_err(s, "swr alloc", ret);
-        return ret;
-    }
-    // equal-weight mean downmix (swresample defaults to 0.707 gains for
-    // stereo->mono; the contract is np.mean over channels, as in the
-    // reference streamer `src/stream/worker.py:117`)
-    if (s->native_channels > 1) {
-        std::vector<double> matrix(s->native_channels,
-                                   1.0 / s->native_channels);
-        swr_set_matrix(s->swr, matrix.data(), s->native_channels);
-    }
-    av_channel_layout_uninit(&in_layout);
-    ret = swr_init(s->swr);
-    if (ret < 0) { set_err(s, "swr init", ret); return ret; }
+    ret = config_swr(s, &s->dec->ch_layout, s->dec->sample_fmt,
+                     s->native_rate, s->native_channels);
+    if (ret < 0) return ret;
 
     // duration estimate (container metadata; may lie for truncated files —
     // short reads at EOF are the caller's bad-read signal, as in the
@@ -203,6 +236,9 @@ int open_internal(BzStream* s) {
 
 void close_internal(BzStream* s) {
     if (s->swr) swr_free(&s->swr);
+    av_channel_layout_uninit(&s->swr_in_layout);
+    s->swr_in_fmt = -1;
+    s->swr_in_rate = 0;
     if (s->dec) avcodec_free_context(&s->dec);
     if (s->fmt) avformat_close_input(&s->fmt);
 }
@@ -226,6 +262,52 @@ int push_frame(BzStream* s, AVFrame* fr) {
     int in_n = fr->nb_samples;
     const uint8_t** in_data = (const uint8_t**)fr->extended_data;
 
+    // Validate the frame before trusting its layout. Corrupt streams (and
+    // legitimately, broadcast codecs like AC3 in MTS captures) can emit
+    // frames whose channel layout, sample format, or rate differ from the
+    // open-time stream parameters; swr configured for the old layout would
+    // read channel plane pointers that do not exist (found by
+    // tools/fuzz_decode.py: SIGSEGV inside swr_convert on a bit-flipped
+    // AC3 stream that switched 1.0 -> 5.1 mid-file).
+    int fch = fr->ch_layout.nb_channels;
+    AVSampleFormat ffmt = (AVSampleFormat)fr->format;
+    if (in_n <= 0) return 0;
+    if (fch <= 0 || fch > 64 || fr->sample_rate <= 0
+        || fr->format < 0 || fr->format >= AV_SAMPLE_FMT_NB
+        || !fr->extended_data) {
+        // nonsense frame: drop it and keep decoding (the decoder already
+        // logged the corruption; a hard error would abandon a recoverable
+        // stream — same policy as the corrupt-packet skip in
+        // decode_next_frame)
+        return 0;
+    }
+    for (int p = 0; p < (av_sample_fmt_is_planar(ffmt) ? fch : 1); ++p)
+        if (!fr->extended_data[p]) return 0;  // corrupt frame: missing plane
+    bool mismatch = (int)ffmt != s->swr_in_fmt
+                    || fr->sample_rate != s->swr_in_rate;
+    if (!mismatch) {
+        if (fr->ch_layout.order == AV_CHANNEL_ORDER_UNSPEC)
+            mismatch = fch != s->swr_in_layout.nb_channels;
+        else
+            mismatch = av_channel_layout_compare(&fr->ch_layout,
+                                                 &s->swr_in_layout) != 0;
+    }
+    if (mismatch) {
+        // the old resampler's delay line holds audio that was already fed;
+        // flush it before reconfiguring so no samples are lost
+        size_t fbase = s->fifo.size();
+        int64_t tail = av_rescale_rnd(
+            swr_get_delay(s->swr, s->native_rate) + 256,
+            s->out_rate, s->native_rate, AV_ROUND_UP) + 64;
+        s->fifo.resize(fbase + tail);
+        uint8_t* flush_planes[1] = {(uint8_t*)(s->fifo.data() + fbase)};
+        int fgot = swr_convert(s->swr, flush_planes, (int)tail, nullptr, 0);
+        s->fifo.resize(fbase + (fgot > 0 ? fgot : 0));
+        apply_out_drop(s);
+        if (config_swr(s, &fr->ch_layout, ffmt, fr->sample_rate, fch) < 0)
+            return -1;
+    }
+
     // drop native samples still owed from a seek
     if (s->native_discard > 0) {
         if (in_n <= s->native_discard) {
@@ -233,14 +315,14 @@ int push_frame(BzStream* s, AVFrame* fr) {
             s->native_pos += in_n;
             return 0;
         }
-        // partial: advance pointers for packed or planar layouts
+        // partial: advance pointers for packed or planar layouts, using the
+        // FRAME's actual properties (not the open-time stream parameters —
+        // they can differ, see above)
         int skip = (int)s->native_discard;
-        int bps = av_get_bytes_per_sample(s->dec->sample_fmt);
+        int bps = av_get_bytes_per_sample(ffmt);
         static thread_local std::vector<const uint8_t*> ptrs;
-        int nplanes = av_sample_fmt_is_planar(s->dec->sample_fmt)
-                          ? s->native_channels : 1;
-        int stride = av_sample_fmt_is_planar(s->dec->sample_fmt)
-                         ? bps : bps * s->native_channels;
+        int nplanes = av_sample_fmt_is_planar(ffmt) ? fch : 1;
+        int stride = av_sample_fmt_is_planar(ffmt) ? bps : bps * fch;
         ptrs.assign(nplanes, nullptr);
         for (int p = 0; p < nplanes; ++p)
             ptrs[p] = fr->extended_data[p] + (int64_t)skip * stride;
@@ -251,8 +333,8 @@ int push_frame(BzStream* s, AVFrame* fr) {
     }
 
     int64_t max_out = av_rescale_rnd(
-        swr_get_delay(s->swr, s->native_rate) + in_n,
-        s->out_rate, s->native_rate, AV_ROUND_UP) + 64;
+        swr_get_delay(s->swr, fr->sample_rate) + in_n,
+        s->out_rate, fr->sample_rate, AV_ROUND_UP) + 64;
     size_t base = s->fifo.size();
     s->fifo.resize(base + max_out);
     uint8_t* out_planes[1] = {(uint8_t*)(s->fifo.data() + base)};

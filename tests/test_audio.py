@@ -484,3 +484,36 @@ def test_native_driver_read_honors_dtype(tmp_path):
     np.testing.assert_allclose(i16.astype(np.float32) / 32767.0, f32,
                                atol=1.0 / 32000)
     d.close()
+
+
+def test_midstream_channel_layout_switch(tmp_path):
+    """A stream whose channel layout changes mid-file must keep decoding,
+    not crash: the resampler is reconfigured per frame when the decoded
+    frame's layout/format/rate differ from the open-time parameters.
+
+    Broadcast codecs do this legitimately (an MTS capture switching
+    2.0 -> 5.1) and corrupt streams do it accidentally — the pre-fix
+    decoder passed the new frame into an swr configured for the old
+    layout and segfaulted on the missing channel planes (found by
+    tools/fuzz_decode.py, reproduced deterministically here: this exact
+    fixture crashes the previous library build with SIGSEGV)."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture, NativeStream
+    mono = str(tmp_path / 'mono.ac3')
+    stereo = str(tmp_path / 'stereo.ac3')
+    encode_fixture(mono, 'ac3', 48000, 1, 1.0)
+    encode_fixture(stereo, 'ac3', 48000, 2, 1.0)
+    switched = str(tmp_path / 'switch.ac3')
+    with open(switched, 'wb') as f:
+        f.write(open(mono, 'rb').read() + open(stereo, 'rb').read())
+
+    t = NativeStream(switched, target_rate=16000)
+    total = 0
+    while True:
+        got = t.read(65536)
+        assert np.all(np.isfinite(got))
+        total += len(got)
+        if len(got) < 65536:
+            break
+    # both halves decode (~2 s of audio; AC3 frame padding makes it inexact)
+    assert total >= int(1.9 * 16000)
+    t.close()
