@@ -460,6 +460,55 @@ def test_resume_reference_written_partial(patched_models, tmp_path):
     assert not os.path.exists(partial)
 
 
+@pytest.mark.parametrize('codec,ext', [
+    ('libmp3lame', 'mp3'),   # SEEK_PTS + bit-reservoir preroll
+    ('ac3', 'mts'),          # SEEK_REOPEN: fresh-open + count-forward
+    ('wmav2', 'wma'),        # SEEK_REOPEN: pts drift makes pts untrustable
+])
+def test_resume_seeks_into_compressed_codec(patched_models, tmp_path,
+                                            codec, ext):
+    """Interrupt/resume whose gap-fill seeks into a COMPRESSED file
+    mid-stream: the resume rides the native seek machinery (preroll for
+    mp3, reopen-and-count for ac3/wma — the invariants the reference
+    drivers document in `src/stream/drivers/{mp4,wma,mts}.py`) and must
+    reproduce the uninterrupted run byte for byte. The WAV soak covers
+    the coverage algebra; this covers the seek-accuracy integration."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    encode_fixture(os.path.join(dir_audio, f'rec.{ext}'),
+                   codec, 44100, 2, 10.0)
+
+    golden_dir = str(tmp_path / 'golden')
+    analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=golden_dir,
+            chunklength=2.0, verbosity_print='ERROR')
+    golden = open(os.path.join(golden_dir, 'rec_buzzdetect.csv')).read()
+    lines = golden.splitlines(keepends=True)
+    assert len(lines) > 8  # header + ~10 frames
+
+    # simulate an interrupted run: one complete middle chunk already on
+    # disk (chunklength 2.0 rounds to 1.92 s = frames {1.92, 2.88}), so the
+    # resume decodes [0, 1.92) and then SEEKS to 3.84 s for the tail gap.
+    # The covered span must be chunk-grid-aligned: a partial chunk would
+    # re-chunk the file on different boundaries, and boundary frames
+    # legitimately score differently (their patch tail sees zero padding
+    # instead of the next chunk's audio — same behavior as the reference's
+    # pad_waveform)
+    resume_dir = str(tmp_path / 'resume')
+    os.makedirs(resume_dir)
+    with open(os.path.join(resume_dir, 'rec_buzzpart.csv'), 'w') as f:
+        f.write(lines[0])
+        f.writelines(lines[3:5])
+    write_manifest(resume_dir, build_manifest('testmodel', 1.0, None,
+                                              CLASSES))
+    analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=resume_dir,
+            chunklength=2.0, verbosity_print='ERROR')
+    resumed = open(os.path.join(resume_dir, 'rec_buzzdetect.csv')).read()
+    assert resumed == golden
+
+
 def test_profile_dir_captures_trace(patched_models, tmp_path):
     from buzzdetect_tpu.analysis import analyze
     dir_audio = str(tmp_path / 'audio')
