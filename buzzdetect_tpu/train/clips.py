@@ -8,6 +8,8 @@ an event CSV plus the audio corpus is everything a from-scratch training run
 needs.
 """
 
+import os
+
 import numpy as np
 
 from buzzdetect_tpu.audio import build_track, get_duration
@@ -148,8 +150,15 @@ def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
 
 def train_full_model(clips, labels, *, epochs=10, batch_size=32,
                      learning_rate=1e-4, class_weights=None, mesh=None,
-                     seed=0, framehop_prop=1.0, log=print):
+                     seed=0, framehop_prop=1.0, log=print,
+                     checkpoint_dir=None, checkpoint_every=1):
     """Fine-tune the whole embedder + head on labeled clips.
+
+    With ``checkpoint_dir``, the full training state (params, optimizer,
+    epoch, loss history, shuffle rng) is persisted atomically every
+    ``checkpoint_every`` epochs and a rerun resumes from it — an
+    interrupted-and-resumed run lands on bit-identical parameters (the
+    analysis pipeline's kill-anytime contract, extended to training).
 
     Returns (raw_yamnet_params, head_params, losses) as numpy dicts, ready
     for ``convert.save_bundle`` (``yamnet_raw/*`` + ``head/*``).
@@ -157,6 +166,8 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
     import jax.numpy as jnp
     from buzzdetect_tpu.train.trainer import (make_full_train_step,
                                               init_full_train)
+    from buzzdetect_tpu.train.checkpoint import (load_train_checkpoint,
+                                                 save_train_checkpoint)
 
     n_classes = labels.shape[1]
     params, opt_state, tx = init_full_train(n_classes, seed=seed,
@@ -172,7 +183,25 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
                          'files in dir_audio?)')
     batch_size = min(batch_size, n)
     losses = []
-    for epoch in range(epochs):
+    start_epoch = 0
+    ckpt_path = None
+    fingerprint = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        ckpt_path = os.path.join(checkpoint_dir, 'finetune_ckpt.npz')
+        fingerprint = {'seed': int(seed),
+                       'learning_rate': float(learning_rate),
+                       'batch_size': int(batch_size),
+                       'framehop_prop': float(framehop_prop),
+                       'n_clips': int(n),
+                       'n_classes': int(n_classes)}
+        restored = load_train_checkpoint(ckpt_path, params, opt_state,
+                                         log=log, fingerprint=fingerprint)
+        if restored is not None:
+            params, opt_state, start_epoch, losses, rng = restored
+            log(f'resuming fine-tune from {ckpt_path} '
+                f'(epoch {start_epoch}/{epochs})')
+    for epoch in range(start_epoch, epochs):
         order = rng.permutation(n)
         for i in range(0, n, batch_size):
             # remainder batch wraps to a fresh shuffle's head (see
@@ -187,6 +216,10 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
                 jnp.asarray(clips[idx]), jnp.asarray(labels[idx]))
             losses.append(float(loss))
         log(f'epoch {epoch + 1}/{epochs}: loss {losses[-1]:.4f}')
+        if ckpt_path and (epoch + 1) % max(1, checkpoint_every) == 0:
+            save_train_checkpoint(ckpt_path, params, opt_state,
+                                  epoch + 1, losses, rng,
+                                  fingerprint=fingerprint)
 
     raw = {k: np.asarray(v) for k, v in params['yamnet_raw'].items()}
     head = {k: np.asarray(v) for k, v in params['head'].items()}

@@ -405,3 +405,65 @@ def test_embed_directory_chunk_grid_and_fault_containment(tmp_path,
     starts, emb = load_embeddings(written[0])
     np.testing.assert_allclose(np.diff(starts), 0.96, atol=1e-6)
     assert starts[0] == 0.0 and starts[-1] >= 3.8 - 0.96
+
+
+def test_full_train_checkpoint_resume_bit_identical(tmp_path):
+    """Kill-anytime resumability, extended to training: interrupt a full
+    fine-tune after 2 of 4 epochs, resume from the checkpoint, and land on
+    BIT-identical parameters and loss history (state includes the shuffle
+    rng, so the resumed run replays the exact batches)."""
+    from buzzdetect_tpu.train.clips import train_full_model
+    rng = np.random.default_rng(5)
+    clips = (rng.standard_normal((6, 15600)) * 0.1).astype(np.float32)
+    labels = (rng.random((6, 2)) > 0.5).astype(np.float32)
+    kw = dict(batch_size=3, learning_rate=1e-3, log=lambda *_: None)
+
+    raw_gold, head_gold, losses_gold = train_full_model(
+        clips, labels, epochs=4, **kw)
+
+    ckpt = str(tmp_path / 'work')
+    # "interrupted" run: stops after 2 epochs, leaving a checkpoint
+    train_full_model(clips, labels, epochs=2, checkpoint_dir=ckpt, **kw)
+    assert os.path.exists(os.path.join(ckpt, 'finetune_ckpt.npz'))
+    # resumed run: must pick up at epoch 2 and finish identically
+    raw, head, losses = train_full_model(
+        clips, labels, epochs=4, checkpoint_dir=ckpt, **kw)
+
+    assert losses == losses_gold
+    for k in raw_gold:
+        np.testing.assert_array_equal(raw[k], raw_gold[k], err_msg=k)
+    for k in head_gold:
+        np.testing.assert_array_equal(head[k], head_gold[k], err_msg=k)
+
+
+def test_train_checkpoint_rejects_foreign_state(tmp_path):
+    """A checkpoint from a different run (changed seed/dataset), a torn
+    file, or arbitrary garbage must be IGNORED (train fresh), never
+    half-loaded."""
+    from buzzdetect_tpu.train.clips import train_full_model
+    rng = np.random.default_rng(5)
+    clips = (rng.standard_normal((4, 15600)) * 0.1).astype(np.float32)
+    labels = (rng.random((4, 2)) > 0.5).astype(np.float32)
+    kw = dict(batch_size=2, learning_rate=1e-3, log=lambda *_: None)
+
+    ckpt = str(tmp_path / 'work')
+    train_full_model(clips, labels, epochs=1, seed=0,
+                     checkpoint_dir=ckpt, **kw)
+    path = os.path.join(ckpt, 'finetune_ckpt.npz')
+    assert os.path.exists(path)
+
+    gold_raw, _, gold_losses = train_full_model(clips, labels, epochs=1,
+                                                seed=1, **kw)
+    # different seed: the epoch-1 state on disk must not be adopted
+    raw, _, losses = train_full_model(clips, labels, epochs=1, seed=1,
+                                      checkpoint_dir=ckpt, **kw)
+    assert losses == gold_losses
+    for k in gold_raw:
+        np.testing.assert_array_equal(raw[k], gold_raw[k], err_msg=k)
+
+    # garbage file: ignored, not crashed on
+    with open(path, 'wb') as f:
+        f.write(b'not an npz at all')
+    raw, _, losses = train_full_model(clips, labels, epochs=1, seed=1,
+                                      checkpoint_dir=ckpt, **kw)
+    assert losses == gold_losses

@@ -51,6 +51,10 @@ def main():
     ap.add_argument('--full', action='store_true',
                     help='fine-tune the WHOLE embedder on labeled clips '
                          '(default: head-only on frozen embeddings)')
+    ap.add_argument('--checkpoint-every', type=int, default=1,
+                    help='with --full: persist the training state to the '
+                         'work dir every N epochs; an interrupted run '
+                         'resumes from it (bit-identical to uninterrupted)')
     ap.add_argument('--negatives-per-positive', type=float, default=1.0)
     ap.add_argument('--dir-work', default=None,
                     help='where embeddings are cached (default: <out>/work)')
@@ -93,7 +97,9 @@ def main():
         raw, head, losses = train_full_model(
             clips, labels, epochs=args.epochs,
             learning_rate=args.learning_rate,
-            framehop_prop=args.framehop)
+            framehop_prop=args.framehop,
+            checkpoint_dir=dir_work,
+            checkpoint_every=args.checkpoint_every)
         print(f'      loss {losses[0]:.4f} -> {losses[-1]:.4f}')
         print('[3/3] writing bundle ...')
         arrays = {f'yamnet_raw/{k}': v for k, v in raw.items()}
