@@ -517,3 +517,42 @@ def test_midstream_channel_layout_switch(tmp_path):
     # both halves decode (~2 s of audio; AC3 frame padding makes it inexact)
     assert total >= int(1.9 * 16000)
     t.close()
+
+
+@pytest.mark.parametrize('src_rate,channels', [
+    (8000, 1),     # telephone-band recorder: 2x upsample
+    (192000, 2),   # studio capture: 12x downsample
+    (22050, 6),    # many-channel array mic: 6-way equal downmix
+])
+def test_extreme_but_valid_formats(tmp_path, src_rate, channels):
+    """Recorder media spans odd-but-legal formats; the native stage must
+    resample/downmix them to the model rate with an accurate duration and
+    amplitude-preserving equal-weight downmix (a tone identical on all
+    channels must survive at ~its amplitude; reference contract is
+    np.mean over channels, `src/stream/worker.py:117`)."""
+    from buzzdetect_tpu.audio.ffi import NativeStream
+    import wave
+    path = str(tmp_path / 'fx.wav')
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 / src_rate *
+                         np.arange(src_rate * 2))).astype(np.float32)
+    pcm = (np.repeat(tone[:, None], channels, axis=1) *
+           32767).astype('<i2')
+    with wave.open(path, 'wb') as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(src_rate)
+        w.writeframes(pcm.tobytes())
+
+    t = NativeStream(path, target_rate=16000)
+    assert t.samplerate == 16000
+    assert abs(t.frames - 32000) <= 16  # 2 s at the model rate
+    got = t.read(40000)
+    t.close()
+    assert abs(len(got) - 32000) <= 64
+    assert np.all(np.isfinite(got))
+    # equal-weight downmix of identical channels preserves amplitude
+    mid = got[8000:24000]
+    assert 0.4 <= np.abs(mid).max() <= 0.55
+    # and it's still a 440 Hz tone after resampling (zero-crossing count)
+    crossings = np.sum(np.abs(np.diff(np.signbit(mid).astype(np.int8))))
+    assert abs(crossings - 880) <= 20
