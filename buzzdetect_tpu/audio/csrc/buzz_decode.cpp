@@ -115,6 +115,7 @@ int config_swr(BzStream* s, const AVChannelLayout* src_layout,
                                   &in_layout, in_fmt, in_rate,
                                   0, nullptr);
     if (ret < 0) {
+        if (s->swr) swr_free(&s->swr);  // never leave a half-built context
         av_channel_layout_uninit(&in_layout);
         set_err(s, "swr alloc", ret);
         return ret;
@@ -129,6 +130,7 @@ int config_swr(BzStream* s, const AVChannelLayout* src_layout,
     }
     ret = swr_init(s->swr);
     if (ret < 0) {
+        swr_free(&s->swr);  // an uninitialized context must not linger
         av_channel_layout_uninit(&in_layout);
         set_err(s, "swr init", ret);
         return ret;
@@ -272,7 +274,7 @@ int push_frame(BzStream* s, AVFrame* fr) {
     int fch = fr->ch_layout.nb_channels;
     AVSampleFormat ffmt = (AVSampleFormat)fr->format;
     if (in_n <= 0) return 0;
-    if (fch <= 0 || fch > 64 || fr->sample_rate <= 0
+    if (fch <= 0 || fch > 64
         || fr->format < 0 || fr->format >= AV_SAMPLE_FMT_NB
         || !fr->extended_data) {
         // nonsense frame: drop it and keep decoding (the decoder already
@@ -281,9 +283,18 @@ int push_frame(BzStream* s, AVFrame* fr) {
         // decode_next_frame)
         return 0;
     }
+    if (fr->sample_rate != s->native_rate) {
+        // A RATE change is different from a layout/format change: every
+        // position (native_pos, seek targets, warmup math) is denominated
+        // in open-time native samples, so converting rate-changed frames
+        // would serve audio under wrong timestamps. Drop such frames —
+        // positions stay exact and the resulting short read surfaces
+        // through the pipeline's bad-read handling.
+        return 0;
+    }
     for (int p = 0; p < (av_sample_fmt_is_planar(ffmt) ? fch : 1); ++p)
         if (!fr->extended_data[p]) return 0;  // corrupt frame: missing plane
-    bool mismatch = (int)ffmt != s->swr_in_fmt
+    bool mismatch = !s->swr || (int)ffmt != s->swr_in_fmt
                     || fr->sample_rate != s->swr_in_rate;
     if (!mismatch) {
         if (fr->ch_layout.order == AV_CHANNEL_ORDER_UNSPEC)
@@ -293,17 +304,23 @@ int push_frame(BzStream* s, AVFrame* fr) {
                                                  &s->swr_in_layout) != 0;
     }
     if (mismatch) {
-        // the old resampler's delay line holds audio that was already fed;
-        // flush it before reconfiguring so no samples are lost
-        size_t fbase = s->fifo.size();
-        int64_t tail = av_rescale_rnd(
-            swr_get_delay(s->swr, s->native_rate) + 256,
-            s->out_rate, s->native_rate, AV_ROUND_UP) + 64;
-        s->fifo.resize(fbase + tail);
-        uint8_t* flush_planes[1] = {(uint8_t*)(s->fifo.data() + fbase)};
-        int fgot = swr_convert(s->swr, flush_planes, (int)tail, nullptr, 0);
-        s->fifo.resize(fbase + (fgot > 0 ? fgot : 0));
-        apply_out_drop(s);
+        if (s->swr) {
+            // the old resampler's delay line holds audio that was already
+            // fed; flush it before reconfiguring so no samples are lost
+            size_t fbase = s->fifo.size();
+            int64_t tail = av_rescale_rnd(
+                swr_get_delay(s->swr, s->native_rate) + 256,
+                s->out_rate, s->native_rate, AV_ROUND_UP) + 64;
+            s->fifo.resize(fbase + tail);
+            uint8_t* flush_planes[1] = {(uint8_t*)(s->fifo.data() + fbase)};
+            int fgot = swr_convert(s->swr, flush_planes, (int)tail,
+                                   nullptr, 0);
+            s->fifo.resize(fbase + (fgot > 0 ? fgot : 0));
+            apply_out_drop(s);
+        }
+        // on failure s->swr is left NULL with swr_in_* reset, so the next
+        // frame re-enters this branch (no stale-config conversion) and a
+        // later seek heals via seek_internal's !swr reopen path
         if (config_swr(s, &fr->ch_layout, ffmt, fr->sample_rate, fch) < 0)
             return -1;
     }

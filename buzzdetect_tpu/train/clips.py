@@ -197,6 +197,14 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
                        'n_classes': int(n_classes)}
         restored = load_train_checkpoint(ckpt_path, params, opt_state,
                                          log=log, fingerprint=fingerprint)
+        if restored is not None and restored[2] > epochs:
+            # a leftover checkpoint from a LONGER completed run: adopting it
+            # would silently return over-trained parameters as if they were
+            # the requested run
+            log(f'ignoring checkpoint {ckpt_path}: it is at epoch '
+                f'{restored[2]}, ahead of the requested {epochs} — '
+                f'training fresh')
+            restored = None
         if restored is not None:
             params, opt_state, start_epoch, losses, rng = restored
             log(f'resuming fine-tune from {ckpt_path} '

@@ -556,3 +556,32 @@ def test_extreme_but_valid_formats(tmp_path, src_rate, channels):
     # and it's still a 440 Hz tone after resampling (zero-crossing count)
     crossings = np.sum(np.abs(np.diff(np.signbit(mid).astype(np.int8))))
     assert abs(crossings - 880) <= 20
+
+
+def test_midstream_sample_rate_switch_truncates_honestly(tmp_path):
+    """Unlike a layout change (reconfigured and decoded through), a
+    mid-stream SAMPLE-RATE change cannot be converted without corrupting
+    every position downstream (native positions are denominated in the
+    open-time rate) — rate-changed frames are dropped, so decode ends at
+    the switch with a short read (the pipeline's bad-read path) instead of
+    serving mis-timestamped audio."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture, NativeStream
+    a = str(tmp_path / 'a.ac3')
+    b = str(tmp_path / 'b.ac3')
+    encode_fixture(a, 'ac3', 48000, 1, 1.0)
+    encode_fixture(b, 'ac3', 44100, 1, 1.0)
+    switched = str(tmp_path / 'switch_rate.ac3')
+    with open(switched, 'wb') as f:
+        f.write(open(a, 'rb').read() + open(b, 'rb').read())
+
+    t = NativeStream(switched, target_rate=16000)
+    total = 0
+    while True:
+        got = t.read(65536)
+        total += len(got)
+        if len(got) < 65536:
+            break
+    t.close()
+    # only the first (rate-matching) second decodes; the 44.1 kHz tail is
+    # dropped, not mislabeled
+    assert int(0.9 * 16000) <= total <= int(1.2 * 16000)

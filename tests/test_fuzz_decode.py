@@ -19,20 +19,44 @@ def test_mutated_containers_never_crash(tmp_path):
     assert findings == []
 
 
-def test_crash_attribution_respawns(tmp_path):
-    """The batched worker protocol must attribute a dead subprocess to the
-    right file and still produce outcomes for the remaining cases."""
+def test_graceful_outcomes_tagged(tmp_path):
+    """Decodable and rejected files both come back with outcome tags."""
     good = tmp_path / 'good.wav'
     from buzzdetect_tpu.audio.ffi import encode_fixture
     encode_fixture(str(good), 'pcm_s16le', 16000, 1, 0.5)
-    # a path that makes the worker die outright (not via DecodeError):
-    # nonexistent file raises DecodeError (graceful) — so instead check
-    # attribution by pointing at a directory, which opens-and-rejects, plus
-    # verify every file gets an outcome tag
-    bad = tmp_path / 'absent.wav'
+    bad = tmp_path / 'absent.wav'  # open fails -> graceful DecodeError
     outcomes = run_worker([str(good), str(bad)])
     assert outcomes[str(good)].startswith('decoded')
     assert outcomes[str(bad)] == 'rejected-open'
+
+
+def test_crash_attribution_respawns(tmp_path, monkeypatch):
+    """A worker that DIES mid-batch (simulated SIGSEGV via the
+    BZ_FUZZ_SELFCRASH test seam) must be attributed to the right file, and
+    the remaining cases must still get real outcomes from a respawned
+    worker."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    first = tmp_path / 'first.wav'
+    crash = tmp_path / 'crashme.wav'
+    after = tmp_path / 'after.wav'
+    for p in (first, crash, after):
+        encode_fixture(str(p), 'pcm_s16le', 16000, 1, 0.5)
+    monkeypatch.setenv('BZ_FUZZ_SELFCRASH', '1')
+    outcomes = run_worker([str(first), str(crash), str(after)])
+    assert outcomes[str(first)].startswith('decoded')
+    assert outcomes[str(crash)].startswith('CRASH exit=-11')
+    assert outcomes[str(after)].startswith('decoded')  # respawn covered it
+
+
+def test_paths_with_spaces_survive_the_ack_protocol(tmp_path):
+    """Acks are by index, so a mutant path containing spaces is matched
+    back to its outcome instead of being popped as a false crash."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    spaced = tmp_path / 'two words dir' / 'a file.wav'
+    spaced.parent.mkdir()
+    encode_fixture(str(spaced), 'pcm_s16le', 16000, 1, 0.5)
+    outcomes = run_worker([str(spaced)])
+    assert outcomes[str(spaced)].startswith('decoded')
 
 
 def test_mutate_is_deterministic_per_seed():

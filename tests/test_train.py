@@ -467,3 +467,24 @@ def test_train_checkpoint_rejects_foreign_state(tmp_path):
     raw, _, losses = train_full_model(clips, labels, epochs=1, seed=1,
                                       checkpoint_dir=ckpt, **kw)
     assert losses == gold_losses
+
+
+def test_train_checkpoint_ahead_of_requested_epochs_trains_fresh(tmp_path):
+    """A leftover checkpoint from a LONGER completed run must not be
+    returned as if it were the shorter requested run."""
+    from buzzdetect_tpu.train.clips import train_full_model
+    rng = np.random.default_rng(5)
+    clips = (rng.standard_normal((4, 15600)) * 0.1).astype(np.float32)
+    labels = (rng.random((4, 2)) > 0.5).astype(np.float32)
+    kw = dict(batch_size=2, learning_rate=1e-3, seed=0,
+              log=lambda *_: None)
+
+    ckpt = str(tmp_path / 'work')
+    train_full_model(clips, labels, epochs=3, checkpoint_dir=ckpt, **kw)
+    gold_raw, _, gold_losses = train_full_model(clips, labels, epochs=1,
+                                                **kw)
+    raw, _, losses = train_full_model(clips, labels, epochs=1,
+                                      checkpoint_dir=ckpt, **kw)
+    assert losses == gold_losses  # 1 epoch of losses, not 3
+    for k in gold_raw:
+        np.testing.assert_array_equal(raw[k], gold_raw[k], err_msg=k)

@@ -35,7 +35,7 @@ FAMILIES = [
 ]
 
 
-def measure(path, seconds, wire, target_rate=16000):
+def measure(path, wire, target_rate=16000):
     from buzzdetect_tpu.audio.ffi import NativeStream
     t = NativeStream(path, target_rate=target_rate)
     read = {'float32': t.read, 'int16': t.read_s16, 'mulaw': t.read_mulaw}
@@ -72,7 +72,7 @@ def main():
         for codec, ext, src_rate in FAMILIES:
             path = os.path.join(tmp, f'fx.{ext}')
             encode_fixture(path, codec, src_rate, 2, args.seconds)
-            rate = max(measure(path, args.seconds, args.wire)
+            rate = max(measure(path, args.wire)
                        for _ in range(args.trials))
             rows.append((codec, ext, rate))
             print(json.dumps({'codec': codec, 'container': ext,

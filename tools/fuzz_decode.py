@@ -26,9 +26,13 @@ Usage:
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
 
 # codec -> container extension; one pristine fixture per family
 FAMILIES = [
@@ -46,7 +50,11 @@ FAMILIES = [
 READ_SLAB = 65536
 MAX_SLABS = 64          # <= 4.2 M samples ~= 262 s @16k; fixtures are 4 s
 N_SEEKS = 8
-WORKER_TIMEOUT_S = 60.0
+# the batch timeout scales with the case count (a healthy-but-slow batch
+# must not be misreported as a HANG); the per-case budget is ~100x a
+# measured case on the dev host
+WORKER_BASE_TIMEOUT_S = 60.0
+WORKER_PER_CASE_S = 20.0
 
 
 def exercise(path: str) -> str:
@@ -95,13 +103,20 @@ def exercise(path: str) -> str:
 
 
 def worker_main(paths):
-    for p in paths:
+    # acks are BY INDEX into this invocation's path list (paths may contain
+    # spaces; an index is unambiguous)
+    for i, p in enumerate(paths):
+        if (os.environ.get('BZ_FUZZ_SELFCRASH')
+                and 'crashme' in os.path.basename(p)):
+            # test seam: simulate a native crash so the attribution/respawn
+            # protocol itself can be exercised in CI
+            os.kill(os.getpid(), signal.SIGSEGV)
         try:
             tag = exercise(p)
         except Exception as e:  # unexpected Python-level failure
-            print(f'PYERR {p} {type(e).__name__}: {e}', flush=True)
+            print(f'PYERR {i} {type(e).__name__}: {e}', flush=True)
             sys.exit(3)
-        print(f'OK {p} {tag}', flush=True)
+        print(f'OK {i} {tag}', flush=True)
     sys.exit(0)
 
 
@@ -133,21 +148,24 @@ def mutate(data: bytearray, rng) -> bytes:
     return bytes(buf)
 
 
-def run_worker(paths, timeout=WORKER_TIMEOUT_S):
-    """Run the batched worker; return (outcomes dict path->tag).
+def run_worker(paths, timeout=None):
+    """Run the batched worker; return an outcomes dict path->tag.
 
-    Crash attribution: files acknowledged with an `OK` line are good; on a
-    non-zero exit the first unacknowledged file is the culprit, and the
-    remainder re-runs in a fresh subprocess.
+    Crash attribution: the worker acks each finished case with an
+    `OK <index> <tag>` line (index into ITS argv order, so paths with
+    spaces are unambiguous); on a non-zero exit the first unacknowledged
+    file is the culprit, and the remainder re-runs in a fresh subprocess.
     """
     outcomes = {}
     pending = list(paths)
     while pending:
+        batch_timeout = timeout if timeout is not None else (
+            WORKER_BASE_TIMEOUT_S + WORKER_PER_CASE_S * len(pending))
         cmd = [sys.executable, os.path.abspath(__file__), '--worker',
                *pending]
         try:
             proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=timeout,
+                cmd, capture_output=True, text=True, timeout=batch_timeout,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(
                     __file__))))
             out, code = proc.stdout, proc.returncode
@@ -157,15 +175,18 @@ def run_worker(paths, timeout=WORKER_TIMEOUT_S):
             code = 'timeout'
         acked = set()
         for line in out.splitlines():
-            if line.startswith('OK '):
-                _, p, tag = line.split(' ', 2)
-                outcomes[p] = tag
-                acked.add(p)
-            elif line.startswith('PYERR '):
-                _, p, msg = line.split(' ', 2)
-                outcomes[p] = f'PYERR {msg}'
-                acked.add(p)
-        pending = [p for p in pending if p not in acked]
+            kind, _, rest = line.partition(' ')
+            if kind not in ('OK', 'PYERR'):
+                continue
+            idx_s, _, tag = rest.partition(' ')
+            try:
+                idx = int(idx_s)
+                path = pending[idx]
+            except (ValueError, IndexError):
+                continue  # garbage on stdout (decoder noise): not an ack
+            outcomes[path] = tag if kind == 'OK' else f'PYERR {tag}'
+            acked.add(idx)
+        pending = [p for i, p in enumerate(pending) if i not in acked]
         if code == 0:
             break
         if pending:
