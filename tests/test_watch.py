@@ -454,3 +454,43 @@ def test_watch_respects_host_shard(patched_models, tmp_path):
     assert rows(other) == rows_other_before
     assert os.path.getmtime(other) == mtime_other_before, \
         "host 0 must NOT touch the other shard's grown file"
+
+
+def test_watch_analyzes_grown_compressed_file(patched_models, tmp_path):
+    """Field recorders append to COMPRESSED containers too. A grown MP3's
+    duration must be re-estimated from the larger container, the finalized
+    result demoted, and the tail gap analyzed by seeking into the
+    compressed stream — rows must extend past the original coverage and
+    the partial must re-finalize."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    dir_out = str(tmp_path / 'out')
+    first = str(tmp_path / 'first.mp3')
+    more = str(tmp_path / 'more.mp3')
+    encode_fixture(first, 'libmp3lame', 16000, 1, 3.0)
+    encode_fixture(more, 'libmp3lame', 16000, 1, 3.0)
+    rec = str(dir_audio / 'rec.mp3')
+    with open(rec, 'wb') as f:
+        f.write(open(first, 'rb').read())
+
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    path_result = os.path.join(dir_out, 'rec_buzzdetect.csv')
+    _, rows_short = _read_rows(path_result)
+    assert max(rows_short) < 3.0
+
+    # recorder appends (raw MP3 frames concatenate into a longer stream)
+    with open(rec, 'ab') as f:
+        f.write(open(more, 'rb').read())
+    a = analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+                watch=True, watch_cycles=1)
+    assert a.coordinator.end_reason == 'completed'
+    assert not os.path.exists(os.path.join(dir_out, 'rec_buzzpart.csv'))
+    _, rows_watch = _read_rows(path_result)
+    assert len(rows_watch) > len(rows_short), 'compressed tail not analyzed'
+    assert max(rows_watch) > 3.5  # rows extend into the appended audio
+    # the original coverage survived (resume, not re-analysis)
+    assert set(rows_short) <= set(rows_watch)
