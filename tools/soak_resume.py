@@ -70,17 +70,32 @@ def run(dir_audio, dir_out, kill_when_partial=None, framehop=1.0):
     return killed
 
 
+CODECS = {'wav': None,  # streamed WAV writer below (days-long capable)
+          'mp3': 'libmp3lame', 'm4a': 'aac', 'wma': 'wmav2',
+          'mts': 'ac3', 'flac': 'flac', 'ogg': 'libvorbis'}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--hours', type=float, default=2.0)
     ap.add_argument('--framehop', type=float, default=1.0)
+    ap.add_argument('--codec', default='wav', choices=sorted(CODECS),
+                    help='source container: compressed codecs make the '
+                         'resume exercise the native mid-file seek '
+                         'machinery (reopen-and-count / pts+preroll)')
     args = ap.parse_args()
 
     td = tempfile.mkdtemp(prefix='bz_soak_')
     dir_audio = os.path.join(td, 'audio')
     os.makedirs(dir_audio)
-    print(f'writing {args.hours:.1f}h synthetic recording...')
-    write_long_wav(os.path.join(dir_audio, 'long.wav'), args.hours * 3600)
+    print(f'writing {args.hours:.1f}h synthetic {args.codec} recording...')
+    if args.codec == 'wav':
+        write_long_wav(os.path.join(dir_audio, 'long.wav'),
+                       args.hours * 3600)
+    else:
+        from buzzdetect_tpu.audio.ffi import encode_fixture
+        encode_fixture(os.path.join(dir_audio, f'long.{args.codec}'),
+                       CODECS[args.codec], 44100, 2, args.hours * 3600)
 
     # uninterrupted control run
     dir_ctrl = os.path.join(td, 'ctrl')
