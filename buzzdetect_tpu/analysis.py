@@ -21,7 +21,7 @@ from buzzdetect_tpu.runtime.inferer import WorkerInferer
 from buzzdetect_tpu.runtime.logger import WorkerLogger
 from buzzdetect_tpu.runtime.streamer import WorkerStreamer
 from buzzdetect_tpu.runtime.writer import WorkerWriter
-from buzzdetect_tpu.utils import Timer, search_dir
+from buzzdetect_tpu.utils import Timer, get_ext, search_dir
 from buzzdetect_tpu.write.thresholds import calculate_threshold
 
 
@@ -327,10 +327,29 @@ class Analyzer:
         return ok
 
     def queue_assignments(self):
+        if os.path.isfile(self.dir_audio):
+            # a single recording instead of a directory: analyze just it
+            # (root = its parent, so ident = basename and the result is
+            # dir_out/<name>_buzzdetect.csv). The reference only accepts
+            # directories (`src/analyze.py:273-289`); this is a deliberate
+            # quality-of-life superset — without it, a file path would
+            # "complete" silently with an empty output directory.
+            if get_ext(self.dir_audio) not in driver_map:
+                self.coordinator.exit_analysis(ExitSignal(
+                    message=(f'{self.dir_audio} is not a supported audio '
+                             f'format; must be one of: '
+                             f'{", ".join(driver_map.keys())}'),
+                    level='WARNING', end_reason='no files'))
+                return False
+            root = os.path.dirname(os.path.abspath(self.dir_audio)) or '.'
+            found = [os.path.abspath(self.dir_audio)]
+        else:
+            root = self.dir_audio
+            found = search_dir(self.dir_audio, list(driver_map.keys()))
         assignments = [
-            AssignFile(path_audio=p, dir_audio=self.dir_audio,
+            AssignFile(path_audio=p, dir_audio=root,
                        dir_results=self.dir_out)
-            for p in search_dir(self.dir_audio, list(driver_map.keys()))
+            for p in found
         ]
         watching = self.watch_state is not None
         if not assignments:
@@ -352,7 +371,7 @@ class Analyzer:
             mine = set(shard_files([a.path_audio for a in assignments],
                                    host_id=self.host_shard[0],
                                    n_hosts=self.host_shard[1],
-                                   root=self.dir_audio))
+                                   root=root))
         else:
             mine = None
 
@@ -623,7 +642,9 @@ def analyze(modelname: str,
         (names kept for API parity; on TPU their sum is what matters).
     n_streamers : decode threads (default: sized from CPU count).
     stream_buffer_depth : bounded prefetch ring depth (default: streamers*2).
-    dir_audio / dir_out : input tree and output directory.
+    dir_audio / dir_out : input tree and output directory. ``dir_audio``
+        may also be a single audio FILE (superset of the reference:
+        analyze one recording without staging a directory).
     verbosity_print / verbosity_log / log_progress : logging controls.
     q_gui / event_stopanalysis : GUI integration hooks.
     compute_dtype : optional jax dtype for the CNN (e.g. jnp.bfloat16 for

@@ -116,7 +116,8 @@ def build_parser():
     parser.add_argument('--stream_buffer_depth', required=False, default=None,
                         type=int, help='Chunks held in the prefetch ring')
     parser.add_argument('--dir_audio', required=False, default='./audio_in',
-                        type=str, help='Directory containing audio to analyze')
+                        type=str, help='Directory containing audio to '
+                                       'analyze, or a single audio file')
     parser.add_argument('--dir_out', required=False, default=None, type=str,
                         help='Output directory (default: model output subdir)')
     parser.add_argument('--verbosity_print', required=False, default='PROGRESS',

@@ -692,3 +692,38 @@ def test_keyboard_interrupt_before_writer_launch(patched_models, tmp_path,
     a.run()  # must not raise
     assert a.coordinator.end_reason == 'interrupted'
     assert a.thread_writer is None
+
+
+def test_analyze_single_file_path(patched_models, tmp_path):
+    """dir_audio may be a single FILE (superset of the reference, which
+    only walks directories): just that recording is analyzed, the ident is
+    its basename, and the result matches a directory-mode run of the same
+    file byte for byte."""
+    from buzzdetect_tpu.analysis import analyze
+    path = os.path.join(patched_models['audio'], 'tone_a.wav')
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='testmodel', dir_audio=path, dir_out=dir_out,
+                chunklength=2.0, verbosity_print='ERROR')
+    assert a.coordinator.end_reason in ('fully analyzed', 'completed')
+    result = os.path.join(dir_out, 'tone_a_buzzdetect.csv')
+    assert os.path.exists(result)
+    # no sibling from the same directory leaked in
+    assert not os.path.exists(os.path.join(dir_out, 'noise_buzzdetect.csv'))
+
+    dir_ref = str(tmp_path / 'ref_out')
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_ref, chunklength=2.0, verbosity_print='ERROR')
+    assert (open(result).read()
+            == open(os.path.join(dir_ref, 'tone_a_buzzdetect.csv')).read())
+
+
+def test_analyze_single_file_unsupported_format(patched_models, tmp_path):
+    """A file path with an unsupported extension exits with an explicit
+    diagnostic, not a silent empty output directory."""
+    from buzzdetect_tpu.analysis import analyze
+    bogus = tmp_path / 'notes.txt'
+    bogus.write_text('not audio')
+    a = analyze(modelname='testmodel', dir_audio=str(bogus),
+                dir_out=str(tmp_path / 'out'), chunklength=2.0,
+                verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'no files'
