@@ -399,3 +399,35 @@ def test_multiple_dispatch_threads_per_replica(tmp_path, monkeypatch):
         want = open(os.path.join(tmp_path, 'single',
                                  f'r{i}_buzzdetect.csv')).read()
         assert got == want
+
+
+def test_full_train_checkpoint_resume_on_mesh(tmp_path):
+    """Training checkpoints compose with GSPMD sharding: a DPxTP
+    fine-tune interrupted at epoch 1 and resumed on the mesh lands on the
+    same parameters as the uninterrupted mesh run (the checkpoint gathers
+    sharded leaves to host numpy and the resume re-shards them)."""
+    from jax.sharding import Mesh
+    from buzzdetect_tpu.train.clips import train_full_model
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ('data', 'model'))
+    rng = np.random.default_rng(3)
+    clips = (rng.standard_normal((8, 15600)) * 0.1).astype(np.float32)
+    labels = (rng.random((8, 2)) > 0.5).astype(np.float32)
+    kw = dict(batch_size=4, learning_rate=1e-3, log=lambda *_: None,
+              mesh=mesh)
+
+    with mesh:
+        gold_raw, gold_head, gold_losses = train_full_model(
+            clips, labels, epochs=2, **kw)
+        ckpt = str(tmp_path / 'work')
+        train_full_model(clips, labels, epochs=1, checkpoint_dir=ckpt, **kw)
+        raw, head, losses = train_full_model(
+            clips, labels, epochs=2, checkpoint_dir=ckpt, **kw)
+
+    assert losses == gold_losses
+    for k in gold_raw:
+        np.testing.assert_allclose(raw[k], gold_raw[k], rtol=0, atol=1e-6,
+                                   err_msg=k)
+    for k in gold_head:
+        np.testing.assert_allclose(head[k], gold_head[k], rtol=0, atol=1e-6,
+                                   err_msg=k)
