@@ -1,0 +1,172 @@
+"""Offline detection calling: archived activations -> detections/events.
+
+The reference's recommended workflow is to analyze once in activations
+mode (archival) and call detections afterwards with the buzzr companion
+package (reference `docs/source/result_files.rst:76`); this module is
+that capability in-framework: threshold archived activations at ANY
+precision after the fact — no re-analysis — and coalesce consecutive
+detected frames into events (start/end/duration, peak and mean
+activation), the unit field studies actually count. Reads both result
+CSVs and `trim`'s compressed `_buzztrim.npz` archives.
+"""
+
+import csv
+import os
+
+import numpy as np
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.write.trim import SUFFIX_TRIMMED, read_results, \
+    read_trimmed
+
+EVENT_FIELDS = ('ident', 'class', 'start', 'end', 'duration', 'n_frames',
+                'activation_max', 'activation_mean')
+
+
+def frames_to_events(starts, activations, threshold,
+                     framelength_s: float = 0.96,
+                     merge_gap_s: float = None):
+    """Coalesce frames whose activation exceeds ``threshold`` into events.
+
+    Consecutive detected frames merge when the gap between their start
+    times is at most ``merge_gap_s`` (default: 1.5x the median frame hop,
+    which merges contiguous frames and tolerates float noise but keeps
+    separated bouts apart). An event spans [first_start,
+    last_start + framelength_s).
+
+    Returns a list of dicts with start/end/duration/n_frames/
+    activation_max/activation_mean.
+    """
+    starts = np.asarray(starts, np.float64)
+    activations = np.asarray(activations, np.float64)
+    order = np.argsort(starts, kind='stable')
+    starts, activations = starts[order], activations[order]
+    detected = activations > threshold
+    if not detected.any():
+        return []
+    if merge_gap_s is None:
+        hops = np.diff(starts)
+        hops = hops[hops > 0]
+        merge_gap_s = 1.5 * float(np.median(hops)) if len(hops) \
+            else framelength_s
+    events = []
+    run = None  # [i_first, i_last]
+    det_idx = np.flatnonzero(detected)
+    for i in det_idx:
+        if run is not None and starts[i] - starts[run[1]] <= merge_gap_s:
+            run[1] = i
+            continue
+        if run is not None:
+            events.append(run)
+        run = [i, i]
+    events.append(run)
+
+    out = []
+    for i0, i1 in events:
+        acts = activations[i0:i1 + 1][detected[i0:i1 + 1]]
+        out.append({
+            'start': float(starts[i0]),
+            'end': float(starts[i1] + framelength_s),
+            'duration': float(starts[i1] + framelength_s - starts[i0]),
+            'n_frames': int(detected[i0:i1 + 1].sum()),
+            'activation_max': float(acts.max()),
+            'activation_mean': float(acts.mean()),
+        })
+    return out
+
+
+def _load_result(path):
+    """(starts, {column: values}) from a result CSV or a trimmed npz."""
+    if path.endswith(SUFFIX_TRIMMED):
+        return read_trimmed(path)
+    return read_results(path)
+
+
+def call_detections_file(path, threshold, classes=('ins_buzz',),
+                         framelength_s: float = 0.96,
+                         merge_gap_s: float = None):
+    """Call events for one archived result file.
+
+    Returns {class: [event, ...]}; classes missing from the file are
+    reported as absent via a KeyError naming the available columns.
+    """
+    starts, cols = _load_result(path)
+    out = {}
+    for cls in classes:
+        col = cfg.PREFIX_COLUMN_ACTIVATION + cls
+        if col not in cols:
+            raise KeyError(
+                f'{path} has no column {col!r}; available: '
+                f'{sorted(cols)} (was the archive trimmed to other '
+                f'classes?)')
+        out[cls] = frames_to_events(starts, cols[col], threshold,
+                                    framelength_s=framelength_s,
+                                    merge_gap_s=merge_gap_s)
+    return out
+
+
+def _resolve_threshold(dir_results, threshold, precision, modelname):
+    if (threshold is None) == (precision is None):
+        raise ValueError('pass exactly one of threshold= or precision=')
+    if threshold is not None:
+        return float(threshold), None
+    if modelname is None:
+        from buzzdetect_tpu.manifest import read_manifest
+        manifest = read_manifest(dir_results)
+        if not manifest or 'modelname' not in manifest:
+            raise ValueError(
+                'precision= needs the model whose metrics table calibrates '
+                'it; pass modelname= (no manifest found in the results '
+                'directory)')
+        modelname = manifest['modelname']
+    from buzzdetect_tpu.write.thresholds import calculate_threshold
+    return float(calculate_threshold(modelname, precision)), modelname
+
+
+def call_detections_directory(dir_results, *, threshold=None,
+                              precision=None, modelname=None,
+                              classes=('ins_buzz',),
+                              framelength_s: float = 0.96,
+                              merge_gap_s: float = None,
+                              path_out=None):
+    """Call events for every archived result under ``dir_results``.
+
+    The threshold comes either explicitly (``threshold=``) or from a
+    requested ``precision=`` via the model's bundled metrics table (the
+    model defaults to the one recorded in the directory's manifest).
+    Reads finalized CSVs and trimmed npz archives; when both exist for an
+    ident the CSV wins (full precision). Returns the combined event rows
+    (EVENT_FIELDS order) and optionally writes them as one CSV.
+    """
+    thr, _ = _resolve_threshold(dir_results, threshold, precision,
+                                modelname)
+    paths = {}
+    for root, _dirs, files in os.walk(dir_results):
+        for fname in sorted(files):
+            if fname.endswith(cfg.SUFFIX_RESULT_COMPLETE):
+                ident = os.path.relpath(
+                    os.path.join(root, fname), dir_results
+                )[:-len(cfg.SUFFIX_RESULT_COMPLETE)]
+                paths[ident] = os.path.join(root, fname)
+            elif fname.endswith(SUFFIX_TRIMMED):
+                ident = os.path.relpath(
+                    os.path.join(root, fname), dir_results
+                )[:-len(SUFFIX_TRIMMED)]
+                paths.setdefault(ident, os.path.join(root, fname))
+
+    rows = []
+    for ident in sorted(paths):
+        per_class = call_detections_file(paths[ident], thr, classes=classes,
+                                         framelength_s=framelength_s,
+                                         merge_gap_s=merge_gap_s)
+        for cls, events in per_class.items():
+            for e in events:
+                rows.append({'ident': ident, 'class': cls, **{
+                    k: e[k] for k in EVENT_FIELDS if k in e}})
+
+    if path_out is not None:
+        with open(path_out, 'w', newline='') as f:
+            w = csv.DictWriter(f, fieldnames=EVENT_FIELDS)
+            w.writeheader()
+            w.writerows(rows)
+    return rows

@@ -1,0 +1,129 @@
+"""Offline detection calling: archived activations -> events.
+
+The capability the reference delegates to its buzzr companion
+(`/root/reference/docs/source/result_files.rst:76`): threshold archived
+activations at any precision after the fact and coalesce detected frames
+into events.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu.write.detections import (call_detections_directory,
+                                             call_detections_file,
+                                             frames_to_events)
+
+CLASSES = ['ins_buzz', 'ambient_noise']
+
+
+def _write_result(path, starts, buzz, noise=None):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, 'w') as f:
+        f.write('start,' + ','.join(f'activation_{c}' for c in CLASSES)
+                + '\n')
+        for i, s in enumerate(starts):
+            n = noise[i] if noise is not None else -5.0
+            f.write(f'{s},{buzz[i]},{n}\n')
+
+
+def test_frames_to_events_coalesces_runs():
+    starts = np.arange(10) * 0.96
+    acts = np.full(10, -5.0)
+    acts[2:5] = 1.0   # one 3-frame bout
+    acts[8] = 2.0     # one isolated frame
+    events = frames_to_events(starts, acts, threshold=0.0)
+    assert len(events) == 2
+    a, b = events
+    assert a['start'] == pytest.approx(2 * 0.96)
+    assert a['end'] == pytest.approx(5 * 0.96)  # last start + framelength
+    assert a['n_frames'] == 3
+    assert a['activation_max'] == 1.0
+    assert b['n_frames'] == 1
+    assert b['duration'] == pytest.approx(0.96)
+
+
+def test_frames_to_events_merge_gap_and_order():
+    # unsorted input, detected frames at 0.0 and 2.88 separated by two cold
+    # frames: default gap (1.5x hop) keeps them apart; a gap tolerance
+    # covering the 2.88 s spacing merges them into one bout
+    starts = np.array([1.92, 0.0, 0.96, 2.88])
+    acts = np.array([-9.0, 1.0, -9.0, 1.0])
+    apart = frames_to_events(starts, acts, threshold=0.0)
+    assert len(apart) == 2
+    merged = frames_to_events(starts, acts, threshold=0.0,
+                              merge_gap_s=3.0 * 0.96)
+    assert len(merged) == 1
+    assert merged[0]['n_frames'] == 2          # cold gap frame not counted
+    assert merged[0]['activation_mean'] == 1.0  # cold frame excluded
+
+
+def test_frames_to_events_empty():
+    assert frames_to_events([0.0, 0.96], [-9.0, -9.0], threshold=0.0) == []
+
+
+def test_call_detections_file_missing_class(tmp_path):
+    path = str(tmp_path / 'a_buzzdetect.csv')
+    _write_result(path, [0.0], [1.0])
+    with pytest.raises(KeyError, match='frog'):
+        call_detections_file(path, threshold=0.0, classes=('frog',))
+
+
+def test_call_detections_directory_csv_and_trimmed(tmp_path):
+    """Walks CSVs and trimmed archives (CSV preferred when both exist),
+    applies one threshold, writes the combined events CSV."""
+    from buzzdetect_tpu.write.trim import trim_directory
+    d = str(tmp_path / 'out')
+    starts = list(np.arange(6) * 0.96)
+    _write_result(os.path.join(d, 'a_buzzdetect.csv'), starts,
+                  [2.0, 2.0, -5.0, -5.0, -5.0, -5.0])
+    _write_result(os.path.join(d, 'sub', 'b_buzzdetect.csv'), starts,
+                  [-5.0] * 6)
+    # c exists ONLY trimmed (original CSV removed after compaction)
+    _write_result(os.path.join(d, 'c_buzzdetect.csv'), starts,
+                  [-5.0, -5.0, -5.0, 3.0, 3.0, 3.0])
+    trim_directory(d, classes_keep=('ins_buzz',), decimals=1)
+    os.remove(os.path.join(d, 'c_buzzdetect.csv'))
+
+    out_csv = str(tmp_path / 'events.csv')
+    rows = call_detections_directory(d, threshold=0.0, path_out=out_csv)
+    by_ident = {}
+    for r in rows:
+        by_ident.setdefault(r['ident'], []).append(r)
+    assert set(by_ident) == {'a', 'c'}
+    assert by_ident['a'][0]['n_frames'] == 2
+    assert by_ident['c'][0]['n_frames'] == 3
+    assert by_ident['c'][0]['start'] == pytest.approx(3 * 0.96)
+    assert os.path.exists(out_csv)
+    lines = open(out_csv).read().splitlines()
+    assert lines[0].startswith('ident,class,start,end,duration')
+    assert len(lines) == 3
+
+
+def test_call_detections_threshold_from_manifest_precision(tmp_path,
+                                                           monkeypatch):
+    """precision= resolves the threshold via the metrics table of the
+    model recorded in the results directory's manifest."""
+    metrics = '/root/reference/models/model_general_v3/tests/metrics.csv'
+    if not os.path.exists(metrics):
+        pytest.skip('reference metrics not mounted')
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'detmodel'), classes=CLASSES,
+                       seed=7, metrics_csv=metrics)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+
+    d = str(tmp_path / 'out')
+    _write_result(os.path.join(d, 'a_buzzdetect.csv'),
+                  [0.0, 0.96], [5.0, -9.0])
+    write_manifest(d, build_manifest('detmodel', 1.0, None, CLASSES))
+    rows = call_detections_directory(d, precision=0.95)
+    assert len(rows) == 1 and rows[0]['n_frames'] == 1
+
+    with pytest.raises(ValueError, match='exactly one'):
+        call_detections_directory(d, precision=0.95, threshold=-1.0)
+    with pytest.raises(ValueError, match='exactly one'):
+        call_detections_directory(d)

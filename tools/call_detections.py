@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Call detection EVENTS from archived activations — no re-analysis.
+
+The recommended workflow (same as the reference ecosystem's, where the
+buzzr companion does this step — reference
+`docs/source/result_files.rst:76`): analyze once in activations mode,
+archive the scores, then threshold them at any precision after the fact
+and coalesce detected frames into events (start/end/duration, peak and
+mean activation). Works on finalized result CSVs and on `trim`'s
+compressed `_buzztrim.npz` archives.
+
+Usage:
+    python tools/call_detections.py --dir_results ./out --precision 0.95
+    python tools/call_detections.py --dir_results ./out --threshold -1.2 \
+        --classes ins_buzz ins_trill --out events.csv
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--dir_results', required=True,
+                    help='directory of archived results (CSV or trimmed)')
+    ap.add_argument('--threshold', type=float, default=None,
+                    help='explicit activation threshold')
+    ap.add_argument('--precision', type=float, default=None,
+                    help='requested precision; the threshold comes from '
+                         'the model\'s metrics table')
+    ap.add_argument('--modelname', default=None,
+                    help='model whose metrics calibrate --precision '
+                         '(default: the results directory\'s manifest)')
+    ap.add_argument('--classes', nargs='+', default=['ins_buzz'])
+    ap.add_argument('--merge_gap', type=float, default=None,
+                    help='max gap (s) between detected frames of one event '
+                         '(default: 1.5x the frame hop)')
+    ap.add_argument('--out', default=None,
+                    help='write the combined events CSV here '
+                         '(default: print a summary only)')
+    args = ap.parse_args()
+
+    from buzzdetect_tpu.write.detections import call_detections_directory
+    rows = call_detections_directory(
+        args.dir_results, threshold=args.threshold,
+        precision=args.precision, modelname=args.modelname,
+        classes=args.classes, merge_gap_s=args.merge_gap,
+        path_out=args.out)
+
+    idents = sorted({r['ident'] for r in rows})
+    total_s = sum(r['duration'] for r in rows)
+    print(f'{len(rows)} events across {len(idents)} files '
+          f'({total_s:.1f} s detected)')
+    for ident in idents:
+        mine = [r for r in rows if r['ident'] == ident]
+        print(f'  {ident}: {len(mine)} events, '
+              f'{sum(r["duration"] for r in mine):.1f} s')
+    if args.out:
+        print(f'wrote {args.out}')
+
+
+if __name__ == '__main__':
+    main()
