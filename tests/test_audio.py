@@ -585,3 +585,43 @@ def test_midstream_sample_rate_switch_truncates_honestly(tmp_path):
     # only the first (rate-matching) second decodes; the 44.1 kHz tail is
     # dropped, not mislabeled
     assert int(0.9 * 16000) <= total <= int(1.2 * 16000)
+
+
+def test_concurrent_decode_sample_accuracy(tmp_path):
+    """The decode stage's selling point is GIL-free parallel decode
+    (many streamer threads sharing one .so). Hammer it: concurrent
+    streams over distinct files AND over the same file, each doing a
+    seek storm with every landing verified from sample values — any
+    hidden shared state in the native layer would cross-contaminate
+    positions or buffers."""
+    import threading
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f'p{i}.wav')
+        write_wav(p, pcm_pattern(i * 1000000, 16000 * 6), 16000)
+        paths.append((p, i * 1000000))
+
+    errors = []
+
+    def storm(path, base, seed):
+        try:
+            rng = np.random.default_rng(seed)
+            t = build_track(path, target_rate=16000)
+            for target in rng.integers(0, 16000 * 6 - 64, size=40):
+                t.seek(int(target))
+                got = t.read(2)
+                want = (base + int(target)) % 65536
+                assert pattern_position(got) % 65536 == want, \
+                    f'{path}@{target}'
+            t.close()
+        except Exception as e:
+            errors.append(e)
+
+    threads = []
+    for k, (p, base) in enumerate(paths * 2):  # same file opened twice
+        threads.append(threading.Thread(target=storm, args=(p, base, k)))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
