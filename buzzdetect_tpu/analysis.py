@@ -335,13 +335,17 @@ class Analyzer:
             # quality-of-life superset — without it, a file path would
             # "complete" silently with an empty output directory.
             if get_ext(self.dir_audio) not in driver_map:
+                # a fatal configuration error, not a 'no files yet' state:
+                # the end_reason must NOT be in the watch loop's healthy
+                # set — an unsupported extension can never heal, so a
+                # watcher must stop instead of warning every cycle
                 self.coordinator.exit_analysis(ExitSignal(
                     message=(f'{self.dir_audio} is not a supported audio '
                              f'format; must be one of: '
                              f'{", ".join(driver_map.keys())}'),
-                    level='WARNING', end_reason='no files'))
+                    level='ERROR', end_reason='unsupported input'))
                 return False
-            root = os.path.dirname(os.path.abspath(self.dir_audio)) or '.'
+            root = os.path.dirname(os.path.abspath(self.dir_audio))
             found = [os.path.abspath(self.dir_audio)]
         else:
             root = self.dir_audio

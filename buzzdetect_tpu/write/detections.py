@@ -109,7 +109,7 @@ def _resolve_threshold(dir_results, threshold, precision, modelname):
     if (threshold is None) == (precision is None):
         raise ValueError('pass exactly one of threshold= or precision=')
     if threshold is not None:
-        return float(threshold), None
+        return float(threshold)
     if modelname is None:
         from buzzdetect_tpu.manifest import read_manifest
         manifest = read_manifest(dir_results)
@@ -120,7 +120,7 @@ def _resolve_threshold(dir_results, threshold, precision, modelname):
                 'directory)')
         modelname = manifest['modelname']
     from buzzdetect_tpu.write.thresholds import calculate_threshold
-    return float(calculate_threshold(modelname, precision)), modelname
+    return float(calculate_threshold(modelname, precision))
 
 
 def call_detections_directory(dir_results, *, threshold=None,
@@ -128,7 +128,7 @@ def call_detections_directory(dir_results, *, threshold=None,
                               classes=('ins_buzz',),
                               framelength_s: float = 0.96,
                               merge_gap_s: float = None,
-                              path_out=None):
+                              path_out=None, on_skip=None):
     """Call events for every archived result under ``dir_results``.
 
     The threshold comes either explicitly (``threshold=``) or from a
@@ -137,9 +137,13 @@ def call_detections_directory(dir_results, *, threshold=None,
     Reads finalized CSVs and trimmed npz archives; when both exist for an
     ident the CSV wins (full precision). Returns the combined event rows
     (EVENT_FIELDS order) and optionally writes them as one CSV.
+
+    A single archive lacking the requested class columns (trimmed to other
+    classes, or a detections-mode file) must not abort a corpus-scale
+    batch: such files are SKIPPED and reported through ``on_skip(path,
+    reason)`` (default: ``warnings.warn``).
     """
-    thr, _ = _resolve_threshold(dir_results, threshold, precision,
-                                modelname)
+    thr = _resolve_threshold(dir_results, threshold, precision, modelname)
     paths = {}
     for root, _dirs, files in os.walk(dir_results):
         for fname in sorted(files):
@@ -156,9 +160,18 @@ def call_detections_directory(dir_results, *, threshold=None,
 
     rows = []
     for ident in sorted(paths):
-        per_class = call_detections_file(paths[ident], thr, classes=classes,
-                                         framelength_s=framelength_s,
-                                         merge_gap_s=merge_gap_s)
+        try:
+            per_class = call_detections_file(
+                paths[ident], thr, classes=classes,
+                framelength_s=framelength_s, merge_gap_s=merge_gap_s)
+        except (KeyError, ValueError) as e:
+            reason = str(e)
+            if on_skip is not None:
+                on_skip(paths[ident], reason)
+            else:
+                import warnings
+                warnings.warn(f'skipping {paths[ident]}: {reason}')
+            continue
         for cls, events in per_class.items():
             for e in events:
                 rows.append({'ident': ident, 'class': cls, **{

@@ -86,8 +86,23 @@ def test_call_detections_directory_csv_and_trimmed(tmp_path):
     trim_directory(d, classes_keep=('ins_buzz',), decimals=1)
     os.remove(os.path.join(d, 'c_buzzdetect.csv'))
 
+    # a stray archive trimmed to OTHER classes must be skipped+reported,
+    # not abort the whole batch
+    _write_result(os.path.join(d, 'stray_buzzdetect.csv'), starts,
+                  [9.0] * 6)
+    from buzzdetect_tpu.write.trim import trim_results
+    np.savez_compressed(
+        os.path.join(d, 'stray_buzztrim.npz'),
+        **trim_results(os.path.join(d, 'stray_buzzdetect.csv'),
+                       classes_keep=('ambient_noise',)))
+    os.remove(os.path.join(d, 'stray_buzzdetect.csv'))
+
     out_csv = str(tmp_path / 'events.csv')
-    rows = call_detections_directory(d, threshold=0.0, path_out=out_csv)
+    skipped = []
+    rows = call_detections_directory(
+        d, threshold=0.0, path_out=out_csv,
+        on_skip=lambda p, why: skipped.append(p))
+    assert len(skipped) == 1 and skipped[0].endswith('stray_buzztrim.npz')
     by_ident = {}
     for r in rows:
         by_ident.setdefault(r['ident'], []).append(r)

@@ -726,4 +726,12 @@ def test_analyze_single_file_unsupported_format(patched_models, tmp_path):
     a = analyze(modelname='testmodel', dir_audio=str(bogus),
                 dir_out=str(tmp_path / 'out'), chunklength=2.0,
                 verbosity_print='ERROR')
-    assert a.coordinator.end_reason == 'no files'
+    # a distinct FATAL end_reason: the watch loop's healthy set includes
+    # 'no files' (an empty recorder directory heals), but a wrong
+    # extension never can — a watcher must stop, not warn forever
+    assert a.coordinator.end_reason == 'unsupported input'
+
+    a = analyze(modelname='testmodel', dir_audio=str(bogus),
+                dir_out=str(tmp_path / 'out2'), chunklength=2.0,
+                verbosity_print='ERROR', watch=True, watch_cycles=50)
+    assert a.coordinator.end_reason == 'unsupported input'

@@ -49,7 +49,9 @@ def main():
         args.dir_results, threshold=args.threshold,
         precision=args.precision, modelname=args.modelname,
         classes=args.classes, merge_gap_s=args.merge_gap,
-        path_out=args.out)
+        path_out=args.out,
+        on_skip=lambda path, why: print(f'skipping {path}: {why}',
+                                        file=sys.stderr))
 
     idents = sorted({r['ident'] for r in rows})
     total_s = sum(r['duration'] for r in rows)
