@@ -47,6 +47,17 @@ def main():
             j = scores[i].argmax()
             print(f'{starts[i]:5.1f}s  {names[j]:<26s} {scores[i, j]:+.2f}')
 
+        # the archival workflow: threshold the stored activations AFTER
+        # the fact and coalesce detected frames into events — re-callable
+        # at any threshold without re-analysis
+        from buzzdetect_tpu.write.detections import \
+            call_detections_directory
+        events = call_detections_directory(dir_out, threshold=-2.0)
+        print(f'\n{len(events)} ins_buzz event(s) at threshold -2.0:')
+        for e in events:
+            print(f"  {e['ident']}: {e['start']:.2f}-{e['end']:.2f}s "
+                  f"(peak {e['activation_max']:+.2f})")
+
 
 if __name__ == '__main__':
     main()
