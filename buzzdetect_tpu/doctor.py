@@ -6,8 +6,41 @@ one line per check so field deployments can triage quickly.
 """
 
 import os
+import subprocess
 import sys
 import traceback
+
+# A dead axon tunnel hangs jax.devices() FOREVER (observed 2026-08-17:
+# 10+ h outages where even backend init never returns) — the one condition
+# a triage tool must diagnose, not inherit. Probe the backend in a
+# subprocess with a hard timeout before any in-process device call (same
+# discipline as bench.py's supervised preflight). JAX_PLATFORMS is
+# re-pinned explicitly because the image's preloaded platform plugin
+# overrides the env var (see classifier._honor_platform_env).
+_PREFLIGHT_CODE = (
+    "import os, jax\n"
+    "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
+    "if p: jax.config.update('jax_platforms', p)\n"
+    "import numpy as np, jax.numpy as jnp\n"
+    "x = jnp.ones((128, 128))\n"
+    "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n"
+    "print('DOCTOR_PREFLIGHT_OK')\n"
+)
+
+
+def _backend_reachable(timeout: float):
+    """(ok, why_not): dispatch one matmul in a watched subprocess."""
+    try:
+        out = subprocess.run([sys.executable, '-c', _PREFLIGHT_CODE],
+                             capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False, (f'no dispatch completed within {timeout:.0f}s — '
+                       f'backend unreachable (tunnel outage?)')
+    if out.returncode == 0 and 'DOCTOR_PREFLIGHT_OK' in out.stdout:
+        return True, None
+    tail = (out.stderr or out.stdout).strip().splitlines()
+    return False, (tail[-1] if tail else f'probe exited {out.returncode}')
 
 
 def _check(name, fn):
@@ -42,11 +75,21 @@ def main(modelname: str = None):
               'for the full traceback')
         return 1
 
-    def check_jax():
-        import jax
-        devs = jax.devices()
-        return f'{len(devs)} device(s): {devs[0].platform} {devs[0]}'
-    ok &= _check('jax backend', check_jax)
+    reachable, why = _backend_reachable(
+        float(os.environ.get('BUZZDETECT_DOCTOR_TIMEOUT', '60')))
+    if reachable:
+        def check_jax():
+            import jax
+            devs = jax.devices()
+            return f'{len(devs)} device(s): {devs[0].platform} {devs[0]}'
+        ok &= _check('jax backend', check_jax)
+    else:
+        ok = False
+        print(f'  [FAIL] jax backend — {why}')
+        print('         skipping device-bound checks; host-side checks '
+              'continue below.\n'
+              '         To doctor the host stack alone: '
+              'JAX_PLATFORMS=cpu python -m buzzdetect_tpu.doctor')
 
     def check_decoder():
         from buzzdetect_tpu.audio.ffi import get_lib
@@ -90,7 +133,10 @@ def main(modelname: str = None):
         knobs = (f', frontend={clf.frontend}, conv={clf.conv}'
                  if clf is not None else '')
         return f'1 s inference -> {out.shape} scores{knobs}'
-    ok &= _check('end-to-end inference', check_inference)
+    if reachable:
+        ok &= _check('end-to-end inference', check_inference)
+    else:
+        print('  [skip] end-to-end inference — backend unreachable')
 
     def check_threshold():
         from buzzdetect_tpu.write.thresholds import calculate_threshold

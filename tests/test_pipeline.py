@@ -735,3 +735,24 @@ def test_analyze_single_file_unsupported_format(patched_models, tmp_path):
                 dir_out=str(tmp_path / 'out2'), chunklength=2.0,
                 verbosity_print='ERROR', watch=True, watch_cycles=50)
     assert a.coordinator.end_reason == 'unsupported input'
+
+
+def test_doctor_survives_unreachable_backend(patched_models, monkeypatch,
+                                             capsys):
+    """The triage tool must DIAGNOSE a hung device backend, not inherit
+    the hang (a dead tunnel stalls jax.devices() forever): the preflight
+    probe times out, device-bound checks are skipped with a reason, and
+    host-side checks still run."""
+    from buzzdetect_tpu import doctor
+    monkeypatch.setattr(doctor, '_PREFLIGHT_CODE',
+                        'import time; time.sleep(999)')
+    monkeypatch.setenv('BUZZDETECT_DOCTOR_TIMEOUT', '2')
+    ret = doctor.main('testmodel')
+    out = capsys.readouterr().out
+    assert ret == 1
+    assert 'backend unreachable' in out or 'no dispatch completed' in out
+    assert '[skip] end-to-end inference' in out
+    # host-side stack still checked
+    assert '[ok]   native decoder' in out
+    assert '[ok]   threshold calibration' in out
+    assert 'SOME CHECKS FAILED' in out
