@@ -314,6 +314,33 @@ class Analyzer:
                         coordinator=self.coordinator))
         self.thread_writer.start()
 
+    def _launch_stall_watchdog(self):
+        """Warn when NO results land within cfg.STALL_WARNING_S of launch.
+
+        A dead device backend hangs the first dispatch indefinitely
+        (observed: tunnel outages stall jax backend init with no error),
+        which reads as a silent mid-startup freeze. The watchdog cannot
+        distinguish a hang from a legitimately long first compile, so it
+        only WARNS — pointing at the doctor — and never kills the run.
+        """
+        def watch():
+            import time
+            poll = min(5.0, max(0.05, cfg.STALL_WARNING_S / 10))
+            t0 = time.monotonic()
+            while not self.coordinator.event_exitanalysis.wait(poll):
+                if self.coordinator.audio_seconds_done > 0:
+                    return
+                if time.monotonic() - t0 > cfg.STALL_WARNING_S:
+                    self.coordinator.log(
+                        f'no results in {cfg.STALL_WARNING_S:.0f}s — a '
+                        f'first-time model compile can take this long, but '
+                        f'an unreachable device backend hangs exactly like '
+                        f'this; triage with `python -m buzzdetect_tpu.'
+                        f'doctor` in another shell', 'WARNING')
+                    return
+        threading.Thread(target=watch, name='stall-watchdog',
+                         daemon=True).start()
+
     # --- assignment / guard logic ---------------------------------------------
     def _check_manifest(self):
         manifest = build_manifest(modelname=self.modelname,
@@ -558,6 +585,7 @@ class Analyzer:
             self._launch_writer()
             self._launch_streamers()
             self._launch_analyzers()
+            self._launch_stall_watchdog()
 
             self.coordinator.wait_for_exit(
                 threads_streamers=self.threads_streamers,

@@ -39,6 +39,11 @@ BAD_READ_ALLOWANCE = 0.01
 # Files smaller than this many bytes are skipped as presumed-corrupt.
 FILE_SIZE_MINIMUM = 5000
 
+# Seconds of zero results after worker launch before the stall watchdog
+# WARNS (a dead device backend hangs the first dispatch with no error; a
+# first-time TPU compile legitimately takes ~40-60 s — hence warn-only).
+STALL_WARNING_S = 300.0
+
 
 def resolve_dir(d: str) -> str:
     """Resolve a model/embedder root: absolute paths pass through; relative

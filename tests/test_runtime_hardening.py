@@ -496,3 +496,52 @@ def test_external_stop_under_contention_replica_mode(tmp_path, monkeypatch):
     done = [f for f in os.listdir(dir_out) if f.endswith('_buzzdetect.csv')]
     assert len(done) == 8
     assert not [f for f in os.listdir(dir_out) if f.endswith('_buzzpart.csv')]
+
+
+def test_stall_watchdog_warns_then_stands_down(monkeypatch):
+    """Zero results within the budget -> one WARNING pointing at doctor
+    (a dead backend hangs the first dispatch silently); progress or
+    completion before the budget -> no warning."""
+    import queue
+    import time
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.analysis import Analyzer
+    from buzzdetect_tpu.runtime.coordination import Coordinator
+
+    def drain(coord, seconds=1.5):
+        msgs, t0 = [], time.monotonic()
+        while time.monotonic() - t0 < seconds:
+            try:
+                msgs.append(coord.q_log.get(timeout=0.1))
+            except queue.Empty:
+                if any('no results' in m.message for m in msgs):
+                    break
+        return [m for m in msgs if 'no results' in m.message]
+
+    monkeypatch.setattr(cfg, 'STALL_WARNING_S', 0.2)
+
+    class Stub:
+        pass
+
+    # stalled: warns once
+    stub = Stub()
+    stub.coordinator = Coordinator()
+    Analyzer._launch_stall_watchdog(stub)
+    warned = drain(stub.coordinator)
+    assert len(warned) == 1
+    assert warned[0].level_str == 'WARNING'
+    assert 'doctor' in warned[0].message
+
+    # progress before the budget: stands down silently
+    stub2 = Stub()
+    stub2.coordinator = Coordinator()
+    stub2.coordinator.audio_seconds_done = 1.0
+    Analyzer._launch_stall_watchdog(stub2)
+    assert drain(stub2.coordinator, seconds=0.6) == []
+
+    # completed before the budget: stands down silently
+    stub3 = Stub()
+    stub3.coordinator = Coordinator()
+    stub3.coordinator.event_exitanalysis.set()
+    Analyzer._launch_stall_watchdog(stub3)
+    assert drain(stub3.coordinator, seconds=0.6) == []
