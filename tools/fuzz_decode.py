@@ -72,6 +72,16 @@ def exercise(path: str) -> str:
     except DecodeError:
         return 'rejected-open'
     try:
+        # half the cases COLD-seek before any linear read: container seek
+        # into corrupt data (av_seek_frame + preroll / reopen-count) is a
+        # different path than read-then-seek
+        if hash(os.path.basename(path)) & 1:
+            try:
+                t.seek(max(0, t.frames // 2) if t.frames > 0 else 16000)
+                t.read(4096)
+                t.seek(0)
+            except DecodeError:
+                pass
         total = 0
         for _ in range(MAX_SLABS):
             got = t.read(READ_SLAB)
