@@ -603,6 +603,10 @@ static inline int8_t conv_mulaw(float v) {
 template <typename T, typename Conv>
 static int64_t drain_fifo(BzStream* s, T* out, int64_t max_samples,
                           Conv conv) {
+    // a negative count would wrap through (size_t)n below and corrupt the
+    // fifo head; the Python binding can't produce one (np.empty raises
+    // first) but the C ABI must not rely on that
+    if (max_samples <= 0) return 0;
     if (fill_fifo(s, max_samples) < 0 && s->fifo.size() == s->fifo_head)
         return -1;
     int64_t avail = (int64_t)(s->fifo.size() - s->fifo_head);
