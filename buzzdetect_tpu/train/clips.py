@@ -151,8 +151,13 @@ def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
 def train_full_model(clips, labels, *, epochs=10, batch_size=32,
                      learning_rate=1e-4, class_weights=None, mesh=None,
                      seed=0, framehop_prop=1.0, log=print,
-                     checkpoint_dir=None, checkpoint_every=1):
+                     checkpoint_dir=None, checkpoint_every=1,
+                     augment=False):
     """Fine-tune the whole embedder + head on labeled clips.
+
+    ``augment=True`` turns on the on-device augmentation recipe
+    (train/augment.py) — per-step keys derive from (seed, global step), so
+    augmented runs stay bit-reproducible and checkpoint/resume exact.
 
     With ``checkpoint_dir``, the full training state (params, optimizer,
     epoch, loss history, shuffle rng) is persisted atomically every
@@ -173,7 +178,8 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
     params, opt_state, tx = init_full_train(n_classes, seed=seed,
                                             learning_rate=learning_rate)
     step = make_full_train_step(tx, mesh=mesh, class_weights=class_weights,
-                                framehop_prop=framehop_prop)
+                                framehop_prop=framehop_prop,
+                                augment=augment)
 
     rng = np.random.default_rng(seed)
     n = len(clips)
@@ -194,7 +200,8 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
                        'batch_size': int(batch_size),
                        'framehop_prop': float(framehop_prop),
                        'n_clips': int(n),
-                       'n_classes': int(n_classes)}
+                       'n_classes': int(n_classes),
+                       'augment': bool(augment)}
         restored = load_train_checkpoint(ckpt_path, params, opt_state,
                                          log=log, fingerprint=fingerprint)
         if restored is not None and restored[2] > epochs:
@@ -219,9 +226,16 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
             if len(idx) < batch_size:
                 idx = np.concatenate(
                     [idx, rng.permutation(n)[:batch_size - len(idx)]])
-            params, opt_state, loss = step(
-                params, opt_state,
-                jnp.asarray(clips[idx]), jnp.asarray(labels[idx]))
+            args = (params, opt_state,
+                    jnp.asarray(clips[idx]), jnp.asarray(labels[idx]))
+            if augment:
+                # key = f(seed, global step): bit-reproducible, and the
+                # global step (len(losses)) rides the checkpoint, so an
+                # interrupted augmented run resumes on the exact key stream
+                import jax
+                args += (jax.random.fold_in(jax.random.PRNGKey(seed),
+                                            len(losses)),)
+            params, opt_state, loss = step(*args)
             losses.append(float(loss))
         log(f'epoch {epoch + 1}/{epochs}: loss {losses[-1]:.4f}')
         if ckpt_path and (epoch + 1) % max(1, checkpoint_every) == 0:

@@ -126,7 +126,7 @@ def _shard_activations(x, mesh):
 
 
 def make_full_train_step(tx, mesh: Mesh = None, class_weights=None,
-                         framehop_prop: float = 1.0):
+                         framehop_prop: float = 1.0, augment: bool = False):
     """End-to-end train step: raw 16 kHz waveform batch -> frontend ->
     MobileNet (live BatchNorm) -> head -> BCE; grads for every conv kernel,
     BN beta, and the head.
@@ -137,13 +137,22 @@ def make_full_train_step(tx, mesh: Mesh = None, class_weights=None,
 
     Returns step(params, opt_state, waveforms, labels) ->
     (params, opt_state, loss). ``params`` = {'yamnet_raw': ..., 'head': ...}.
+
+    With ``augment=True`` the step takes a trailing PRNG key —
+    step(params, opt_state, waveforms, labels, key) — and applies the
+    on-device augmentation recipe (gain/shift + mixup on waveforms,
+    SpecAugment masks on patches, see train/augment.py) INSIDE the jitted
+    graph: pure key-driven transforms, static shapes, one program.
     """
     cfg = FrontendConfig().with_framehop(framehop_prop)
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
 
-    def forward(trainable, waveforms, labels):
+    def forward(trainable, waveforms, labels, mask_key=None):
         patches = log_mel_patches(waveforms, cfg)      # (B, n_patch, 96, 64)
+        if mask_key is not None:
+            from buzzdetect_tpu.train.augment import spec_mask
+            patches = spec_mask(mask_key, patches)
         b, npatch = patches.shape[0], patches.shape[1]
         patches = patches.reshape(b * npatch, *patches.shape[2:])
         if mesh is not None:
@@ -160,14 +169,19 @@ def make_full_train_step(tx, mesh: Mesh = None, class_weights=None,
         loss = bce_with_logits_loss(logits, labels, cw)
         return loss, new_raw
 
-    def step(params, opt_state, waveforms, labels):
+    def step(params, opt_state, waveforms, labels, key=None):
         if mesh is not None:
             waveforms = jax.lax.with_sharding_constraint(
                 waveforms, NamedSharding(mesh, P('data', None)))
             labels = jax.lax.with_sharding_constraint(
                 labels, NamedSharding(mesh, P('data', None)))
+        mask_key = None
+        if augment:
+            from buzzdetect_tpu.train.augment import default_augment
+            k_wave, mask_key = jax.random.split(key)
+            waveforms, labels = default_augment(k_wave, waveforms, labels)
         (loss, new_raw), grads = jax.value_and_grad(
-            forward, has_aux=True)(params, waveforms, labels)
+            forward, has_aux=True)(params, waveforms, labels, mask_key)
         # BN running stats are data, not parameters: adopt, don't descend
         grads['yamnet_raw'] = {
             k: (jnp.zeros_like(v) if k.endswith(('bn_mean', 'bn_var')) else v)

@@ -51,6 +51,10 @@ def main():
     ap.add_argument('--full', action='store_true',
                     help='fine-tune the WHOLE embedder on labeled clips '
                          '(default: head-only on frozen embeddings)')
+    ap.add_argument('--augment', action='store_true',
+                    help='with --full: on-device augmentation (gain/shift, '
+                         'mixup, SpecAugment masks) inside the train step '
+                         '— the standard small-corpus regularizers')
     ap.add_argument('--checkpoint-every', type=int, default=1,
                     help='with --full: persist the training state to the '
                          'work dir every N epochs; an interrupted run '
@@ -99,7 +103,8 @@ def main():
             learning_rate=args.learning_rate,
             framehop_prop=args.framehop,
             checkpoint_dir=dir_work,
-            checkpoint_every=args.checkpoint_every)
+            checkpoint_every=args.checkpoint_every,
+            augment=args.augment)
         print(f'      loss {losses[0]:.4f} -> {losses[-1]:.4f}')
         print('[3/3] writing bundle ...')
         arrays = {f'yamnet_raw/{k}': v for k, v in raw.items()}
