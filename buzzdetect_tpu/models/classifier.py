@@ -68,16 +68,43 @@ def _honor_platform_env():
 _honor_platform_env()
 
 
+def _host_cache_key():
+    """Cache-partition key for this host's microarchitecture.
+
+    XLA:CPU AOT executables bake in the compile host's CPU features; loading
+    an entry compiled on a different microarchitecture emits cpu_aot_loader
+    feature-mismatch errors and can SIGILL (observed when ~/.cache rides a
+    volume that moves between machines). TPU executables don't have this
+    hazard, but partitioning the whole cache by host is cheap (one recompile
+    per new host) and keeps the CPU entries safe.
+    """
+    import hashlib
+    import platform as _platform
+    feats = _platform.machine()
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    feats = ' '.join(sorted(line.split(':', 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(
+        f'{jax.__version__}|{feats}'.encode()).hexdigest()[:12]
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: first-compile of the fused graph can
-    take tens of seconds on TPU; cache it across processes."""
+    take tens of seconds on TPU; cache it across processes. Partitioned per
+    host microarchitecture (see _host_cache_key)."""
     import os
     if jax.config.jax_compilation_cache_dir is None:
-        cache = os.environ.get(
+        base = os.environ.get(
             'BUZZDETECT_XLA_CACHE',
             os.path.join(os.path.expanduser('~'), '.cache',
                          'buzzdetect_tpu', 'xla'))
         try:
+            cache = os.path.join(base, _host_cache_key())
             os.makedirs(cache, exist_ok=True)
             jax.config.update('jax_compilation_cache_dir', cache)
             jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

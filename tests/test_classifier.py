@@ -328,3 +328,22 @@ def test_bf16_detections_insensitive_at_measured_deviation(arrays):
     assert len(thresholds) > 10  # the margin excludes only a sliver
     for thr in thresholds:
         np.testing.assert_array_equal(s32 > thr, s16 > thr)
+
+
+def test_compilation_cache_partitioned_per_host():
+    """The persistent XLA cache must be keyed by host microarchitecture:
+    XLA:CPU AOT entries bake in compile-host CPU features, and reusing a
+    cache directory across machines (home on a shared volume) risks SIGILL.
+    The key must be stable within a host and derive from jax version + CPU
+    features."""
+    import jax
+    from buzzdetect_tpu.models.classifier import _host_cache_key
+
+    key = _host_cache_key()
+    assert key == _host_cache_key()  # deterministic
+    assert len(key) == 12 and all(c in '0123456789abcdef' for c in key)
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir is not None and 'buzzdetect_tpu' in cache_dir:
+        # only when our default wiring set it (a user override is absolute)
+        assert os.path.basename(cache_dir) == key
