@@ -19,12 +19,18 @@ from buzzdetect_tpu.train.data import translate_labels
 
 def clip_spans(events, duration: float, clip_seconds: float,
                negatives_per_positive: float = 1.0, seed: int = 0,
-               overlap_prop: float = 0.2):
+               overlap_prop: float = 0.2, n_negatives: int = None):
     """Plan clip extraction for one file.
 
     Returns a list of (start_seconds, labels) where labels is the list of
     event labels overlapping the clip (empty for negatives). Positive clips
     tile each event span; negatives sample uniformly from gaps.
+
+    ``n_negatives``: explicit negative-clip count, overriding the
+    per-file ``negatives_per_positive`` sizing — build_clip_dataset uses
+    this to balance negatives corpus-wide (a file with no events sizes to
+    ZERO under the per-file rule, silently dropping dedicated background
+    recordings from training).
     """
     rng = np.random.default_rng(seed)
     clipped = []   # (start, end, label) clamped to the file
@@ -63,7 +69,8 @@ def clip_spans(events, duration: float, clip_seconds: float,
             continue  # sliver-only tile: no event meaningfully present
         spans.append((start, labels))
 
-    n_neg = int(round(len(spans) * negatives_per_positive))
+    n_neg = (int(round(len(spans) * negatives_per_positive))
+             if n_negatives is None else int(n_negatives))
     max_start = max(0.0, duration - clip_seconds)
     tries = 0
     negatives = []
@@ -112,7 +119,16 @@ def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
 
     ``clip_seconds`` defaults to the one-patch minimum (0.975 s), the
     smallest shape the full train step accepts.
+
+    Negatives are balanced CORPUS-WIDE: the target count is
+    ``negatives_per_positive`` x the total positive clips across all
+    files, distributed over every file proportional to its un-annotated
+    duration. Files with no events at all — the standard way to provide
+    background examples — therefore contribute negative clips (a per-file
+    rule would size them to zero and silently drop them from training).
     """
+    import zlib
+
     from buzzdetect_tpu.audio import driver_map
     from buzzdetect_tpu.utils import build_ident, search_dir
 
@@ -120,21 +136,57 @@ def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
     if clip_seconds is None:
         clip_seconds = min_waveform_samples(cfg) / cfg.sample_rate
 
-    all_clips, all_labels = [], []
+    # phase 1 — plan positives and measure un-annotated time per file
+    plan = []  # (path, ident, events, duration, n_pos, uncovered_s)
     for path in search_dir(dir_audio, list(driver_map.keys())):
         ident = build_ident(path, dir_audio)
         events = events_by_ident.get(ident, [])
         track = build_track(path, target_rate=cfg.sample_rate)
         try:
             duration = get_duration(track)
-            spans = clip_spans(events, duration, clip_seconds,
-                               negatives_per_positive, seed=seed)
-            if not spans:
-                continue
-            clips = extract_clips(path, spans, clip_seconds,
-                                  cfg.sample_rate, track=track)
         finally:
             track.close()
+        n_pos = len(clip_spans(events, duration, clip_seconds,
+                               seed=seed, n_negatives=0))
+        covered = 0.0
+        last_end = 0.0
+        spans_clamped = [(max(0.0, s), min(duration, e))
+                         for s, e, _lb in events]
+        for s, e in sorted((s, e) for s, e in spans_clamped if e > s):
+            if e > last_end:
+                covered += e - max(s, last_end)
+                last_end = e
+        # a gap shorter than one clip can never host a negative; counting
+        # it would siphon allocation from files that can actually use it —
+        # approximate by zeroing files whose total slack is sub-clip
+        uncovered = max(0.0, duration - covered)
+        if uncovered < clip_seconds:
+            uncovered = 0.0
+        plan.append((path, ident, events, duration, n_pos, uncovered))
+
+    # phase 2 — distribute the corpus negative budget by un-annotated time
+    # (largest-remainder rounding so the total is exact)
+    total_pos = sum(n_pos for *_rest, n_pos, _unc in plan)
+    budget = int(round(total_pos * negatives_per_positive))
+    total_unc = sum(unc for *_rest, unc in plan)
+    quotas = [(budget * unc / total_unc if total_unc > 0 else 0.0)
+              for *_rest, unc in plan]
+    alloc = [int(q) for q in quotas]
+    for i in sorted(range(len(plan)), key=lambda j: quotas[j] - alloc[j],
+                    reverse=True)[:budget - sum(alloc)]:
+        alloc[i] += 1
+
+    all_clips, all_labels = [], []
+    for (path, ident, events, duration, _n_pos, _unc), n_neg in zip(plan,
+                                                                    alloc):
+        # per-file seed: same-duration files must not sample negatives at
+        # identical relative offsets
+        file_seed = (seed * 1000003 + zlib.crc32(ident.encode())) % 2**32
+        spans = clip_spans(events, duration, clip_seconds,
+                           seed=file_seed, n_negatives=n_neg)
+        if not spans:
+            continue
+        clips = extract_clips(path, spans, clip_seconds, cfg.sample_rate)
         labels = translate_labels([s for _start, s in spans],
                                   translation or {}, classes)
         all_clips.append(clips)

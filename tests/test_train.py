@@ -295,6 +295,75 @@ def test_train_full_model_rejects_empty_dataset():
         train_full_model(clips, labels, epochs=1)
 
 
+def test_negative_only_files_contribute_clips(tmp_path):
+    """Regression: negatives used to be sized per-file from that file's OWN
+    positive count, so a file with no events — the standard way to provide
+    background examples — contributed zero clips to full-model training.
+    The budget is now corpus-wide, distributed by un-annotated duration."""
+    from buzzdetect_tpu.train.clips import build_clip_dataset
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    # annotated file: a tone, fully covered by one event -> no gaps at all
+    write_wav(dir_audio / 'buzz.wav', make_tone(4.0, 16000, 220), 16000)
+    # background-only file: silence, no annotations
+    write_wav(dir_audio / 'amb.wav',
+              np.zeros(int(4.0 * 16000), np.float32), 16000)
+
+    clips, labels = build_clip_dataset(
+        str(dir_audio), {'buzz': [(0.0, 4.0, 'ins_buzz')]},
+        classes=['ins_buzz'], log=lambda *_: None)
+
+    n_pos = int((labels.sum(axis=1) > 0).sum())
+    n_neg = int((labels.sum(axis=1) == 0).sum())
+    assert n_pos > 0
+    # corpus-wide balance: negatives_per_positive defaults to 1.0
+    assert n_neg == n_pos
+    # every negative must come from the silent background file (the buzz
+    # file is fully annotated): all-zero waveforms
+    neg_clips = clips[labels.sum(axis=1) == 0]
+    assert np.abs(neg_clips).max() == 0.0
+    # and positives from the tone file are non-silent
+    pos_clips = clips[labels.sum(axis=1) > 0]
+    assert np.abs(pos_clips).max() > 0.1
+
+
+def test_clip_dataset_negative_sampling_deterministic(tmp_path):
+    """Same corpus + seed -> bit-identical dataset (negatives sample from
+    per-file seeded rngs derived from (seed, ident), so training runs and
+    their checkpoints reproduce across hosts and orderings)."""
+    from buzzdetect_tpu.train.clips import build_clip_dataset
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    rng = np.random.default_rng(3)
+    # two same-duration background files: per-file seeds must differ, so
+    # their negative offsets differ
+    for name in ('a', 'b'):
+        write_wav(dir_audio / f'{name}.wav',
+                  (rng.standard_normal(8 * 16000) * 0.1).astype(np.float32),
+                  16000)
+    write_wav(dir_audio / 'ev.wav', make_tone(4.0, 16000, 200), 16000)
+    events = {'ev': [(0.0, 2.0, 'ins_buzz')]}
+
+    got1 = build_clip_dataset(str(dir_audio), events, classes=['ins_buzz'],
+                              negatives_per_positive=2.0, seed=11,
+                              log=lambda *_: None)
+    got2 = build_clip_dataset(str(dir_audio), events, classes=['ins_buzz'],
+                              negatives_per_positive=2.0, seed=11,
+                              log=lambda *_: None)
+    np.testing.assert_array_equal(got1[0], got2[0])
+    np.testing.assert_array_equal(got1[1], got2[1])
+    # a different seed moves the sampled negatives
+    got3 = build_clip_dataset(str(dir_audio), events, classes=['ins_buzz'],
+                              negatives_per_positive=2.0, seed=12,
+                              log=lambda *_: None)
+    assert got3[0].shape == got1[0].shape
+    assert not np.array_equal(got3[0], got1[0])
+
+
 def test_embed_directory_resume_is_crash_safe(tmp_path, monkeypatch):
     """embed_directory writes via temp+rename so its skip-if-exists resume
     never adopts a truncated npz from a killed run."""
