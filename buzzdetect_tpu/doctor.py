@@ -75,8 +75,14 @@ def main(modelname: str = None):
               'for the full traceback')
         return 1
 
-    reachable, why = _backend_reachable(
-        float(os.environ.get('BUZZDETECT_DOCTOR_TIMEOUT', '60')))
+    try:
+        timeout_s = float(os.environ.get('BUZZDETECT_DOCTOR_TIMEOUT', '60'))
+    except ValueError:
+        # the triage tool must not die on a malformed env var before it
+        # has diagnosed anything
+        print('WARN  BUZZDETECT_DOCTOR_TIMEOUT is not a number; using 60')
+        timeout_s = 60.0
+    reachable, why = _backend_reachable(timeout_s)
     if reachable:
         def check_jax():
             import jax

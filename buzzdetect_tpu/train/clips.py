@@ -136,8 +136,13 @@ def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
     if clip_seconds is None:
         clip_seconds = min_waveform_samples(cfg) / cfg.sample_rate
 
-    # phase 1 — plan positives and measure un-annotated time per file
-    plan = []  # (path, ident, events, duration, n_pos, uncovered_s)
+    # phase 1 — plan positives and measure un-annotated time per file.
+    # (Each file is opened twice across the two phases: once here for the
+    # duration probe — allocation needs corpus totals before any
+    # extraction — and once in extract_clips. The probe is a container
+    # header parse; decode dominates the build, so the extra open is
+    # accepted for the corpus-wide balance.)
+    plan = []  # (path, ident, events, duration, n_pos, uncovered_s, cap)
     for path in search_dir(dir_audio, list(driver_map.keys())):
         ident = build_ident(path, dir_audio)
         events = events_by_ident.get(ident, [])
@@ -158,27 +163,48 @@ def build_clip_dataset(dir_audio: str, events_by_ident: dict, classes,
                 last_end = e
         # a gap shorter than one clip can never host a negative; counting
         # it would siphon allocation from files that can actually use it —
-        # approximate by zeroing files whose total slack is sub-clip
+        # approximate by zeroing files whose total slack is sub-clip.
+        # Exception: an entirely un-annotated file SHORTER than one clip
+        # still hosts exactly one zero-padded negative (extract_clips pads
+        # the tail), so a corpus of short background snippets isn't dropped;
+        # cap it at 1 because every sample in a sub-clip file starts at 0
+        # and further clips would be duplicates.
         uncovered = max(0.0, duration - covered)
+        cap = None  # unbounded
         if uncovered < clip_seconds:
-            uncovered = 0.0
-        plan.append((path, ident, events, duration, n_pos, uncovered))
+            if not events and duration > 0:
+                uncovered, cap = duration, 1
+            else:
+                uncovered = 0.0
+        plan.append((path, ident, events, duration, n_pos, uncovered, cap))
 
     # phase 2 — distribute the corpus negative budget by un-annotated time
-    # (largest-remainder rounding so the total is exact)
-    total_pos = sum(n_pos for *_rest, n_pos, _unc in plan)
+    # (largest-remainder rounding so the total is exact when any file can
+    # host a negative; files with zero weight never receive allocation)
+    total_pos = sum(n_pos for *_rest, n_pos, _unc, _cap in plan)
     budget = int(round(total_pos * negatives_per_positive))
-    total_unc = sum(unc for *_rest, unc in plan)
+    total_unc = sum(unc for *_rest, unc, _cap in plan)
     quotas = [(budget * unc / total_unc if total_unc > 0 else 0.0)
-              for *_rest, unc in plan]
+              for *_rest, unc, _cap in plan]
     alloc = [int(q) for q in quotas]
-    for i in sorted(range(len(plan)), key=lambda j: quotas[j] - alloc[j],
-                    reverse=True)[:budget - sum(alloc)]:
-        alloc[i] += 1
+    if total_unc > 0:
+        remainder = [i for i in sorted(range(len(plan)),
+                                       key=lambda j: quotas[j] - alloc[j],
+                                       reverse=True)
+                     if quotas[i] > 0][:budget - sum(alloc)]
+        for i in remainder:
+            alloc[i] += 1
+    for i, (*_rest, cap) in enumerate(plan):
+        if cap is not None:
+            alloc[i] = min(alloc[i], cap)
+    if sum(alloc) < budget:
+        log(f'negative budget under-delivered: {sum(alloc)}/{budget} '
+            f'(the corpus has too little un-annotated time to host the '
+            f'rest)')
 
     all_clips, all_labels = [], []
-    for (path, ident, events, duration, _n_pos, _unc), n_neg in zip(plan,
-                                                                    alloc):
+    for (path, ident, events, duration, _n_pos, _unc, _cap), n_neg in zip(
+            plan, alloc):
         # per-file seed: same-duration files must not sample negatives at
         # identical relative offsets
         file_seed = (seed * 1000003 + zlib.crc32(ident.encode())) % 2**32
@@ -252,8 +278,13 @@ def train_full_model(clips, labels, *, epochs=10, batch_size=32,
                        'batch_size': int(batch_size),
                        'framehop_prop': float(framehop_prop),
                        'n_clips': int(n),
-                       'n_classes': int(n_classes),
-                       'augment': bool(augment)}
+                       'n_classes': int(n_classes)}
+        if augment:
+            # only keyed when ON: checkpoints written before augmentation
+            # existed carry no 'augment' entry yet describe bit-identical
+            # (unaugmented) training — adding the key unconditionally would
+            # reject every pre-upgrade fine-tune mid-run
+            fingerprint['augment'] = True
         restored = load_train_checkpoint(ckpt_path, params, opt_state,
                                          log=log, fingerprint=fingerprint)
         if restored is not None and restored[2] > epochs:

@@ -345,5 +345,7 @@ def test_compilation_cache_partitioned_per_host():
 
     cache_dir = jax.config.jax_compilation_cache_dir
     if cache_dir is not None and 'buzzdetect_tpu' in cache_dir:
-        # only when our default wiring set it (a user override is absolute)
+        # only when our wiring set it (a BUZZDETECT_XLA_CACHE override
+        # replaces the BASE dir; the host-key partition is still appended —
+        # see _enable_compilation_cache)
         assert os.path.basename(cache_dir) == key

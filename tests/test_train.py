@@ -364,6 +364,59 @@ def test_clip_dataset_negative_sampling_deterministic(tmp_path):
     assert not np.array_equal(got3[0], got1[0])
 
 
+def test_fully_annotated_corpus_underdelivers_negatives_loudly(tmp_path):
+    """When NO file can host a negative (everything annotated), the
+    allocator must deliver zero negatives and say so — not hand the budget
+    to files that reject every sample (largest-remainder ties at quota 0
+    used to do exactly that)."""
+    from buzzdetect_tpu.train.clips import build_clip_dataset
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    for name in ('a', 'b'):
+        write_wav(dir_audio / f'{name}.wav', make_tone(3.0, 16000, 220),
+                  16000)
+    events = {n: [(0.0, 3.0, 'ins_buzz')] for n in ('a', 'b')}
+
+    lines = []
+    clips, labels = build_clip_dataset(
+        str(dir_audio), events, classes=['ins_buzz'],
+        log=lambda *a: lines.append(' '.join(str(x) for x in a)))
+
+    assert int((labels.sum(axis=1) > 0).sum()) > 0
+    assert int((labels.sum(axis=1) == 0).sum()) == 0
+    assert any('under-delivered' in ln for ln in lines)
+
+
+def test_subclip_background_file_hosts_one_padded_negative(tmp_path):
+    """An entirely un-annotated file shorter than one clip still contributes
+    exactly one zero-padded negative (and never duplicate clips — every
+    sample in a sub-clip file starts at offset 0)."""
+    from buzzdetect_tpu.train.clips import build_clip_dataset
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    # positives source: fully annotated, so negatives can't come from it
+    write_wav(dir_audio / 'buzz.wav', make_tone(6.0, 16000, 220), 16000)
+    # background snippet SHORTER than the 0.975 s clip length
+    write_wav(dir_audio / 'snip.wav',
+              np.full(int(0.5 * 16000), 0.25, np.float32), 16000)
+
+    clips, labels = build_clip_dataset(
+        str(dir_audio), {'buzz': [(0.0, 6.0, 'ins_buzz')]},
+        classes=['ins_buzz'], negatives_per_positive=3.0,
+        log=lambda *_: None)
+
+    neg = clips[labels.sum(axis=1) == 0]
+    assert len(neg) == 1  # capped at one despite a 3x budget
+    # first 0.5 s decoded, tail zero-padded
+    n_body = int(0.5 * 16000)
+    assert np.abs(neg[0, :n_body]).max() > 0.2
+    assert np.abs(neg[0, n_body:]).max() == 0.0
+
+
 def test_embed_directory_resume_is_crash_safe(tmp_path, monkeypatch):
     """embed_directory writes via temp+rename so its skip-if-exists resume
     never adopts a truncated npz from a killed run."""

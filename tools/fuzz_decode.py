@@ -26,6 +26,7 @@ Usage:
 import argparse
 import json
 import os
+import zlib
 import signal
 import subprocess
 import sys
@@ -75,7 +76,10 @@ def exercise(path: str) -> str:
         # half the cases COLD-seek before any linear read: container seek
         # into corrupt data (av_seek_frame + preroll / reopen-count) is a
         # different path than read-then-seek
-        if hash(os.path.basename(path)) & 1:
+        # stable hash, NOT built-in hash(): str hashing is salted per
+        # process, and the crash-attribution protocol (respawn + rerun in a
+        # fresh subprocess) must route the same mutant down the same path
+        if zlib.crc32(os.path.basename(path).encode()) & 1:
             try:
                 t.seek(max(0, t.frames // 2) if t.frames > 0 else 16000)
                 t.read(4096)

@@ -67,6 +67,12 @@ def main():
                     help='skip the model-card artifacts (loss_curves.svg, '
                          'tests/*.svg, history.json)')
     args = ap.parse_args()
+    if args.augment and not args.full:
+        # head-only training never reads --augment; silently proceeding
+        # unaugmented would defeat the reason the flag was passed
+        ap.error('--augment requires --full (augmentation happens inside '
+                 'the full-model train step; head-only training runs on '
+                 'frozen cached embeddings)')
 
     from buzzdetect_tpu import config as cfg
     from buzzdetect_tpu.models.convert import load_bundle, save_bundle
