@@ -601,8 +601,9 @@ class Analyzer:
                 message='keyboard interrupt — stopping; finished chunks are '
                         'saved, rerun to resume', level='WARNING',
                 end_reason='interrupted'))
-            if self.thread_writer is not None:
-                self.thread_writer.join(timeout=30)
+            # writer drain handled by the generic non-completed join below
+            # (end_reason is 'interrupted' unless the run already finished,
+            # in which case wait_for_exit joined the writer)
 
         if (self.coordinator.end_reason != 'completed'
                 and self.thread_writer is not None):

@@ -83,6 +83,23 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
                 f'mixing incompatible embedding grids')
     else:
         os.makedirs(dir_out, exist_ok=True)
+        # A dir_out that already holds embedding npz files but no manifest
+        # predates the settings pin (or lost it). Writing a fresh manifest
+        # here would certify those files as matching the *requested*
+        # settings — the exact silent grid-mixing the pin exists to
+        # prevent — so refuse instead of adopting.
+        orphans = [os.path.join(root, name)
+                   for root, _dirs, names in os.walk(dir_out)
+                   for name in names if name.endswith(SUFFIX_EMBEDDINGS)]
+        if orphans:
+            raise ValueError(
+                f'{dir_out} holds {len(orphans)} embedding file(s) (e.g. '
+                f'{os.path.basename(orphans[0])}) but no '
+                f'embeddings_manifest.json recording the settings they '
+                f'were produced under; cannot verify they match the '
+                f'requested {settings}. Embed into a fresh dir_out, or — '
+                f'if you are certain they match — restore the manifest '
+                f'by hand.')
         with open(path_manifest, 'w') as f:
             json.dump(settings, f)
 

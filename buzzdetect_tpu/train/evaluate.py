@@ -84,7 +84,6 @@ def evaluate_model_on_clips(classifier, clips, labels, classes,
         # one array to stack' (e.g. a holdout split that came out empty)
         raise ValueError('evaluate_model_on_clips got an empty clip list — '
                          'check the train/eval split')
-    clips = list(clips)
     scores = [None] * len(clips)
     batcher = getattr(classifier, 'predict_async_batch', None)
     i = 0

@@ -167,6 +167,15 @@ def dispatch_slope(fn, inputs, n_long, trials=5, floor=0.0):
     tools/roofline.py and tools/int8_tpu_probe.py (they used to carry
     drifting copies of this loop).
     """
+    if n_long <= 2:
+        raise ValueError(f'n_long must be > 2 (the slope denominator is '
+                         f'n_long - 2); got {n_long}')
+    if len(inputs) < 2:
+        raise ValueError('dispatch_slope needs >= 2 distinct inputs to '
+                         'cycle through — repeated identical dispatches '
+                         'dedup on the tunneled runtime and collapse the '
+                         'slope to the floor')
+
     def run(k):
         t0 = time.perf_counter()
         out = None

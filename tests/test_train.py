@@ -456,6 +456,75 @@ def test_embed_directory_resume_is_crash_safe(tmp_path, monkeypatch):
     assert ec.embed_directory(str(d_audio), str(tmp_path / 'emb')) == []
 
 
+def test_embed_directory_settings_pin(tmp_path, monkeypatch):
+    """The embeddings manifest pins model+framehop: a rerun with different
+    settings fails loudly, and a directory holding npz files but NO
+    manifest (pre-pin or hand-mangled) is refused rather than certified
+    as matching the requested settings."""
+    import pytest
+    import buzzdetect_tpu.train.embed_corpus as ec
+
+    monkeypatch.setattr(ec, 'embed_file',
+                        lambda clf, path, chunklength: (
+                            np.array([0.0]), np.zeros((1, 4), np.float32)))
+
+    class FakeModel:
+        classifier = object()
+
+    monkeypatch.setattr('buzzdetect_tpu.models.registry.load_model',
+                        lambda *a, **k: FakeModel())
+
+    from tests.audio_fixtures import write_wav, make_tone
+    d_audio = tmp_path / 'audio'
+    d_audio.mkdir()
+    write_wav(str(d_audio / 'a.wav'), make_tone(1.0, 16000), 16000)
+
+    d_emb = tmp_path / 'emb'
+    written = ec.embed_directory(str(d_audio), str(d_emb), modelname='em',
+                                 framehop_prop=1.0)
+    assert len(written) == 1
+    assert (d_emb / 'embeddings_manifest.json').exists()
+
+    # same settings: resumes cleanly
+    assert ec.embed_directory(str(d_audio), str(d_emb), modelname='em',
+                              framehop_prop=1.0) == []
+    # different framehop: the starts grid would not match — loud failure
+    with pytest.raises(ValueError, match='conflicts'):
+        ec.embed_directory(str(d_audio), str(d_emb), modelname='em',
+                           framehop_prop=0.5)
+    # different model: embeddings would come from another network
+    with pytest.raises(ValueError, match='conflicts'):
+        ec.embed_directory(str(d_audio), str(d_emb), modelname='other',
+                           framehop_prop=1.0)
+
+    # orphaned npz files (manifest lost / pre-pin dir): refuse to adopt —
+    # writing a fresh manifest would certify stale files as matching
+    (d_emb / 'embeddings_manifest.json').unlink()
+    with pytest.raises(ValueError, match='no\\s+embeddings_manifest'):
+        ec.embed_directory(str(d_audio), str(d_emb), modelname='em',
+                           framehop_prop=1.0)
+    # the refusal must not have installed a manifest either
+    assert not (d_emb / 'embeddings_manifest.json').exists()
+
+
+def test_dispatch_slope_arg_guards():
+    """dispatch_slope rejects degenerate n_long (zero/negative slope
+    denominator) and single-input lists (identical dispatches dedup on the
+    tunneled runtime, collapsing the slope)."""
+    import pytest
+    from buzzdetect_tpu.utils import dispatch_slope
+
+    fn = np.asarray
+    with pytest.raises(ValueError, match='n_long'):
+        dispatch_slope(fn, [np.zeros(4), np.ones(4)], n_long=2)
+    with pytest.raises(ValueError, match='distinct inputs'):
+        dispatch_slope(fn, [np.zeros(4)], n_long=8)
+    # the valid shape still works end to end (host fn, tiny arrays)
+    best, med, worst = dispatch_slope(fn, [np.zeros(4), np.ones(4)],
+                                      n_long=4, trials=2)
+    assert best <= med <= worst
+
+
 def test_threshold_calibration_empty_table_raises_cleanly(tmp_path,
                                                           monkeypatch):
     """A header-only metrics.csv (evaluation found no usable rows) must

@@ -129,9 +129,13 @@ def measure_peaks(dtype):
     import jax
     import jax.numpy as jnp
 
+    # Every measurement cycles >= 2 distinct device-resident inputs:
+    # dispatch_slope requires it (repeated identical dispatches dedup on
+    # the tunneled runtime, collapsing the slope to the floor).
     n = 4096
-    a = jax.device_put(jax.random.normal(
-        jax.random.PRNGKey(0), (n, n), jnp.float32).astype(dtype))
+    mats = [jax.device_put(jax.random.normal(
+        jax.random.PRNGKey(k), (n, n), jnp.float32).astype(dtype))
+        for k in (0, 10, 20)]
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
@@ -142,11 +146,12 @@ def measure_peaks(dtype):
             y = jnp.dot(y, x, precision=prec,
                         preferred_element_type=jnp.float32).astype(dtype)
         return jnp.sum(y)
-    t = _slope(mm, [a])
+    t = _slope(mm, mats)
     mxu = 4 * 2 * n ** 3 / t
 
-    v = jax.device_put(jax.random.normal(
-        jax.random.PRNGKey(1), (1 << 22,), jnp.float32))
+    vecs = [jax.device_put(jax.random.normal(
+        jax.random.PRNGKey(k), (1 << 22,), jnp.float32))
+        for k in (1, 11, 21)]
 
     @jax.jit
     def fma_chain(x):
@@ -154,11 +159,14 @@ def measure_peaks(dtype):
         for _ in range(256):  # 2 FLOP per element per step, stays fused
             y = y * 1.000001 + 1e-7
         return jnp.sum(y)
-    t = _slope(fma_chain, [v])
-    vpu = 256 * 2 * v.size / t
+    t = _slope(fma_chain, vecs)
+    vpu = 256 * 2 * vecs[0].size / t
 
-    big = jax.device_put(jax.random.normal(
-        jax.random.PRNGKey(2), (1 << 14, 1 << 12), jnp.float32))  # 256 MB
+    # two alternating 256 MB arrays: no consecutive repeat (so no dedup)
+    # while bounding the probe's HBM footprint at 512 MB
+    bigs = [jax.device_put(jax.random.normal(
+        jax.random.PRNGKey(k), (1 << 14, 1 << 12), jnp.float32))
+        for k in (2, 12)]
     k_steps = 16
 
     @jax.jit
@@ -170,8 +178,8 @@ def measure_peaks(dtype):
         for i in range(k_steps):
             y = jnp.roll(y, 1 + i, axis=0) + 1.0
         return jnp.sum(y)
-    t = _slope(stream, [big], n_long=8)
-    bw = k_steps * 2 * 4 * big.size / t
+    t = _slope(stream, bigs, n_long=8)
+    bw = k_steps * 2 * 4 * bigs[0].size / t
     return mxu, vpu, bw
 
 
@@ -194,8 +202,10 @@ def measure_layers(which, dtype, seconds):
            if k.startswith('yamnet_raw/')}
     params = jax.device_put(yamnet_lib.fold_batchnorm(raw))
     b = int(seconds / 0.96)
-    patches = jax.device_put(jax.random.normal(
-        jax.random.PRNGKey(3), (b, 96, 64), jnp.float32))
+    # distinct inputs per dispatch: see the dedup note in measure_peaks
+    patch_sets = [jax.device_put(jax.random.normal(
+        jax.random.PRNGKey(k), (b, 96, 64), jnp.float32))
+        for k in (3, 13, 23)]
 
     shapes = list(yamnet_lib._conv_shapes())
 
@@ -218,7 +228,7 @@ def measure_layers(which, dtype, seconds):
     times = {0: 0.0}
     prev_needed = sorted(({k - 1 for k in which} | set(which)) - {0})
     for k in prev_needed:
-        times[k] = _slope(prefix(k), [patches])
+        times[k] = _slope(prefix(k), patch_sets)
         print(f'  measured prefix(1..{k}): {times[k] * 1e3:8.2f} ms',
               flush=True)
     return {k: times[k] - times[k - 1] for k in which if k - 1 in times}
