@@ -508,7 +508,10 @@ def test_stall_watchdog_warns_then_stands_down(monkeypatch):
     from buzzdetect_tpu.analysis import Analyzer
     from buzzdetect_tpu.runtime.coordination import Coordinator
 
-    def drain(coord, seconds=1.5):
+    # generous positive-case window (breaks early the moment the warning
+    # lands, so the common case stays ~0.2 s): a loaded CI host must not
+    # turn watchdog-thread scheduling delay into a flake
+    def drain(coord, seconds=6.0):
         msgs, t0 = [], time.monotonic()
         while time.monotonic() - t0 < seconds:
             try:

@@ -254,8 +254,10 @@ def test_watch_state_prunes_deleted_files(patched_models, tmp_path):
             time.sleep(0.02)
         os.remove(dir_audio / 'a.wav')
         rotated['done'] = True
-        # two more passes so the pruning pass actually runs post-delete
-        time.sleep(0.3)
+        # several pass intervals so the pruning pass actually runs
+        # post-delete, with margin for a loaded CI host (the pass itself
+        # is a cheap scan: every file is already complete)
+        time.sleep(1.0)
         stop.set()
 
     t = threading.Thread(target=rotator, daemon=True)
