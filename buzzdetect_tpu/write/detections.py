@@ -183,3 +183,71 @@ def call_detections_directory(dir_results, *, threshold=None,
             w.writeheader()
             w.writerows(rows)
     return rows
+
+
+def write_audacity_labels(rows, dir_out):
+    """Export called events as Audacity label tracks, one per ident.
+
+    Audacity's label format is one line per label: ``start<TAB>end<TAB>
+    text`` (seconds, no header); File > Import > Labels attaches the track
+    to the recording. Labels are per audio file, so this writes
+    ``<ident>_labels.txt`` under ``dir_out`` for each ident present in
+    ``rows`` (the output of :func:`call_detections_directory`); the label
+    text is ``<class> max=<activation_max>`` so the strongest events are
+    findable at a glance. Returns the written paths.
+    """
+    by_ident = {}
+    for r in rows:
+        by_ident.setdefault(r['ident'], []).append(r)
+    written = []
+    for ident, mine in sorted(by_ident.items()):
+        path = os.path.join(dir_out, ident + '_labels.txt')
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        with open(path, 'w') as f:
+            for r in sorted(mine, key=lambda r: (r['start'], r['class'])):
+                f.write(f"{r['start']:.6f}\t{r['end']:.6f}\t"
+                        f"{r['class']} max={r['activation_max']:.2f}\n")
+        written.append(path)
+    return written
+
+
+RAVEN_FIELDS = ('Selection', 'View', 'Channel', 'Begin Time (s)',
+                'End Time (s)', 'Low Freq (Hz)', 'High Freq (Hz)',
+                'Annotation')
+
+
+def write_raven_tables(rows, dir_out, low_hz: float = 125.0,
+                       high_hz: float = 7500.0):
+    """Export called events as Raven Pro selection tables, one per ident.
+
+    Tab-separated with Raven's standard columns; one selection per event,
+    numbered per table. One table per recording because Raven interprets
+    ``Begin Time (s)`` as a position on the opened sound's cumulative
+    timeline: a single corpus-wide table of within-file offsets would
+    misplace every selection after the first file, and cumulative times
+    would need exact per-file durations the event rows don't carry. Each
+    ``<ident>_selections.txt`` under ``dir_out`` pairs with its recording
+    (File > Open Selection Table after opening the sound). The detector is
+    not frequency-localized; the frequency bounds default to the model's
+    mel analysis band (125-7500 Hz for YAMNet) and mark the band the
+    decision was made over, not a measured event bandwidth. ``Annotation``
+    is ``<class> max=<activation_max>``. Returns the written paths.
+    """
+    by_ident = {}
+    for r in rows:
+        by_ident.setdefault(r['ident'], []).append(r)
+    written = []
+    for ident, mine in sorted(by_ident.items()):
+        path = os.path.join(dir_out, ident + '_selections.txt')
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        with open(path, 'w', newline='') as f:
+            w = csv.writer(f, delimiter='\t', lineterminator='\n')
+            w.writerow(RAVEN_FIELDS)
+            ordered = sorted(mine, key=lambda r: (r['start'], r['class']))
+            for i, r in enumerate(ordered, start=1):
+                w.writerow([i, 'Spectrogram 1', 1,
+                            f"{r['start']:.6f}", f"{r['end']:.6f}",
+                            f'{low_hz:g}', f'{high_hz:g}',
+                            f"{r['class']} max={r['activation_max']:.2f}"])
+        written.append(path)
+    return written

@@ -116,6 +116,73 @@ def test_call_detections_directory_csv_and_trimmed(tmp_path):
     assert len(lines) == 3
 
 
+def test_export_audacity_labels(tmp_path):
+    """Audacity label tracks: one tab-separated headerless file per ident
+    (incl. nested idents), labels sorted by time, class + peak in the
+    text."""
+    from buzzdetect_tpu.write.detections import write_audacity_labels
+    d = str(tmp_path / 'out')
+    starts = list(np.arange(6) * 0.96)
+    _write_result(os.path.join(d, 'a_buzzdetect.csv'), starts,
+                  [2.0, 2.0, -5.0, -5.0, 3.0, -5.0])
+    _write_result(os.path.join(d, 'sub', 'b_buzzdetect.csv'), starts,
+                  [-5.0, -5.0, 1.0, -5.0, -5.0, -5.0])
+    rows = call_detections_directory(d, threshold=0.0)
+
+    d_labels = str(tmp_path / 'labels')
+    written = write_audacity_labels(rows, d_labels)
+    assert sorted(os.path.relpath(p, d_labels) for p in written) == \
+        ['a_labels.txt', os.path.join('sub', 'b_labels.txt')]
+    lines = open(os.path.join(d_labels, 'a_labels.txt')).read().splitlines()
+    assert len(lines) == 2  # two bouts in 'a'
+    t0, t1, text = lines[0].split('\t')
+    assert float(t0) == pytest.approx(0.0)
+    assert float(t1) == pytest.approx(2 * 0.96)  # 2-frame bout
+    assert text == 'ins_buzz max=2.00'
+    assert float(lines[1].split('\t')[0]) == pytest.approx(4 * 0.96)
+
+
+def test_export_raven_selection_tables(tmp_path):
+    """Raven selection tables: one per recording (Raven's Begin Time is a
+    position on the opened sound, so per-file tables are the only layout
+    that places selections correctly), standard columns, per-table
+    selection numbering, analysis band as the frequency bounds."""
+    from buzzdetect_tpu.write.detections import (write_raven_tables,
+                                                 RAVEN_FIELDS)
+    d = str(tmp_path / 'out')
+    starts = list(np.arange(4) * 0.96)
+    _write_result(os.path.join(d, 'a_buzzdetect.csv'), starts,
+                  [1.5, -5.0, -5.0, 4.5])
+    _write_result(os.path.join(d, 'sub', 'b_buzzdetect.csv'), starts,
+                  [-5.0, -5.0, 2.5, -5.0])
+    rows = call_detections_directory(d, threshold=0.0)
+
+    d_sel = str(tmp_path / 'sel')
+    written = write_raven_tables(rows, d_sel)
+    assert sorted(os.path.relpath(p, d_sel) for p in written) == \
+        ['a_selections.txt', os.path.join('sub', 'b_selections.txt')]
+
+    lines = open(os.path.join(d_sel, 'a_selections.txt')).read().splitlines()
+    assert lines[0].split('\t') == list(RAVEN_FIELDS)
+    assert len(lines) == 3  # two events in 'a'
+    sel1 = dict(zip(RAVEN_FIELDS, lines[1].split('\t')))
+    sel2 = dict(zip(RAVEN_FIELDS, lines[2].split('\t')))
+    assert (sel1['Selection'], sel2['Selection']) == ('1', '2')
+    assert float(sel1['Begin Time (s)']) == pytest.approx(0.0)
+    assert float(sel1['End Time (s)']) == pytest.approx(0.96)
+    assert float(sel2['Begin Time (s)']) == pytest.approx(3 * 0.96)
+    assert (sel1['Low Freq (Hz)'], sel1['High Freq (Hz)']) == ('125', '7500')
+    assert sel1['View'] == 'Spectrogram 1'
+    assert sel2['Annotation'] == 'ins_buzz max=4.50'
+
+    # b's table numbers from 1 again (per-table numbering) with b's times
+    lines_b = open(os.path.join(
+        d_sel, 'sub', 'b_selections.txt')).read().splitlines()
+    sel_b = dict(zip(RAVEN_FIELDS, lines_b[1].split('\t')))
+    assert sel_b['Selection'] == '1'
+    assert float(sel_b['Begin Time (s)']) == pytest.approx(2 * 0.96)
+
+
 def test_call_detections_threshold_from_manifest_precision(tmp_path,
                                                            monkeypatch):
     """precision= resolves the threshold via the metrics table of the

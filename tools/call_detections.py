@@ -40,18 +40,35 @@ def main():
                     help='max gap (s) between detected frames of one event '
                          '(default: 1.5x the frame hop)')
     ap.add_argument('--out', default=None,
-                    help='write the combined events CSV here '
-                         '(default: print a summary only)')
+                    help='write the events here (default: print a summary '
+                         'only). A file path for csv; a DIRECTORY for '
+                         'audacity/raven (one track/table per recording)')
+    ap.add_argument('--format', default='csv',
+                    choices=['csv', 'audacity', 'raven'],
+                    help='output format: combined events CSV (default), '
+                         'Audacity label tracks (File > Import > Labels), '
+                         'or Raven Pro selection tables (one per '
+                         'recording — Raven times are per-sound)')
     args = ap.parse_args()
+    if args.format != 'csv' and args.out is None:
+        ap.error(f'--format {args.format} requires --out')
 
-    from buzzdetect_tpu.write.detections import call_detections_directory
+    from buzzdetect_tpu.write.detections import (call_detections_directory,
+                                                 write_audacity_labels,
+                                                 write_raven_tables)
     rows = call_detections_directory(
         args.dir_results, threshold=args.threshold,
         precision=args.precision, modelname=args.modelname,
         classes=args.classes, merge_gap_s=args.merge_gap,
-        path_out=args.out,
+        path_out=args.out if args.format == 'csv' else None,
         on_skip=lambda path, why: print(f'skipping {path}: {why}',
                                         file=sys.stderr))
+    if args.format == 'audacity':
+        for p in write_audacity_labels(rows, args.out):
+            print(f'wrote {p}')
+    elif args.format == 'raven':
+        for p in write_raven_tables(rows, args.out):
+            print(f'wrote {p}')
 
     idents = sorted({r['ident'] for r in rows})
     total_s = sum(r['duration'] for r in rows)
@@ -61,7 +78,7 @@ def main():
         mine = [r for r in rows if r['ident'] == ident]
         print(f'  {ident}: {len(mine)} events, '
               f'{sum(r["duration"] for r in mine):.1f} s')
-    if args.out:
+    if args.out and args.format == 'csv':
         print(f'wrote {args.out}')
 
 
