@@ -58,7 +58,9 @@ class Analyzer:
                  replica_models=None,
                  watch_state: dict = None,
                  quiet_startup: bool = False,
-                 path_log: str = None):
+                 path_log: str = None,
+                 alert_classes=None,
+                 alert_threshold: float = None):
         self.modelname = modelname
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
@@ -174,6 +176,7 @@ class Analyzer:
         self.chunklength = self._setup_chunklength(chunklength)
         self.classes_out = self._setup_classes_out(classes_out)
         self.threshold = self._setup_threshold(precision)
+        self.alert = self._setup_alert(alert_classes, alert_threshold)
 
         self.timer_total = Timer()
         # native rate hint so inferer warmup pre-compiles the resampling
@@ -228,6 +231,40 @@ class Analyzer:
                 f'detections mode (precision=...) requires one — use '
                 f'activations mode instead')
         return calculate_threshold(self.modelname, precision)
+
+    def _setup_alert(self, alert_classes, alert_threshold):
+        """(names, column indices, threshold, framelength_s) for live
+        detection alerts, or None. Fail fast on typos/missing threshold —
+        a bad alert config would otherwise surface per-chunk inside the
+        writer, mid-run."""
+        if alert_classes is None:
+            if alert_threshold is not None:
+                raise ValueError(
+                    'alert_threshold without alert_classes does nothing; '
+                    'pass alert_classes=... to enable live alerts')
+            return None
+        if isinstance(alert_classes, str):
+            alert_classes = [alert_classes]
+        if not alert_classes:
+            raise ValueError(
+                'alert_classes is empty — pass at least one class name, '
+                'or omit it to disable live alerts')
+        classes = list(self.model.config['classes'])
+        bad = [c for c in alert_classes if c not in classes]
+        if bad:
+            raise ValueError(
+                f'alert_classes {bad} not in model {self.modelname} classes '
+                f'{classes}')
+        thr = alert_threshold if alert_threshold is not None \
+            else self.threshold
+        if thr is None:
+            raise ValueError(
+                'live alerts need a threshold: pass alert_threshold=... '
+                'explicitly, or precision=... to calibrate one from the '
+                'model metrics')
+        return (list(alert_classes),
+                [classes.index(c) for c in alert_classes], float(thr),
+                self.model.embedder.framelength_s)
 
     # --- worker lifecycle ---------------------------------------------------
     def _launch_logger(self):
@@ -311,7 +348,8 @@ class Analyzer:
                         digits_time=self.model.embedder.digits_time,
                         digits_results=self.model.config.get(
                             'digits_results', 2),
-                        coordinator=self.coordinator))
+                        coordinator=self.coordinator,
+                        alert=self.alert))
         self.thread_writer.start()
 
     def _launch_stall_watchdog(self):
@@ -658,7 +696,9 @@ def analyze(modelname: str,
             watch: bool = False,
             watch_interval: float = 30.0,
             watch_stop=None,
-            watch_cycles: int = None):
+            watch_cycles: int = None,
+            alert_classes=None,
+            alert_threshold: float = None):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -728,6 +768,15 @@ def analyze(modelname: str,
         ``threading.Event``) is set, ``watch_cycles`` passes complete, or
         Ctrl-C. Completed passes leave the output directory in the exact
         state a non-watch run would — stopping the watcher never loses work.
+    alert_classes : class name(s) to announce live: the moment a chunk's
+        scores land, any frame whose activation exceeds the alert threshold
+        logs a WARNING line ("DETECTED ins_buzz in rec3: 4 frame(s)
+        12.48-16.32s (peak activation 1.25)") to the console, log file and
+        GUI — near-real-time notice for ``watch=True`` field monitoring,
+        without waiting for result files. Output files are unaffected.
+    alert_threshold : activation threshold for the alert lines; defaults to
+        the ``precision``-calibrated detection threshold when one exists
+        (required otherwise).
     """
     replica_devices = None
     if devices is not None:
@@ -766,7 +815,9 @@ def analyze(modelname: str,
                             host_shard=host_shard,
                             batch_chunks=batch_chunks,
                             transfer_dtype=transfer_dtype,
-                            resample_on_device=resample_on_device, **extra)
+                            resample_on_device=resample_on_device,
+                            alert_classes=alert_classes,
+                            alert_threshold=alert_threshold, **extra)
         _current_pass['coordinator'] = analyzer.coordinator
         analyzer.run()
         return analyzer

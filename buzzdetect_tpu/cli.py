@@ -161,6 +161,16 @@ def build_parser():
     parser.add_argument('--watch_interval', required=False, default=30.0,
                         type=float,
                         help='Seconds between rescans in --watch mode')
+    parser.add_argument('--alert_classes', required=False, default=None,
+                        nargs='+', metavar='CLASS',
+                        help='Announce these classes live: log a WARNING '
+                             'line the moment any frame exceeds the alert '
+                             'threshold (pairs well with --watch)')
+    parser.add_argument('--alert_threshold', required=False, default=None,
+                        type=float,
+                        help='Activation threshold for --alert_classes '
+                             '(default: the --precision-calibrated '
+                             'detection threshold)')
     parser.add_argument('--yes', action='store_true',
                         help='Answer yes to interactive prompts (resume '
                              'reconciliation)')
@@ -254,7 +264,9 @@ def main(argv=None):
             transfer_dtype=args.transfer_dtype,
             resample_on_device=args.resample_on_device,
             watch=args.watch,
-            watch_interval=args.watch_interval)
+            watch_interval=args.watch_interval,
+            alert_classes=args.alert_classes,
+            alert_threshold=args.alert_threshold)
 
 
 if __name__ == '__main__':

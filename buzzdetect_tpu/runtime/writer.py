@@ -60,9 +60,15 @@ def _materialize(results, n_valid):
 
 class WorkerWriter:
     def __init__(self, classes_out, threshold, classes, framehop_s,
-                 digits_time, digits_results, coordinator):
+                 digits_time, digits_results, coordinator, alert=None):
         self.coordinator = coordinator
         self.digits_time = digits_time
+        # live detection alerts: (names, column indices, threshold) or None.
+        # Emitted the moment a chunk's scores materialize (before the CSV
+        # append) so a watch-mode operator hears about a buzz in near real
+        # time instead of after reviewing result files.
+        self.alert = alert
+        self.framehop_s = framehop_s
         # aggregate throughput accounting (audio-seconds actually landed)
         self.audio_seconds_written = 0.0
         self.chunks_written = 0
@@ -145,6 +151,34 @@ class WorkerWriter:
             f.truncate(size - window + cut + 1)
         return ''
 
+    def _emit_alerts(self, results, a_chunk: AssignChunk):
+        """Log one line per (chunk, alerted class) with detected frames.
+
+        WARNING level so an alert surfaces at every default console
+        verbosity (and colored in the GUI's log pane) — the user asked for
+        these by opting in. Times follow the result rows' clock
+        (chunk start + frame index * framehop).
+        """
+        names, idxs, thr, framelength_s = self.alert
+        for name, idx in zip(names, idxs):
+            col = results[:, idx]
+            hits = np.flatnonzero(col > thr)
+            if not len(hits):
+                continue
+            t0 = a_chunk.chunk[0] + hits[0] * self.framehop_s
+            # span end = last detected frame's start + the FRAME length
+            # (the audio the model actually scored) — framehop alone would
+            # mis-state it whenever framehop_prop != 1
+            t1 = a_chunk.chunk[0] + hits[-1] * self.framehop_s \
+                + framelength_s
+            self.coordinator.q_log.put(AssignLog(
+                message=f'DETECTED {name} in {a_chunk.file.ident}: '
+                        f'{len(hits)} frame(s) '
+                        f'{round(t0, self.digits_time)}-'
+                        f'{round(t1, self.digits_time)}s '
+                        f'(peak activation {float(col[hits].max()):.2f})',
+                level_str='WARNING'))
+
     def write_results(self, a_chunk: AssignChunk, fully_analyzed: bool):
         if a_chunk.results is None:
             # inference failed (or was interrupted) for this chunk: record
@@ -157,6 +191,8 @@ class WorkerWriter:
                          f'as a resumable partial', 'WARNING')
         if a_chunk.results is not None:
             results = _materialize(a_chunk.results, a_chunk.n_valid)
+            if self.alert is not None:
+                self._emit_alerts(results, a_chunk)
             table = self.format(results=results, time_start=a_chunk.chunk[0])
 
             path_partial = a_chunk.file.path_results_partial

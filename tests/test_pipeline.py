@@ -756,3 +756,56 @@ def test_doctor_survives_unreachable_backend(patched_models, monkeypatch,
     assert '[ok]   native decoder' in out
     assert '[ok]   threshold calibration' in out
     assert 'SOME CHECKS FAILED' in out
+
+
+def test_live_alerts_end_to_end(patched_models, tmp_path):
+    """alert_classes= announces detections in the run's log channel the
+    moment scores land; result files are unaffected; misconfiguration
+    fails fast at analyze() time, not per-chunk inside the writer."""
+    from buzzdetect_tpu.analysis import analyze
+
+    dir_out = str(tmp_path / 'out')
+    # threshold below every activation: every chunk alerts
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+            alert_classes=['ins_buzz'], alert_threshold=-1e9)
+    logs = [p for p in os.listdir(dir_out) if p.endswith('.log')]
+    assert logs
+    text = ''.join(open(os.path.join(dir_out, p)).read() for p in logs)
+    assert 'DETECTED ins_buzz in tone_a' in text
+    assert '(peak activation' in text
+    # alerts never change the result files
+    assert os.path.exists(os.path.join(dir_out, 'tone_a_buzzdetect.csv'))
+
+    # threshold above every activation: run is alert-silent
+    dir_quiet = str(tmp_path / 'quiet')
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=dir_quiet, chunklength=2.0, verbosity_print='ERROR',
+            alert_classes=['ins_buzz'], alert_threshold=1e9)
+    text = ''.join(open(os.path.join(dir_quiet, p)).read()
+                   for p in os.listdir(dir_quiet) if p.endswith('.log'))
+    assert 'DETECTED' not in text
+
+    # alert_threshold defaults to the precision-calibrated detection
+    # threshold when one exists (the bundle carries a metrics table when
+    # the reference snapshot provides one)
+    if os.path.exists(
+            '/root/reference/models/model_general_v3/tests/metrics.csv'):
+        dir_det = str(tmp_path / 'det')
+        analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+                dir_out=dir_det, chunklength=2.0, verbosity_print='ERROR',
+                precision=0.95, alert_classes=['ins_buzz'])
+        assert os.path.exists(os.path.join(dir_det,
+                                           'tone_a_buzzdetect.csv'))
+
+    # misconfigurations fail fast
+    common = dict(modelname='testmodel', dir_audio=patched_models['audio'],
+                  dir_out=str(tmp_path / 'bad'), verbosity_print='ERROR')
+    with pytest.raises(ValueError, match='alert_classes'):
+        analyze(alert_classes=['not_a_class'], alert_threshold=0.0, **common)
+    with pytest.raises(ValueError, match='threshold'):
+        analyze(alert_classes=['ins_buzz'], **common)  # nothing to calibrate
+    with pytest.raises(ValueError, match='alert_classes'):
+        analyze(alert_threshold=0.0, **common)  # classes missing
+    with pytest.raises(ValueError, match='empty'):
+        analyze(alert_classes=[], alert_threshold=0.0, **common)

@@ -98,3 +98,55 @@ def test_clean_file_finalizes(tmp_path):
     assert not os.path.exists(tmp_path / 'x_buzzpart.csv')
     assert os.path.exists(tmp_path / 'x_buzzdetect.csv')
     assert coord.audio == pytest.approx(3.84)
+
+
+def test_alert_lines_times_and_peak(tmp_path):
+    """Opt-in live alerts: one WARNING line per (chunk, class) with the
+    detected frame span and peak; silent when nothing exceeds."""
+    coord = FakeCoordinator()
+    w = WorkerWriter(classes_out='all', threshold=None, classes=['a', 'b'],
+                     framehop_s=0.96, digits_time=2, digits_results=2,
+                     coordinator=coord, alert=(['b'], [1], 0.5, 0.96))
+    results = np.array([[0.0, 0.0],
+                        [0.0, 0.9],
+                        [0.0, 0.7],
+                        [0.0, 0.0]])
+    w.write_results(_chunk(tmp_path, (9.6, 13.44), results),
+                    fully_analyzed=False)
+    msgs = []
+    while not coord.q_log.empty():
+        msgs.append(coord.q_log.get())
+    alerts = [m for m in msgs if 'DETECTED' in m.message]
+    assert len(alerts) == 1
+    assert alerts[0].level_str == 'WARNING'
+    # frames 1..2 of a chunk starting at 9.6 s -> 10.56 to 12.48 s
+    assert alerts[0].message == \
+        'DETECTED b in x: 2 frame(s) 10.56-12.48s (peak activation 0.90)'
+
+    # below threshold: no alert line
+    w.write_results(_chunk(tmp_path, (13.44, 17.28),
+                           np.full((4, 2), 0.4)), fully_analyzed=False)
+    while not coord.q_log.empty():
+        assert 'DETECTED' not in coord.q_log.get().message
+
+
+def test_alert_span_uses_framelength_not_framehop(tmp_path):
+    """At framehop_prop != 1 the span end is last start + FRAME length (the
+    audio the model scored), not last start + hop."""
+    coord = FakeCoordinator()
+    w = WorkerWriter(classes_out='all', threshold=None, classes=['a', 'b'],
+                     framehop_s=0.48, digits_time=2, digits_results=2,
+                     coordinator=coord, alert=(['b'], [1], 0.5, 0.96))
+    results = np.array([[0.0, 0.0],
+                        [0.0, 0.9],
+                        [0.0, 0.0],
+                        [0.0, 0.0]])
+    w.write_results(_chunk(tmp_path, (9.6, 11.52), results),
+                    fully_analyzed=False)
+    msgs = []
+    while not coord.q_log.empty():
+        msgs.append(coord.q_log.get())
+    alerts = [m for m in msgs if 'DETECTED' in m.message]
+    # hit frame starts at 9.6 + 0.48 = 10.08 and covers 0.96 s of audio
+    assert len(alerts) == 1
+    assert '1 frame(s) 10.08-11.04s' in alerts[0].message
