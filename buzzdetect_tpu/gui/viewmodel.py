@@ -24,7 +24,8 @@ BASIC_FIELDS = ('modelname', 'dir_audio', 'dir_out', 'classes_out',
 ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
                    'devices', 'n_streamers', 'stream_buffer_depth',
                    'verbosity_print', 'verbosity_log', 'log_progress',
-                   'watch', 'watch_interval')
+                   'watch', 'watch_interval',
+                   'alert_classes', 'alert_threshold')
 
 
 def analysis_defaults():
@@ -61,7 +62,8 @@ def field_types():
 # optional fields whose empty form value means "unset" (None), matching the
 # analyze() defaults — validators must see None, not ''
 OPTIONAL_EMPTY_FIELDS = ('dir_out', 'precision', 'n_streamers',
-                         'stream_buffer_depth', 'devices')
+                         'stream_buffer_depth', 'devices',
+                         'alert_classes', 'alert_threshold')
 
 
 def coerce_field(name, raw):
@@ -232,4 +234,9 @@ class SettingsModel:
             kwargs['classes_out'] = [s for s in
                                      kwargs['classes_out'].replace(',', ' ')
                                      .split() if s]
+        # same form convention for the live-alert classes (no 'all' case)
+        if isinstance(kwargs.get('alert_classes'), str):
+            kwargs['alert_classes'] = [
+                s for s in kwargs['alert_classes'].replace(',', ' ').split()
+                if s] or None
         return kwargs

@@ -110,6 +110,23 @@ def validate_classes_out(classes_out):
     return OK
 
 
+def validate_alert_classes(alert_classes):
+    """None (alerts off), a non-empty name string (GUI form), or a
+    non-empty list of names. Membership in the model's classes is checked
+    at analyze() time, where the model config is loaded."""
+    if alert_classes is None:
+        return OK
+    if isinstance(alert_classes, str):
+        if alert_classes.replace(',', ' ').split():
+            return OK
+        return ArgValid(False, 'one or more class names '
+                               '(or blank to disable alerts)')
+    if not isinstance(alert_classes, (list, tuple)) or not alert_classes \
+            or not all(isinstance(c, str) for c in alert_classes):
+        return ArgValid(False, 'a non-empty list of class names')
+    return OK
+
+
 FRAMEHOP_WARNING = (
     'Currently, analyses with framehop > 1 will produce valid results, but '
     'buzzdetect will interpret the resulting gaps as missing data.\n'
@@ -192,4 +209,6 @@ validate_map = {
     'resample_on_device': numeric_rule(kind=int, minimum=0, maximum=1),
     'watch': numeric_rule(kind=int, minimum=0, maximum=1),
     'watch_interval': numeric_rule(kind=float, exclusive_min=0),
+    'alert_classes': validate_alert_classes,
+    'alert_threshold': numeric_rule(kind=float, none_ok=True),
 }

@@ -264,3 +264,39 @@ def test_coerce_and_validate_devices_field():
     assert not m.validate_field('devices').valid
     m.values['devices'] = None
     assert m.validate_field('devices').valid
+
+
+def test_alert_fields_in_form(tmp_path):
+    """The live-alert settings ride the advanced form: string class list
+    splits like classes_out, blank disables, threshold coerces to float,
+    and the validators accept/reject the form's raw strings."""
+    from buzzdetect_tpu.gui.viewmodel import (ADVANCED_FIELDS, coerce_field)
+    from buzzdetect_tpu.validation import validate_map
+
+    assert 'alert_classes' in ADVANCED_FIELDS
+    assert 'alert_threshold' in ADVANCED_FIELDS
+
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['alert_classes'] = 'ins_buzz, ins_trill'
+    m.values['alert_threshold'] = -1.2
+    kwargs = m.analyze_kwargs()
+    assert kwargs['alert_classes'] == ['ins_buzz', 'ins_trill']
+    assert kwargs['alert_threshold'] == -1.2
+
+    # blank form values mean 'alerts off' (None), matching analyze()
+    assert coerce_field('alert_classes', '') is None
+    assert coerce_field('alert_threshold', '') is None
+    assert coerce_field('alert_threshold', '-1.2') == -1.2
+    m.values['alert_classes'] = '   '
+    assert m.analyze_kwargs()['alert_classes'] is None
+
+    v = validate_map['alert_classes']
+    assert v(None).valid
+    assert v('ins_buzz human').valid
+    assert v(['ins_buzz']).valid
+    assert not v([]).valid
+    assert not v('   ').valid
+    assert not v(123).valid
+    vt = validate_map['alert_threshold']
+    assert vt(None).valid and vt(-1.2).valid
+    assert not vt('abc').valid
