@@ -496,3 +496,24 @@ def test_watch_analyzes_grown_compressed_file(patched_models, tmp_path):
     assert max(rows_watch) > 3.5  # rows extend into the appended audio
     # the original coverage survived (resume, not re-analysis)
     assert set(rows_short) <= set(rows_watch)
+
+
+def test_watch_with_live_alerts(patched_models, tmp_path):
+    """The headline alert use case: a watch run announces detections in its
+    log channel as passes complete (alert config survives the per-cycle
+    Analyzer reconstruction)."""
+    from buzzdetect_tpu.analysis import analyze
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 220), 16000)
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+            watch=True, watch_cycles=2, watch_interval=0.01,
+            alert_classes='ins_buzz', alert_threshold=-1e9)
+    text = ''.join(open(os.path.join(dir_out, p)).read()
+                   for p in os.listdir(dir_out) if p.endswith('.log'))
+    assert 'DETECTED ins_buzz in rec' in text
+    assert os.path.exists(os.path.join(dir_out, 'rec_buzzdetect.csv'))
