@@ -192,7 +192,15 @@ class WorkerWriter:
         if a_chunk.results is not None:
             results = _materialize(a_chunk.results, a_chunk.n_valid)
             if self.alert is not None:
-                self._emit_alerts(results, a_chunk)
+                # advisory only: an alert failure must never mark the chunk
+                # failed (that would block finalization and leave a
+                # resumable hole over perfectly good results)
+                try:
+                    self._emit_alerts(results, a_chunk)
+                except Exception as e:
+                    self.log(f'alert emission failed for '
+                             f'{a_chunk.file.shortpath_audio}: {e} '
+                             f'(results unaffected)', 'WARNING')
             table = self.format(results=results, time_start=a_chunk.chunk[0])
 
             path_partial = a_chunk.file.path_results_partial

@@ -150,3 +150,21 @@ def test_alert_span_uses_framelength_not_framehop(tmp_path):
     # hit frame starts at 9.6 + 0.48 = 10.08 and covers 0.96 s of audio
     assert len(alerts) == 1
     assert '1 frame(s) 10.08-11.04s' in alerts[0].message
+
+
+def test_alert_failure_never_blocks_finalization(tmp_path):
+    """Alerts are advisory: an exception inside alert emission must not
+    mark the file failed — results still append and the file finalizes."""
+    coord = FakeCoordinator()
+    # index 5 is out of range for 2-class results -> _emit_alerts raises
+    w = WorkerWriter(classes_out='all', threshold=None, classes=['a', 'b'],
+                     framehop_s=0.96, digits_time=2, digits_results=2,
+                     coordinator=coord, alert=(['ghost'], [5], 0.0, 0.96))
+    good = np.ones((2, 2)) * 0.5
+    w.write_results(_chunk(tmp_path, (0.0, 1.92), good), fully_analyzed=True)
+    assert 'x' not in w.failed_idents
+    assert os.path.exists(tmp_path / 'x_buzzdetect.csv')
+    msgs = []
+    while not coord.q_log.empty():
+        msgs.append(coord.q_log.get().message)
+    assert any('alert emission failed' in m for m in msgs)
