@@ -162,17 +162,22 @@ class Analyzer:
         # nudge only flips frames whose score already sits inside the
         # threshold's noise margin (regression-tested in test_classifier.py)
         # — but raw-activation readers must know the 3rd decimal is noise.
+        # Setup-time warnings fire via warnings.warn for API callers AND are
+        # stashed here to re-emit through the run's log channel once the
+        # logger worker is up (_launch_logger): the GUI runs analyze() in a
+        # spawned child whose stderr nobody sees — the log queue is the only
+        # path that reaches its log pane (and the run's .log file).
+        self.startup_warnings = []
         dtype = compute_dtype
         if model is not None and dtype is None:
             dtype = getattr(model, '_compute_dtype', None)
         if dtype is not None and 'bfloat16' in str(dtype) and precision is None:
-            warnings.warn(
+            self._startup_warn(
                 'compute_dtype=bfloat16 with activations output: measured '
                 'max activation deviation vs float32 is ~0.006, exceeding '
                 'the 1e-3 score-parity contract (still inside the 2-decimal '
                 'output rounding; detections mode is insensitive). Use '
-                'float32 where the parity contract matters.',
-                UserWarning, stacklevel=3)
+                'float32 where the parity contract matters.')
         self.chunklength = self._setup_chunklength(chunklength)
         self.classes_out = self._setup_classes_out(classes_out)
         self.threshold = self._setup_threshold(precision)
@@ -192,6 +197,12 @@ class Analyzer:
         self.threads_analyzers = []
 
     # --- setup -----------------------------------------------------------
+    def _startup_warn(self, message):
+        """warnings.warn now (API visibility) + stash for the run log (GUI
+        and .log visibility — see startup_warnings in __init__)."""
+        warnings.warn(message, UserWarning, stacklevel=4)
+        self.startup_warnings.append(message)
+
     def _setup_chunklength(self, chunklength):
         """Round to a whole number of frames so frames tile seamlessly across
         chunk boundaries at framehop 1 (reference `src/analyze.py:102-111`)."""
@@ -262,6 +273,30 @@ class Analyzer:
                 'live alerts need a threshold: pass alert_threshold=... '
                 'explicitly, or precision=... to calibrate one from the '
                 'model metrics')
+        # Alerts are designed to reproduce from the result files (the writer
+        # mirrors the archive's comparison), but only for classes the archive
+        # actually records: detections mode writes d_ins_buzz alone, and
+        # activations mode writes only classes_out. Alerting on anything else
+        # still works (live monitoring is the point) — warn that those
+        # alerts can't be confirmed from the CSVs afterward.
+        if self.threshold is not None:
+            unarchived = [c for c in alert_classes if c != 'ins_buzz']
+        else:
+            unarchived = [c for c in alert_classes
+                          if c not in self.classes_out]
+        if unarchived:
+            self._startup_warn(
+                f'alert class(es) {unarchived} are not archived in the '
+                f'result files (detections mode records only ins_buzz; '
+                f'activations mode records only classes_out) — their '
+                f'alerts cannot be re-derived from the CSVs afterward')
+        if self.threshold is not None and float(thr) != self.threshold:
+            self._startup_warn(
+                f'alert_threshold {float(thr)} differs from the detections '
+                f'threshold {self.threshold} the result files archive — '
+                f'alerts and d_ rows will disagree by design (omit '
+                f'alert_threshold to alert exactly on the archived '
+                f'detections)')
         return (list(alert_classes),
                 [classes.index(c) for c in alert_classes], float(thr),
                 self.model.embedder.framelength_s)
@@ -291,6 +326,12 @@ class Analyzer:
             from buzzdetect_tpu.validation import FRAMEHOP_WARNING
             self.coordinator.q_log.put(
                 AssignLog(message=FRAMEHOP_WARNING, level_str='WARNING'))
+        # setup-time warnings, re-emitted through the log channel so they
+        # reach the GUI pane and the .log file (the spawned child's stderr
+        # is invisible there); popped so watch cycles announce them once
+        while self.startup_warnings:
+            self.coordinator.q_log.put(AssignLog(
+                message=self.startup_warnings.pop(0), level_str='WARNING'))
 
     def _log_startup(self):
         if self.quiet_startup:

@@ -181,13 +181,22 @@ def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
 
+    # one naming convention across every surface: the GUI form takes
+    # comma-and/or-space separated class names (validation.split_names),
+    # so the CLI's nargs tokens are re-split on commas too — otherwise
+    # `--alert_classes a,b` silently becomes the single class 'a,b'
+    from buzzdetect_tpu.validation import validate_map, split_names
     classes_out = args.classes_out
-    if isinstance(classes_out, list) and classes_out == ['all']:
-        classes_out = 'all'
+    if isinstance(classes_out, list):
+        classes_out = [n for tok in classes_out for n in split_names(tok)]
+        if classes_out == ['all']:
+            classes_out = 'all'
+    if isinstance(args.alert_classes, list):
+        args.alert_classes = [n for tok in args.alert_classes
+                              for n in split_names(tok)]
 
     # run the same per-field validators the GUI uses, so out-of-range
     # settings get a friendly message instead of a deep traceback
-    from buzzdetect_tpu.validation import validate_map
     values = {**vars(args), 'classes_out': classes_out}
     errors, warnings = [], []
     for name, rule in validate_map.items():

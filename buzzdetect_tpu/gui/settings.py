@@ -147,6 +147,21 @@ class AnalysisSettings(tk.Tk):
             return
         self._pull_values()
         self._apply_lock()
+        self._sync_cross_field()
+
+    def _sync_cross_field(self):
+        """Keep cross-field validation messages live: editing EITHER alert
+        field must update (or clear) the message on the other — a stale
+        'needs alert_classes' on the threshold widget after the user just
+        typed the classes in would show a false invalid state until the
+        next Analyze click."""
+        for name in ('alert_classes', 'alert_threshold'):
+            w = self.entries.get(name)
+            if w is None or not w.validate():
+                continue  # the per-field error owns the message line
+            v = self.model.validate_field(name)
+            if not v.valid:
+                w.show_error(v.message)
 
     def _pull_values(self):
         for name, w in self.entries.items():
@@ -170,6 +185,17 @@ class AnalysisSettings(tk.Tk):
             return
         self._pull_values()
         invalid = [n for n, w in self.entries.items() if not w.validate()]
+        # cross-field rules (e.g. alert_threshold without alert_classes)
+        # live in the view-model, where a field can see the others; per-
+        # widget validation above cannot express them, and without this
+        # gate the misconfig would pass the form and crash the spawned
+        # analysis process instead of failing inline
+        for name, v in self.model.validate_all().items():
+            if not v.valid and name in self.entries and name not in invalid:
+                # the widget's own validate() just passed and cleared its
+                # message line — surface the cross-field reason there
+                self.entries[name].show_error(v.message)
+                invalid.append(name)
         if invalid:
             # make the failure visible: the invalid field may sit inside
             # the collapsed advanced section, where its inline message is

@@ -16,7 +16,7 @@ import os
 from buzzdetect_tpu.gui import config as gui_cfg
 from buzzdetect_tpu.manifest import (read_manifest, KEYS_LOCKED,
                                      FNAME_MANIFEST)
-from buzzdetect_tpu.validation import validate_map, ArgValid
+from buzzdetect_tpu.validation import validate_map, ArgValid, split_names
 
 # fields shown in the basic settings form, in display order
 BASIC_FIELDS = ('modelname', 'dir_audio', 'dir_out', 'classes_out',
@@ -135,6 +135,15 @@ class SettingsModel:
             pass
 
     # --- validation -------------------------------------------------------
+    def _field_is_set(self, name) -> bool:
+        """Unset for form purposes: None, or an empty/whitespace string."""
+        value = self.values.get(name)
+        if value is None:
+            return False
+        if isinstance(value, str) and not value.strip():
+            return False
+        return True
+
     def validate_field(self, name) -> ArgValid:
         validator = validate_map.get(name)
         if validator is None:
@@ -146,7 +155,22 @@ class SettingsModel:
             # pipeline downgrades the empty listing to DEBUG and keeps
             # polling)
             return ArgValid(True, None)
-        return validator(value)
+        result = validator(value)
+        if not result.valid:
+            return result
+        # Cross-field alert configuration: analyze()'s _setup_alert fails
+        # fast on these, but from the GUI "fast" would be AFTER the child
+        # process launches — surface the error inline on the form instead.
+        if name == 'alert_threshold' and self._field_is_set(name) \
+                and not self._field_is_set('alert_classes'):
+            return ArgValid(False, 'needs alert_classes (a threshold alone '
+                                   'does nothing)')
+        if name == 'alert_classes' and self._field_is_set(name) \
+                and not self._field_is_set('alert_threshold') \
+                and not self._field_is_set('precision'):
+            return ArgValid(False, 'needs alert_threshold (or precision, '
+                                   'to calibrate one)')
+        return result
 
     def validate_all(self):
         """{field: ArgValid} for every known field."""
@@ -231,12 +255,9 @@ class SettingsModel:
             kwargs['classes_out'] = 'all'
         if isinstance(kwargs.get('classes_out'), str) \
                 and kwargs['classes_out'] != 'all':
-            kwargs['classes_out'] = [s for s in
-                                     kwargs['classes_out'].replace(',', ' ')
-                                     .split() if s]
+            kwargs['classes_out'] = split_names(kwargs['classes_out'])
         # same form convention for the live-alert classes (no 'all' case)
         if isinstance(kwargs.get('alert_classes'), str):
-            kwargs['alert_classes'] = [
-                s for s in kwargs['alert_classes'].replace(',', ' ').split()
-                if s] or None
+            kwargs['alert_classes'] = \
+                split_names(kwargs['alert_classes']) or None
         return kwargs

@@ -32,6 +32,13 @@ class AbstractEntry(ttk.Frame):
     def set_enabled(self, enabled: bool):
         raise NotImplementedError
 
+    def show_error(self, message):
+        """Render an externally supplied validation failure — cross-field
+        rules are checked by the view-model (which can see every field);
+        this widget's own validator cannot express them."""
+        self.message.configure(text=message or 'invalid',
+                               foreground=gui_cfg.LEVEL_COLORS['ERROR'])
+
     def validate(self) -> bool:
         if self.validator is None:
             return True

@@ -63,11 +63,20 @@ class WorkerWriter:
                  digits_time, digits_results, coordinator, alert=None):
         self.coordinator = coordinator
         self.digits_time = digits_time
-        # live detection alerts: (names, column indices, threshold) or None.
-        # Emitted the moment a chunk's scores materialize (before the CSV
-        # append) so a watch-mode operator hears about a buzz in near real
-        # time instead of after reviewing result files.
+        self.digits_results = digits_results
+        # live detection alerts: (names, column indices, threshold,
+        # framelength_s) or None. Emitted the moment a chunk's scores
+        # materialize (before the CSV append) so a watch-mode operator hears
+        # about a buzz in near real time instead of after reviewing result
+        # files.
         self.alert = alert
+        # Every alert must reproduce from the result files it points at:
+        # activations mode archives round(scores, digits_results), so the
+        # alert comparison uses the same rounded values (else a score of
+        # -1.996 vs threshold -2.0 fires an alert the archived -2.00 can
+        # never confirm); detections mode thresholds the raw scores, so the
+        # alert does too — mirroring whichever archive this writer produces.
+        self._alert_round = digits_results if threshold is None else None
         self.framehop_s = framehop_s
         # aggregate throughput accounting (audio-seconds actually landed)
         self.audio_seconds_written = 0.0
@@ -162,6 +171,15 @@ class WorkerWriter:
         names, idxs, thr, framelength_s = self.alert
         for name, idx in zip(names, idxs):
             col = results[:, idx]
+            if self._alert_round is not None:
+                # float64 then round: exactly the values format_activations
+                # archives
+                col = np.round(np.asarray(col, dtype=np.float64),
+                               self._alert_round)
+            # detections mode: col stays in the scores' raw dtype so the
+            # comparison is bit-identical to format_detections' (a float64
+            # cast here could fire on a float32 score the archived d_ row
+            # rejects, near the threshold)
             hits = np.flatnonzero(col > thr)
             if not len(hits):
                 continue
@@ -171,12 +189,22 @@ class WorkerWriter:
             # mis-state it whenever framehop_prop != 1
             t1 = a_chunk.chunk[0] + hits[-1] * self.framehop_s \
                 + framelength_s
+            peak = float(col[hits].max())
+            if self._alert_round is not None:
+                # the rounded value the activations archive holds
+                peak_s = f'{peak:.{self.digits_results}f}'
+            else:
+                # detections mode compared RAW scores (like the archived d_
+                # rows); print enough digits that the peak visibly exceeds
+                # the threshold instead of rounding it back below — 9
+                # significant digits round-trip any float32 score exactly
+                peak_s = f'{peak:.9g}'
             self.coordinator.q_log.put(AssignLog(
                 message=f'DETECTED {name} in {a_chunk.file.ident}: '
                         f'{len(hits)} frame(s) '
                         f'{round(t0, self.digits_time)}-'
                         f'{round(t1, self.digits_time)}s '
-                        f'(peak activation {float(col[hits].max()):.2f})',
+                        f'(peak activation {peak_s})',
                 level_str='WARNING'))
 
     def write_results(self, a_chunk: AssignChunk, fully_analyzed: bool):

@@ -94,13 +94,21 @@ def validate_modelname(modelname):
     return OK
 
 
+def split_names(raw: str) -> list:
+    """The GUI form's class-name convention, in one place: a comma and/or
+    whitespace separated string -> list of names. Shared by the classes_out
+    and alert_classes validators AND the viewmodel's form->kwargs coercion so
+    the two can never disagree about what a form string means."""
+    return [s for s in raw.replace(',', ' ').split() if s]
+
+
 def validate_classes_out(classes_out):
     if classes_out == 'all':
         return OK
     if isinstance(classes_out, str):
         # the GUI form holds a comma/space-separated string; the launcher
         # splits it into the list analyze() takes (viewmodel.analyze_kwargs)
-        if classes_out.replace(',', ' ').split():
+        if split_names(classes_out):
             return OK
         return ArgValid(False, "'all' or one or more class names")
     if not isinstance(classes_out, list):
@@ -117,7 +125,7 @@ def validate_alert_classes(alert_classes):
     if alert_classes is None:
         return OK
     if isinstance(alert_classes, str):
-        if alert_classes.replace(',', ' ').split():
+        if split_names(alert_classes):
             return OK
         return ArgValid(False, 'one or more class names '
                                '(or blank to disable alerts)')

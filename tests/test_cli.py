@@ -170,3 +170,27 @@ def test_cli_host_shard_flag_parsing(monkeypatch, tmp_path):
     for bad in ('4/4', 'x/2', '3'):
         with _pytest.raises(SystemExit):
             cli.main(base + ['--host_shard', bad])
+
+
+def test_cli_class_lists_accept_commas(monkeypatch, tmp_path):
+    """One naming convention across surfaces: the GUI form splits class
+    names on commas and/or whitespace (validation.split_names), so the
+    CLI's nargs tokens must re-split on commas too — `--alert_classes a,b`
+    is two classes, not the single (nonexistent) class 'a,b'."""
+    import buzzdetect_tpu.cli as cli
+
+    seen = {}
+    monkeypatch.setattr('buzzdetect_tpu.analysis.analyze',
+                        lambda **kw: seen.update(kw))
+    base = ['--modelname', 'model_general_v3',
+            '--dir_audio', str(tmp_path), '--dir_out', str(tmp_path / 'out')]
+
+    cli.main(base + ['--classes_out', 'ins_buzz,mech_auto', 'frog',
+                     '--alert_classes', 'ins_buzz,frog',
+                     '--alert_threshold', '-2'])
+    assert seen['classes_out'] == ['ins_buzz', 'mech_auto', 'frog']
+    assert seen['alert_classes'] == ['ins_buzz', 'frog']
+
+    # the 'all' sentinel survives either spelling
+    cli.main(base + ['--classes_out', 'all'])
+    assert seen['classes_out'] == 'all'

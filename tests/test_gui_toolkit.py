@@ -168,3 +168,34 @@ def test_manifest_lock_no_trace_recursion_at_init(gui, env, tmp_path):
     win = AnalysisSettings(model=m)   # used to raise RecursionError
     assert win.model.values['framehop_prop'] == 0.5
     assert win.entries['framehop_prop'].entry.kw.get('state') == 'disabled'
+
+
+def test_cross_field_alert_misconfig_blocks_launch(gui, env, tmp_path,
+                                                   monkeypatch):
+    """A cross-field alert misconfiguration (threshold without classes)
+    must fail at the form — inline message on the field, no analysis
+    window — instead of crashing the spawned child process."""
+    win = _make_settings(env, tmp_path, cache_name='cross.json')
+    launched = []
+    import buzzdetect_tpu.gui.analysis as analysis_mod
+    monkeypatch.setattr(analysis_mod, 'AnalysisWindow',
+                        lambda *a, **k: launched.append(a))
+
+    thr = win.entries['alert_threshold']
+    thr.set('-1.2')  # alert_classes left blank
+    win.launch_button.invoke()
+    assert launched == []
+    # the reason lands inline on the widget (the per-field validator
+    # passed, so only the cross-field gate can have written it)
+    assert 'alert_classes' in thr.message.cget('text')
+    # and the status line names the field
+    assert 'alert_threshold' in win.status_label.cget('text')
+
+    # typing the missing classes clears the cross-field error on the OTHER
+    # widget immediately (no stale 'invalid' state until the next click)
+    win.entries['alert_classes'].set('ins_buzz')
+    assert thr.message.cget('text') == ''
+
+    # completing the pair launches
+    win.launch_button.invoke()
+    assert len(launched) == 1

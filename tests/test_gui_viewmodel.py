@@ -300,3 +300,40 @@ def test_alert_fields_in_form(tmp_path):
     vt = validate_map['alert_threshold']
     assert vt(None).valid and vt(-1.2).valid
     assert not vt('abc').valid
+
+
+def test_alert_cross_field_validation(tmp_path):
+    """Alert misconfigurations that analyze() would reject must fail FORM
+    validation (inline, before launch) — not crash the spawned analysis
+    process: a threshold without classes, or classes with neither a
+    threshold nor a precision to calibrate one from."""
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+
+    # threshold alone does nothing -> invalid on the threshold field
+    m.values['alert_threshold'] = -1.2
+    m.values['alert_classes'] = None
+    assert not m.validate_field('alert_threshold').valid
+    assert not m.ready()
+
+    # classes with no threshold and no precision -> invalid on classes
+    m.values['alert_threshold'] = None
+    m.values['alert_classes'] = 'ins_buzz'
+    m.values['precision'] = None
+    assert not m.validate_field('alert_classes').valid
+
+    # precision supplies a calibrated threshold -> valid
+    m.values['precision'] = 0.95
+    assert m.validate_field('alert_classes').valid
+
+    # explicit threshold also valid (no precision needed)
+    m.values['precision'] = None
+    m.values['alert_threshold'] = -1.2
+    assert m.validate_field('alert_classes').valid
+    assert m.validate_field('alert_threshold').valid
+
+    # an EMPTY form string coerces to None (alerts off) and passes; a
+    # whitespace-only string stays raw and the per-field validator rejects
+    # it with its own message (established form behavior)
+    m.values['alert_threshold'] = None
+    m.values['alert_classes'] = None  # what coerce_field('', ...) yields
+    assert m.validate_field('alert_classes').valid

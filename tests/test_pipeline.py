@@ -798,6 +798,34 @@ def test_live_alerts_end_to_end(patched_models, tmp_path):
         assert os.path.exists(os.path.join(dir_det,
                                            'tone_a_buzzdetect.csv'))
 
+    # detections mode with an explicit alert_threshold different from the
+    # calibrated detections threshold warns: alerts and d_ rows will
+    # disagree by design
+    if os.path.exists(
+            '/root/reference/models/model_general_v3/tests/metrics.csv'):
+        with pytest.warns(UserWarning, match='differs from the detections'):
+            analyze(modelname='testmodel',
+                    dir_audio=patched_models['audio'],
+                    dir_out=str(tmp_path / 'mismatch'), chunklength=2.0,
+                    verbosity_print='ERROR', precision=0.95,
+                    alert_classes=['ins_buzz'], alert_threshold=-1e9)
+
+    # alerting on a class the archive won't record still works (live
+    # monitoring is the point) but warns: those alerts can't be re-derived
+    # from the result files afterward
+    dir_un = str(tmp_path / 'unarchived')
+    with pytest.warns(UserWarning, match='not archived'):
+        analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+                dir_out=dir_un, chunklength=2.0, verbosity_print='ERROR',
+                classes_out=['ins_buzz'],
+                alert_classes=['frog'], alert_threshold=-1e9)
+    text = ''.join(open(os.path.join(dir_un, p)).read()
+                   for p in os.listdir(dir_un) if p.endswith('.log'))
+    assert 'DETECTED frog' in text
+    # the warning ALSO rides the run's log channel: a GUI child's stderr is
+    # invisible, so the log queue (pane + .log file) must carry it
+    assert 'not archived' in text
+
     # misconfigurations fail fast
     common = dict(modelname='testmodel', dir_audio=patched_models['audio'],
                   dir_out=str(tmp_path / 'bad'), verbosity_print='ERROR')

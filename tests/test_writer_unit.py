@@ -168,3 +168,97 @@ def test_alert_failure_never_blocks_finalization(tmp_path):
     while not coord.q_log.empty():
         msgs.append(coord.q_log.get().message)
     assert any('alert emission failed' in m for m in msgs)
+
+
+def _alert_msgs(coord):
+    msgs = []
+    while not coord.q_log.empty():
+        m = coord.q_log.get()
+        if 'DETECTED' in m.message:
+            msgs.append(m.message)
+    return msgs
+
+
+def test_alert_reproducible_from_activations_archive(tmp_path):
+    """Activations mode archives round(scores, digits_results), so the alert
+    comparison must use the same rounded values: a raw -1.996 vs threshold
+    -2.0 must NOT alert (the archived -2.0 could never confirm it), while a
+    raw 0.506 must alert as 0.51 — exactly what re-thresholding the CSV
+    yields."""
+    coord = FakeCoordinator()
+    w = WorkerWriter(classes_out='all', threshold=None, classes=['a', 'b'],
+                     framehop_s=0.96, digits_time=2, digits_results=2,
+                     coordinator=coord, alert=(['b'], [1], -2.0, 0.96))
+    # -1.996 rounds to -2.00, which is not > -2.0: no phantom alert
+    w.write_results(_chunk(tmp_path, (0.0, 1.92),
+                           np.array([[0.0, -1.996], [0.0, -2.3]])),
+                    fully_analyzed=False)
+    assert _alert_msgs(coord) == []
+
+    w2 = WorkerWriter(classes_out='all', threshold=None, classes=['a', 'b'],
+                      framehop_s=0.96, digits_time=2, digits_results=2,
+                      coordinator=coord, alert=(['b'], [1], 0.5, 0.96))
+    w2.write_results(_chunk(tmp_path, (0.0, 1.92),
+                            np.array([[0.0, 0.506], [0.0, 0.0]])),
+                     fully_analyzed=False)
+    msgs = _alert_msgs(coord)
+    assert len(msgs) == 1
+    # the peak is the ROUNDED value the archive holds, at digits_results
+    assert '(peak activation 0.51)' in msgs[0]
+
+
+def test_alert_matches_detections_archive_unrounded(tmp_path):
+    """Detections mode thresholds the raw scores (write/formatting.py
+    format_detections), so the alert mirrors that: a raw 0.504 vs threshold
+    0.5 alerts, in lockstep with the d_ins_buzz=1 row it lands next to."""
+    coord = FakeCoordinator()
+    w = WorkerWriter(classes_out=None, threshold=0.5,
+                     classes=['a', 'ins_buzz'], framehop_s=0.96,
+                     digits_time=2, digits_results=2, coordinator=coord,
+                     alert=(['ins_buzz'], [1], 0.5, 0.96))
+    w.write_results(_chunk(tmp_path, (0.0, 1.92),
+                           np.array([[0.0, 0.504], [0.0, 0.0]])),
+                    fully_analyzed=False)
+    msgs = _alert_msgs(coord)
+    assert len(msgs) == 1
+    # the peak prints the RAW value (enough digits to visibly exceed the
+    # threshold), not rounded back below it
+    assert '(peak activation 0.504)' in msgs[0]
+    # and the archived detections row agrees
+    with open(tmp_path / 'x_buzzpart.csv') as f:
+        body = f.read().splitlines()
+    assert body[1].endswith(',1')
+
+
+def test_alert_peak_honors_digits_results(tmp_path):
+    """The peak in the alert line renders at the writer's digits_results,
+    matching the precision of every value in the result files."""
+    coord = FakeCoordinator()
+    w = WorkerWriter(classes_out='all', threshold=None, classes=['a', 'b'],
+                     framehop_s=0.96, digits_time=2, digits_results=3,
+                     coordinator=coord, alert=(['b'], [1], 0.5, 0.96))
+    w.write_results(_chunk(tmp_path, (0.0, 1.92),
+                           np.array([[0.0, 0.9004], [0.0, 0.0]])),
+                    fully_analyzed=False)
+    msgs = _alert_msgs(coord)
+    assert len(msgs) == 1
+    assert '(peak activation 0.900)' in msgs[0]
+
+
+def test_alert_detections_float32_bit_parity(tmp_path):
+    """Detections mode must compare in the scores' raw dtype exactly like
+    format_detections: float32(0.503) is not > 0.503 in float32 (they cast
+    equal) but IS in float64 (0.50300002...) — a float64 cast in the alert
+    path would fire on a score the archived d_ row rejects."""
+    coord = FakeCoordinator()
+    thr = 0.503
+    w = WorkerWriter(classes_out=None, threshold=thr,
+                     classes=['a', 'ins_buzz'], framehop_s=0.96,
+                     digits_time=2, digits_results=2, coordinator=coord,
+                     alert=(['ins_buzz'], [1], thr, 0.96))
+    w.write_results(_chunk(tmp_path, (0.0, 1.92),
+                           np.array([[0.0, thr]], dtype=np.float32)),
+                    fully_analyzed=False)
+    assert _alert_msgs(coord) == []
+    with open(tmp_path / 'x_buzzpart.csv') as f:
+        assert f.read().splitlines()[1].endswith(',0')
