@@ -251,3 +251,107 @@ def write_raven_tables(rows, dir_out, low_hz: float = 125.0,
                             f"{r['class']} max={r['activation_max']:.2f}"])
         written.append(path)
     return written
+
+
+def _audio_by_ident(dir_audio):
+    """Map result idents -> source audio paths, mirroring the analyzer's
+    own discovery (analysis.py ident construction): a directory is walked
+    recursively for supported extensions; a single file maps under its
+    basename ident."""
+    from buzzdetect_tpu.audio import driver_map
+    from buzzdetect_tpu.utils import search_dir, build_ident
+    if os.path.isfile(dir_audio):
+        root = os.path.dirname(os.path.abspath(dir_audio))
+        found = [os.path.abspath(dir_audio)]
+    else:
+        root = dir_audio
+        found = search_dir(dir_audio, list(driver_map.keys()))
+    return {build_ident(p, root): p for p in found}
+
+
+def write_event_clips(rows, dir_audio, dir_out, pad_s: float = 1.0,
+                      rate: int = 16000, on_skip=None):
+    """Cut each called event out of its source recording as a WAV clip.
+
+    The review step after event calling: a researcher confirming
+    detections wants to HEAR them without scrubbing through hours-long
+    recordings (the reference ecosystem leaves this to hand work in
+    Audacity/Raven via the exported labels; this does the cut directly).
+    Each event in ``rows`` (the output of
+    :func:`call_detections_directory`) becomes
+    ``<ident>_<class>_<start>-<end>s.wav`` under ``dir_out`` (ident
+    subdirectories mirrored), spanning the event padded by ``pad_s`` of
+    context on each side (clamped to the recording).
+
+    ``rate`` is the clip samplerate: the default 16000 is the model's
+    analysis rate — the clip is exactly the mono view the detector
+    heard; pass 0/None for the recording's native rate (a full-bandwidth
+    listening copy). Decoding rides the same native stage as analysis
+    (sample-accurate seeks per codec, `tests/test_audio.py`).
+
+    Events whose recording is absent from ``dir_audio`` (or fails to
+    decode) are skipped via ``on_skip(ident, reason)``. Returns the
+    written paths.
+    """
+    import wave as _wave
+
+    from buzzdetect_tpu.audio import build_track
+
+    by_ident = {}
+    for r in rows:
+        by_ident.setdefault(r['ident'], []).append(r)
+    paths_audio = _audio_by_ident(dir_audio) if by_ident else {}
+
+    written = []
+    for ident, mine in sorted(by_ident.items()):
+        path_audio = paths_audio.get(ident)
+        if path_audio is None:
+            if on_skip is not None:
+                on_skip(ident, f'no matching audio under {dir_audio}')
+            continue
+        try:
+            track = build_track(path_audio, target_rate=int(rate or 0))
+        except Exception as e:
+            if on_skip is not None:
+                on_skip(ident, f'cannot decode {path_audio}: {e}')
+            continue
+        try:
+            sr = track.samplerate
+            duration_s = track.frames / sr if track.frames else None
+            for r in sorted(mine, key=lambda r: (r['start'], r['class'])):
+                t0 = max(0.0, float(r['start']) - pad_s)
+                t1 = float(r['end']) + pad_s
+                if duration_s is not None:
+                    t1 = min(t1, duration_s)
+                i0 = int(round(t0 * sr))
+                n = int(round((t1 - t0) * sr))
+                if n <= 0:
+                    continue
+                name = (f"{ident}_{r['class']}_"
+                        f"{r['start']:.2f}-{r['end']:.2f}s.wav")
+                path = os.path.join(dir_out, name)
+                os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+                track.seek(i0)
+                with _wave.open(path, 'wb') as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    # blockwise: an event can span minutes and the decoder
+                    # already hands back int16 in one native pass
+                    remaining = n
+                    while remaining > 0:
+                        block = track.read(min(remaining, 1 << 20),
+                                           dtype=np.int16)
+                        if not len(block):
+                            break  # torn tail: keep what decoded
+                        if block.dtype != np.int16:
+                            # plugin drivers may ignore the dtype hint and
+                            # hand back float32 — quantize like the wire
+                            from buzzdetect_tpu.audio.ffi import quantize_s16
+                            block = quantize_s16(block)
+                        w.writeframes(block.tobytes())
+                        remaining -= len(block)
+                written.append(path)
+        finally:
+            track.close()
+    return written

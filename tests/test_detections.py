@@ -209,3 +209,119 @@ def test_call_detections_threshold_from_manifest_precision(tmp_path,
         call_detections_directory(d, precision=0.95, threshold=-1.0)
     with pytest.raises(ValueError, match='exactly one'):
         call_detections_directory(d)
+
+
+def _event(ident, start, end, cls='ins_buzz'):
+    return {'ident': ident, 'class': cls, 'start': start, 'end': end,
+            'duration': end - start, 'n_frames': 1,
+            'activation_max': 1.0, 'activation_mean': 0.5}
+
+
+def test_export_event_clips_sample_accurate(tmp_path):
+    """Clip export cuts the EXACT padded span out of the recording: the
+    deterministic PCM pattern proves both position and length of the cut
+    (the clip's samples identify where in the file they came from)."""
+    import wave
+
+    from tests.audio_fixtures import pcm_pattern, write_wav, \
+        pattern_position
+    from buzzdetect_tpu.write.detections import write_event_clips
+
+    sr = 16000
+    d_audio = tmp_path / 'audio'
+    d_audio.mkdir()
+    write_wav(d_audio / 'rec1.wav', pcm_pattern(0, 10 * sr), sr)
+
+    d_clips = str(tmp_path / 'clips')
+    written = write_event_clips([_event('rec1', 2.0, 3.0)], str(d_audio),
+                                d_clips, pad_s=0.5, rate=sr)
+    assert [os.path.basename(p) for p in written] == \
+        ['rec1_ins_buzz_2.00-3.00s.wav']
+    with wave.open(written[0], 'rb') as w:
+        assert w.getframerate() == sr
+        assert w.getnchannels() == 1
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype='<i2')
+    # padded span [1.5, 3.5): 2 s of audio starting at sample 1.5*sr
+    assert len(data) == 2 * sr
+    assert pattern_position(data / 32768.0) == int(1.5 * sr)
+    # position/length are exact; the sample values may differ from the
+    # numpy reference quantization by 1 LSB (the native stage's own
+    # int16 rounding) — inaudible, and irrelevant to the cut's accuracy
+    expected = np.round(pcm_pattern(int(1.5 * sr), 2 * sr) * 32768)
+    assert np.abs(data - expected.astype(np.int64)).max() <= 1
+
+
+def test_export_event_clips_clamps_and_mirrors_subdirs(tmp_path):
+    """Pads clamp to the recording's bounds (no negative seek, no
+    phantom tail past EOF) and nested idents mirror their subdirectory
+    under the clip dir."""
+    import wave
+
+    from tests.audio_fixtures import pcm_pattern, write_wav
+    from buzzdetect_tpu.write.detections import write_event_clips
+
+    sr = 16000
+    d_audio = tmp_path / 'audio'
+    (d_audio / 'sub').mkdir(parents=True)
+    write_wav(d_audio / 'sub' / 'rec2.wav', pcm_pattern(0, 4 * sr), sr)
+
+    d_clips = str(tmp_path / 'clips')
+    written = write_event_clips(
+        [_event('sub/rec2', 0.2, 1.0), _event('sub/rec2', 3.5, 3.9)],
+        str(d_audio), d_clips, pad_s=1.0, rate=sr)
+    rels = [os.path.relpath(p, d_clips) for p in written]
+    assert rels == [os.path.join('sub', 'rec2_ins_buzz_0.20-1.00s.wav'),
+                    os.path.join('sub', 'rec2_ins_buzz_3.50-3.90s.wav')]
+    with wave.open(written[0], 'rb') as w:
+        # [max(0, -0.8), 2.0) -> 2.0 s
+        assert w.getnframes() == 2 * sr
+    with wave.open(written[1], 'rb') as w:
+        # [2.5, min(4.9, 4.0)) -> 1.5 s
+        assert w.getnframes() == int(1.5 * sr)
+
+
+def test_export_event_clips_native_rate_and_skips(tmp_path):
+    """rate=0 keeps the recording's own samplerate; events with no
+    matching audio are reported through on_skip, not silently dropped."""
+    import wave
+
+    from tests.audio_fixtures import pcm_pattern, write_wav
+    from buzzdetect_tpu.write.detections import write_event_clips
+
+    d_audio = tmp_path / 'audio'
+    d_audio.mkdir()
+    write_wav(d_audio / 'hi.wav', pcm_pattern(0, 2 * 32000), 32000)
+
+    skipped = []
+    written = write_event_clips(
+        [_event('hi', 0.5, 1.0), _event('ghost', 0.0, 1.0)],
+        str(d_audio), str(tmp_path / 'clips'), pad_s=0.0, rate=0,
+        on_skip=lambda ident, why: skipped.append((ident, why)))
+    assert len(written) == 1
+    with wave.open(written[0], 'rb') as w:
+        assert w.getframerate() == 32000
+        assert w.getnframes() == int(0.5 * 32000)
+    assert skipped and skipped[0][0] == 'ghost'
+    assert 'no matching audio' in skipped[0][1]
+
+
+def test_export_event_clips_from_called_events(tmp_path):
+    """End to end: archived activations -> called events -> reviewable
+    clips, idents matching across the three stages."""
+    from tests.audio_fixtures import pcm_pattern, write_wav
+    from buzzdetect_tpu.write.detections import write_event_clips
+
+    sr = 16000
+    d_audio = tmp_path / 'audio'
+    d_audio.mkdir()
+    write_wav(d_audio / 'a.wav', pcm_pattern(0, 6 * sr), sr)
+
+    d_res = str(tmp_path / 'out')
+    starts = list(np.arange(6) * 0.96)
+    _write_result(os.path.join(d_res, 'a_buzzdetect.csv'), starts,
+                  [-5.0, 2.0, 2.0, -5.0, -5.0, -5.0])
+    rows = call_detections_directory(d_res, threshold=0.0)
+    written = write_event_clips(rows, str(d_audio),
+                                str(tmp_path / 'clips'), pad_s=0.25)
+    assert len(written) == 1
+    assert os.path.basename(written[0]).startswith('a_ins_buzz_0.96-')

@@ -44,17 +44,31 @@ def main():
                          'only). A file path for csv; a DIRECTORY for '
                          'audacity/raven (one track/table per recording)')
     ap.add_argument('--format', default='csv',
-                    choices=['csv', 'audacity', 'raven'],
+                    choices=['csv', 'audacity', 'raven', 'clips'],
                     help='output format: combined events CSV (default), '
                          'Audacity label tracks (File > Import > Labels), '
-                         'or Raven Pro selection tables (one per '
-                         'recording — Raven times are per-sound)')
+                         'Raven Pro selection tables (one per '
+                         'recording — Raven times are per-sound), or '
+                         'clips: one reviewable WAV snippet per event cut '
+                         'from the source audio (needs --dir_audio)')
+    ap.add_argument('--dir_audio', default=None,
+                    help='source audio for --format clips: the directory '
+                         'the analysis ran over (or a single file)')
+    ap.add_argument('--pad', type=float, default=1.0,
+                    help='context seconds around each clip (clips only)')
+    ap.add_argument('--clip_rate', type=int, default=16000,
+                    help='clip samplerate: 16000 (default) is the mono '
+                         'view the detector heard; 0 keeps the '
+                         'recording\'s native rate (clips only)')
     args = ap.parse_args()
     if args.format != 'csv' and args.out is None:
         ap.error(f'--format {args.format} requires --out')
+    if args.format == 'clips' and args.dir_audio is None:
+        ap.error('--format clips requires --dir_audio')
 
     from buzzdetect_tpu.write.detections import (call_detections_directory,
                                                  write_audacity_labels,
+                                                 write_event_clips,
                                                  write_raven_tables)
     rows = call_detections_directory(
         args.dir_results, threshold=args.threshold,
@@ -68,6 +82,13 @@ def main():
             print(f'wrote {p}')
     elif args.format == 'raven':
         for p in write_raven_tables(rows, args.out):
+            print(f'wrote {p}')
+    elif args.format == 'clips':
+        for p in write_event_clips(
+                rows, args.dir_audio, args.out, pad_s=args.pad,
+                rate=args.clip_rate,
+                on_skip=lambda ident, why: print(
+                    f'skipping {ident}: {why}', file=sys.stderr)):
             print(f'wrote {p}')
 
     idents = sorted({r['ident'] for r in rows})
