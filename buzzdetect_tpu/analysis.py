@@ -197,10 +197,14 @@ class Analyzer:
         self.threads_analyzers = []
 
     # --- setup -----------------------------------------------------------
-    def _startup_warn(self, message):
+    def _startup_warn(self, message, stacklevel=4):
         """warnings.warn now (API visibility) + stash for the run log (GUI
-        and .log visibility — see startup_warnings in __init__)."""
-        warnings.warn(message, UserWarning, stacklevel=4)
+        and .log visibility — see startup_warnings in __init__).
+
+        stacklevel 4 attributes a warning issued directly from __init__ to
+        the analyze() caller's line (self -> __init__ -> analyze -> user);
+        deeper setup helpers must add their own frame count."""
+        warnings.warn(message, UserWarning, stacklevel=stacklevel)
         self.startup_warnings.append(message)
 
     def _setup_chunklength(self, chunklength):
@@ -217,10 +221,13 @@ class Analyzer:
         # fail fast on typos and bare strings (iterated per-character!): a
         # bad class would otherwise burn the whole run and fail per-chunk
         # inside the writer — same contract as _setup_threshold
-        if classes_out is None or isinstance(classes_out, str):
+        if classes_out is None or isinstance(classes_out, str) \
+                or not list(classes_out):
+            # an empty list passes the membership check vacuously and would
+            # archive result files with zero activation columns
             raise ValueError(
-                f"classes_out must be 'all' or a list of class names, "
-                f"got {classes_out!r}")
+                f"classes_out must be 'all' or a non-empty list of class "
+                f"names, got {classes_out!r}")
         bad = [c for c in classes_out
                if c not in self.model.config['classes']]
         if bad:
@@ -289,14 +296,15 @@ class Analyzer:
                 f'alert class(es) {unarchived} are not archived in the '
                 f'result files (detections mode records only ins_buzz; '
                 f'activations mode records only classes_out) — their '
-                f'alerts cannot be re-derived from the CSVs afterward')
+                f'alerts cannot be re-derived from the CSVs afterward',
+                stacklevel=5)  # user -> analyze -> __init__ -> _setup_alert
         if self.threshold is not None and float(thr) != self.threshold:
             self._startup_warn(
                 f'alert_threshold {float(thr)} differs from the detections '
                 f'threshold {self.threshold} the result files archive — '
                 f'alerts and d_ rows will disagree by design (omit '
                 f'alert_threshold to alert exactly on the archived '
-                f'detections)')
+                f'detections)', stacklevel=5)
         return (list(alert_classes),
                 [classes.index(c) for c in alert_classes], float(thr),
                 self.model.embedder.framelength_s)
@@ -322,16 +330,20 @@ class Analyzer:
                         coordinator=self.coordinator))
         self.thread_logger.start()
 
-        if self.framehop_prop > 1:
-            from buzzdetect_tpu.validation import FRAMEHOP_WARNING
-            self.coordinator.q_log.put(
-                AssignLog(message=FRAMEHOP_WARNING, level_str='WARNING'))
         # setup-time warnings, re-emitted through the log channel so they
         # reach the GUI pane and the .log file (the spawned child's stderr
-        # is invisible there); popped so watch cycles announce them once
-        while self.startup_warnings:
-            self.coordinator.q_log.put(AssignLog(
-                message=self.startup_warnings.pop(0), level_str='WARNING'))
+        # is invisible there). Gated like the startup banner: watch mode
+        # builds a fresh Analyzer every polling cycle (quiet_startup=True
+        # after the first), and an identical WARNING every 30 s would bury
+        # the log — the configuration can't change between cycles.
+        if not self.quiet_startup:
+            if self.framehop_prop > 1:
+                from buzzdetect_tpu.validation import FRAMEHOP_WARNING
+                self.coordinator.q_log.put(
+                    AssignLog(message=FRAMEHOP_WARNING, level_str='WARNING'))
+            for message in self.startup_warnings:
+                self.coordinator.q_log.put(
+                    AssignLog(message=message, level_str='WARNING'))
 
     def _log_startup(self):
         if self.quiet_startup:

@@ -113,8 +113,11 @@ def validate_classes_out(classes_out):
         return ArgValid(False, "'all' or one or more class names")
     if not isinstance(classes_out, list):
         return ArgValid(False, 'must be a list')
-    if not all(isinstance(c, str) for c in classes_out):
-        return ArgValid(False, 'must be a list of strings')
+    # an EMPTY list would pass every downstream membership check vacuously
+    # and run a full analysis that archives zero activation columns (e.g.
+    # `--classes_out ,` flattening to []) — reject it here
+    if not classes_out or not all(isinstance(c, str) for c in classes_out):
+        return ArgValid(False, "'all' or a non-empty list of class names")
     return OK
 
 

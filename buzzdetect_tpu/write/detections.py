@@ -315,9 +315,14 @@ def write_event_clips(rows, dir_audio, dir_out, pad_s: float = 1.0,
             if on_skip is not None:
                 on_skip(ident, f'cannot decode {path_audio}: {e}')
             continue
+        path = None
         try:
             sr = track.samplerate
-            duration_s = track.frames / sr if track.frames else None
+            # the native stage reports frames < 0 when the container has no
+            # duration header (e.g. ADTS AAC) — same guard as
+            # audio.get_duration: unknown means unclamped, not negative
+            frames = track.frames
+            duration_s = frames / sr if frames and frames > 0 else None
             for r in sorted(mine, key=lambda r: (r['start'], r['class'])):
                 t0 = max(0.0, float(r['start']) - pad_s)
                 t1 = float(r['end']) + pad_s
@@ -352,6 +357,19 @@ def write_event_clips(rows, dir_audio, dir_out, pad_s: float = 1.0,
                         w.writeframes(block.tobytes())
                         remaining -= len(block)
                 written.append(path)
+        except Exception as e:
+            # a recording that OPENED but fails mid-export (truncated copy:
+            # seek or read raises DecodeError) skips like an unopenable one
+            # — the docstring's contract — instead of aborting the export
+            # for every recording after it. Complete clips already cut from
+            # it stay; the one in flight is removed (a truncated WAV would
+            # look like a finished clip to the reviewer).
+            if path is not None and path not in written \
+                    and os.path.exists(path):
+                os.unlink(path)
+            if on_skip is not None:
+                on_skip(ident, f'decode failed mid-export '
+                               f'({path_audio}): {e}')
         finally:
             track.close()
     return written

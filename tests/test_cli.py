@@ -194,3 +194,12 @@ def test_cli_class_lists_accept_commas(monkeypatch, tmp_path):
     # the 'all' sentinel survives either spelling
     cli.main(base + ['--classes_out', 'all'])
     assert seen['classes_out'] == 'all'
+
+    # bare separators flatten to ZERO classes - fail fast (a zero-column
+    # archive), don't launch
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as e:
+        cli.main(base + ['--classes_out', ','])
+    assert e.value.code == 2
+    with _pytest.raises(SystemExit):
+        cli.main(base + ['--alert_classes', ',', '--alert_threshold', '-2'])

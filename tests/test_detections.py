@@ -325,3 +325,86 @@ def test_export_event_clips_from_called_events(tmp_path):
                                 str(tmp_path / 'clips'), pad_s=0.25)
     assert len(written) == 1
     assert os.path.basename(written[0]).startswith('a_ins_buzz_0.96-')
+
+
+def test_export_event_clips_unknown_duration_and_midstream_failure(
+        tmp_path, monkeypatch):
+    """Two decode-robustness contracts: a container with no duration
+    header (native stage reports frames < 0) must export unclamped rather
+    than silently skipping every event; a recording that fails MID-export
+    must skip via on_skip (removing the partial clip in flight) without
+    aborting the recordings after it."""
+    import wave
+
+    import buzzdetect_tpu.write.detections as det
+    from buzzdetect_tpu.audio.ffi import DecodeError
+
+    sr = 16000
+
+    class FakeTrack:
+        def __init__(self, frames, fail_at_read=None):
+            self.samplerate = sr
+            self.frames = frames
+            self._fail_at_read = fail_at_read
+            self._reads = 0
+            self._pos = 0
+
+        def seek(self, sample):
+            self._pos = sample
+
+        def read(self, n, dtype=None):
+            self._reads += 1
+            if self._fail_at_read is not None \
+                    and self._reads >= self._fail_at_read:
+                raise DecodeError('bit rot')
+            return np.zeros(int(n), dtype=np.int16)
+
+        def close(self):
+            pass
+
+    tracks = {'nodur': FakeTrack(frames=-1),
+              'rot': FakeTrack(frames=10 * sr, fail_at_read=1),
+              'good': FakeTrack(frames=10 * sr)}
+    audio = tmp_path / 'audio'
+    audio.mkdir()
+    for ident in tracks:
+        (audio / f'{ident}.wav').write_bytes(b'placeholder')
+    monkeypatch.setattr(
+        det, 'build_track',
+        lambda path, target_rate=16000: tracks[
+            os.path.splitext(os.path.basename(path))[0]],
+        raising=False)
+    monkeypatch.setattr(
+        'buzzdetect_tpu.audio.build_track',
+        lambda path, target_rate=16000: tracks[
+            os.path.splitext(os.path.basename(path))[0]])
+
+    skipped = []
+    written = det.write_event_clips(
+        [_event('nodur', 1.0, 2.0), _event('rot', 1.0, 2.0),
+         _event('good', 1.0, 2.0)],
+        str(audio), str(tmp_path / 'clips'), pad_s=0.5,
+        on_skip=lambda ident, why: skipped.append((ident, why)))
+
+    names = sorted(os.path.basename(p) for p in written)
+    # 'nodur' exported (frames=-1 means unknown, not "duration -1/sr")
+    assert names == ['good_ins_buzz_1.00-2.00s.wav',
+                     'nodur_ins_buzz_1.00-2.00s.wav']
+    with wave.open([p for p in written if 'nodur' in p][0], 'rb') as w:
+        assert w.getnframes() == 2 * sr  # unclamped padded span
+    # 'rot' skipped with a reason; its partial clip was removed
+    assert [s[0] for s in skipped] == ['rot']
+    assert 'mid-export' in skipped[0][1]
+    assert not [f for f in os.listdir(tmp_path / 'clips') if 'rot' in f]
+
+
+def test_classes_out_rejects_empty_list():
+    """An empty classes_out list passes membership checks vacuously and
+    would archive zero activation columns — both the validator (CLI/GUI
+    path, e.g. `--classes_out ,` flattening to []) and the API must
+    reject it."""
+    from buzzdetect_tpu.validation import (validate_classes_out,
+                                           validate_alert_classes)
+    assert not validate_classes_out([]).valid
+    assert not validate_alert_classes([]).valid
+    assert validate_classes_out(['ins_buzz']).valid

@@ -517,3 +517,32 @@ def test_watch_with_live_alerts(patched_models, tmp_path):
                    for p in os.listdir(dir_out) if p.endswith('.log'))
     assert 'DETECTED ins_buzz in rec' in text
     assert os.path.exists(os.path.join(dir_out, 'rec_buzzdetect.csv'))
+
+
+def test_watch_startup_warnings_announce_once(patched_models, tmp_path):
+    """Setup-time warnings (e.g. an alert class the archive won't record)
+    reach the log channel ONCE per watch run, not once per polling cycle —
+    each cycle rebuilds the Analyzer, and without the quiet_startup gate
+    the identical WARNING would repeat every interval for the watcher's
+    lifetime."""
+    import warnings as _warnings
+
+    from buzzdetect_tpu.analysis import analyze
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 220), 16000)
+    dir_out = str(tmp_path / 'out')
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('ignore')  # the API-path copy, tested below
+        analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+                classes_out=['human'],  # ins_buzz NOT archived -> warning
+                watch=True, watch_cycles=3, watch_interval=0.01,
+                alert_classes='ins_buzz', alert_threshold=-1e9)
+    text = ''.join(open(os.path.join(dir_out, p)).read()
+                   for p in os.listdir(dir_out) if p.endswith('.log'))
+    assert text.count('not archived in the result files') == 1
+    # the alert itself still fires every cycle that lands new audio
+    assert 'DETECTED ins_buzz in rec' in text
