@@ -60,8 +60,16 @@ class Analyzer:
                  quiet_startup: bool = False,
                  path_log: str = None,
                  alert_classes=None,
-                 alert_threshold: float = None):
+                 alert_threshold: float = None,
+                 alert_command: str = None):
         self.modelname = modelname
+        # checked before the (slow) model load: a misconfigured hook should
+        # fail in milliseconds, and it depends on no model state
+        if alert_command and alert_classes is None:
+            raise ValueError(
+                'alert_command without alert_classes does nothing; pass '
+                'alert_classes=... to enable live alerts')
+        self.alert_command = alert_command if alert_command else None
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
         self.verbosity_print = verbosity_print
@@ -402,7 +410,8 @@ class Analyzer:
                         digits_results=self.model.config.get(
                             'digits_results', 2),
                         coordinator=self.coordinator,
-                        alert=self.alert))
+                        alert=self.alert,
+                        alert_command=self.alert_command))
         self.thread_writer.start()
 
     def _launch_stall_watchdog(self):
@@ -751,7 +760,8 @@ def analyze(modelname: str,
             watch_stop=None,
             watch_cycles: int = None,
             alert_classes=None,
-            alert_threshold: float = None):
+            alert_threshold: float = None,
+            alert_command: str = None):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -830,6 +840,15 @@ def analyze(modelname: str,
     alert_threshold : activation threshold for the alert lines; defaults to
         the ``precision``-calibrated detection threshold when one exists
         (required otherwise).
+    alert_command : shell command to run on each alert (notification hook:
+        an SMS gateway call, an MQTT publish, a beep). Event data arrives
+        in environment variables — ``BUZZ_CLASS``, ``BUZZ_IDENT``,
+        ``BUZZ_AUDIO`` (source path), ``BUZZ_START``/``BUZZ_END`` (s),
+        ``BUZZ_FRAMES``, ``BUZZ_PEAK``, ``BUZZ_THRESHOLD`` — never
+        interpolated into the command string. Commands run one at a time
+        on a bounded queue off the hot path: a slow or failing command
+        drops notifications (counted, warned) but never blocks or fails
+        the analysis. Requires ``alert_classes``.
     """
     replica_devices = None
     if devices is not None:
@@ -870,6 +889,7 @@ def analyze(modelname: str,
                             transfer_dtype=transfer_dtype,
                             resample_on_device=resample_on_device,
                             alert_classes=alert_classes,
+                            alert_command=alert_command,
                             alert_threshold=alert_threshold, **extra)
         _current_pass['coordinator'] = analyzer.coordinator
         analyzer.run()

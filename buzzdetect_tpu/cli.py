@@ -171,6 +171,13 @@ def build_parser():
                         help='Activation threshold for --alert_classes '
                              '(default: the --precision-calibrated '
                              'detection threshold)')
+    parser.add_argument('--alert_command', required=False, default=None,
+                        type=str,
+                        help='Shell command run on each alert (event data '
+                             'in BUZZ_CLASS/BUZZ_IDENT/BUZZ_AUDIO/'
+                             'BUZZ_START/BUZZ_END/BUZZ_FRAMES/BUZZ_PEAK/'
+                             'BUZZ_THRESHOLD env vars); non-blocking, '
+                             'needs --alert_classes')
     parser.add_argument('--yes', action='store_true',
                         help='Answer yes to interactive prompts (resume '
                              'reconciliation)')
@@ -275,7 +282,8 @@ def main(argv=None):
             watch=args.watch,
             watch_interval=args.watch_interval,
             alert_classes=args.alert_classes,
-            alert_threshold=args.alert_threshold)
+            alert_threshold=args.alert_threshold,
+            alert_command=args.alert_command)
 
 
 if __name__ == '__main__':

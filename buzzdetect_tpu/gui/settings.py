@@ -155,7 +155,7 @@ class AnalysisSettings(tk.Tk):
         'needs alert_classes' on the threshold widget after the user just
         typed the classes in would show a false invalid state until the
         next Analyze click."""
-        for name in ('alert_classes', 'alert_threshold'):
+        for name in ('alert_classes', 'alert_threshold', 'alert_command'):
             w = self.entries.get(name)
             if w is None or not w.validate():
                 continue  # the per-field error owns the message line

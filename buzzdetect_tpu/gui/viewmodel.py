@@ -25,7 +25,7 @@ ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
                    'devices', 'n_streamers', 'stream_buffer_depth',
                    'verbosity_print', 'verbosity_log', 'log_progress',
                    'watch', 'watch_interval',
-                   'alert_classes', 'alert_threshold')
+                   'alert_classes', 'alert_threshold', 'alert_command')
 
 
 def analysis_defaults():
@@ -63,7 +63,8 @@ def field_types():
 # analyze() defaults — validators must see None, not ''
 OPTIONAL_EMPTY_FIELDS = ('dir_out', 'precision', 'n_streamers',
                          'stream_buffer_depth', 'devices',
-                         'alert_classes', 'alert_threshold')
+                         'alert_classes', 'alert_threshold',
+                         'alert_command')
 
 
 def coerce_field(name, raw):
@@ -164,6 +165,10 @@ class SettingsModel:
         if name == 'alert_threshold' and self._field_is_set(name) \
                 and not self._field_is_set('alert_classes'):
             return ArgValid(False, 'needs alert_classes (a threshold alone '
+                                   'does nothing)')
+        if name == 'alert_command' and self._field_is_set(name) \
+                and not self._field_is_set('alert_classes'):
+            return ArgValid(False, 'needs alert_classes (a command alone '
                                    'does nothing)')
         if name == 'alert_classes' and self._field_is_set(name) \
                 and not self._field_is_set('alert_threshold') \

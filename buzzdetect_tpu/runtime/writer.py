@@ -60,7 +60,8 @@ def _materialize(results, n_valid):
 
 class WorkerWriter:
     def __init__(self, classes_out, threshold, classes, framehop_s,
-                 digits_time, digits_results, coordinator, alert=None):
+                 digits_time, digits_results, coordinator, alert=None,
+                 alert_command=None):
         self.coordinator = coordinator
         self.digits_time = digits_time
         self.digits_results = digits_results
@@ -77,6 +78,14 @@ class WorkerWriter:
         # never confirm); detections mode thresholds the raw scores, so the
         # alert does too — mirroring whichever archive this writer produces.
         self._alert_round = digits_results if threshold is None else None
+        # optional notification hook: each alert also launches the user's
+        # command (event data in BUZZ_* env vars) on a bounded, non-blocking
+        # dispatcher — see runtime/alert_command.py for the design rules
+        self.alert_runner = None
+        if alert is not None and alert_command:
+            from buzzdetect_tpu.runtime.alert_command import \
+                AlertCommandRunner
+            self.alert_runner = AlertCommandRunner(alert_command, self.log)
         self.framehop_s = framehop_s
         # aggregate throughput accounting (audio-seconds actually landed)
         self.audio_seconds_written = 0.0
@@ -206,6 +215,16 @@ class WorkerWriter:
                         f'{round(t1, self.digits_time)}s '
                         f'(peak activation {peak_s})',
                 level_str='WARNING'))
+            if self.alert_runner is not None:
+                self.alert_runner.submit({
+                    'class': name,
+                    'ident': a_chunk.file.ident,
+                    'audio': a_chunk.file.path_audio,
+                    'start': round(t0, self.digits_time),
+                    'end': round(t1, self.digits_time),
+                    'frames': len(hits),
+                    'peak': peak_s,
+                    'threshold': thr})
 
     def write_results(self, a_chunk: AssignChunk, fully_analyzed: bool):
         if a_chunk.results is None:
@@ -307,6 +326,10 @@ class WorkerWriter:
                 self.failed_idents.add(a_chunk.file.ident)
                 self.log(f'error writing {a_chunk.file.shortpath_audio}: {e}; '
                          f'leaving the file as a resumable partial', 'ERROR')
+        if self.alert_runner is not None:
+            # bounded drain: ships queued notifications for the final
+            # chunks, abandons (but never joins forever on) a hung command
+            self.alert_runner.close()
         self.log(f'wrote {self.chunks_written} chunks, '
                  f'{self.audio_seconds_written:,.0f} audio-seconds', 'DEBUG')
         self.log('terminating', 'DEBUG')

@@ -200,6 +200,17 @@ def validate_devices(value):
     return numeric_rule(kind=int, minimum=1)(value)
 
 
+def validate_alert_command(alert_command):
+    """None (no hook) or a non-empty command string. Whether it WORKS is
+    only knowable by running it; alert-classes pairing is a cross-field
+    rule (viewmodel / analyze())."""
+    if alert_command is None:
+        return OK
+    if isinstance(alert_command, str) and alert_command.strip():
+        return OK
+    return ArgValid(False, 'a shell command (or blank for no hook)')
+
+
 validate_map = {
     'modelname': validate_modelname,
     'classes_out': validate_classes_out,
@@ -222,4 +233,5 @@ validate_map = {
     'watch_interval': numeric_rule(kind=float, exclusive_min=0),
     'alert_classes': validate_alert_classes,
     'alert_threshold': numeric_rule(kind=float, none_ok=True),
+    'alert_command': validate_alert_command,
 }

@@ -1,0 +1,153 @@
+"""The alert notification hook: a user command run on each live alert.
+
+Design contracts under test (runtime/alert_command.py): event data via
+BUZZ_* env vars only (no interpolation into shell syntax), non-blocking
+bounded dispatch (drops counted, never stalls the writer), warn-once on
+failures with a close-time summary, and end-to-end wiring through
+analyze(alert_command=...).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu.runtime.alert_command import AlertCommandRunner
+
+FIELDS = {'class': 'ins_buzz', 'ident': 'sub/rec 1', 'audio': '/a/b.wav',
+          'start': 1.92, 'end': 4.8, 'frames': 3, 'peak': '1.25',
+          'threshold': -2.0}
+
+
+def _logger(records):
+    return lambda msg, level: records.append((level, msg))
+
+
+def _wait_for(predicate, timeout=10.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.02)
+    return False
+
+
+def test_runner_passes_event_env(tmp_path):
+    """Every alert field arrives as a BUZZ_* env var — including idents
+    with spaces/slashes, which must never touch shell syntax."""
+    out = tmp_path / 'got.txt'
+    cmd = (f'{sys.executable} -c "import os; '
+           f"open(r'{out}', 'w').write('|'.join("
+           f"os.environ['BUZZ_' + k] for k in "
+           f"['CLASS', 'IDENT', 'AUDIO', 'START', 'END', 'FRAMES', "
+           f"'PEAK', 'THRESHOLD']))\"")
+    log = []
+    runner = AlertCommandRunner(cmd, _logger(log))
+    runner.submit(FIELDS)
+    runner.close(timeout=15.0)
+    assert out.read_text() == \
+        'ins_buzz|sub/rec 1|/a/b.wav|1.92|4.8|3|1.25|-2.0'
+    assert log == []  # clean run: no warnings
+
+
+def test_runner_warns_once_and_summarizes_failures():
+    log = []
+    runner = AlertCommandRunner('exit 3', _logger(log))
+    for _ in range(4):
+        runner.submit(FIELDS)
+    runner.close(timeout=15.0)
+    warns = [m for lvl, m in log if lvl == 'WARNING']
+    assert len(warns) == 2  # first failure + close summary, NOT 4
+    assert 'exit 3' in warns[0]
+    assert '4 of 4' in warns[1]
+
+
+def test_runner_drops_instead_of_blocking(tmp_path):
+    """A slow command during an alert storm: submits stay instant, the
+    overflow is dropped and counted, and close() stays bounded."""
+    log = []
+    gate = tmp_path / 'gate'
+    started = tmp_path / 'started'
+    # the command announces itself, then blocks until the test releases it
+    cmd = (f'{sys.executable} -c "import os, time\n'
+           f"open(r'{started}', 'w').write('x')\n"
+           f"while not os.path.exists(r'{gate}'): time.sleep(0.01)\"")
+    runner = AlertCommandRunner(cmd, _logger(log), depth=2)
+    runner.submit(FIELDS)
+    assert _wait_for(started.exists)  # first alert is IN FLIGHT (dequeued)
+    t0 = time.monotonic()
+    for _ in range(9):
+        runner.submit(FIELDS)  # 2 fill the queue; 7 dropped
+    assert time.monotonic() - t0 < 1.0
+    assert runner._dropped == 7
+    gate.write_text('go')
+    runner.close(timeout=15.0)
+    dropped = [m for lvl, m in log if 'dropped' in m]
+    assert dropped and '7 alert(s)' in dropped[0]
+
+
+def test_runner_kills_hung_command():
+    log = []
+    runner = AlertCommandRunner(
+        f'{sys.executable} -c "import time; time.sleep(600)"',
+        _logger(log), timeout_s=0.3)
+    runner.submit(FIELDS)
+    assert _wait_for(lambda: runner._failures == 1, timeout=15.0)
+    runner.close(timeout=15.0)
+    assert any('timeout' in m for _, m in log)
+
+
+def test_analyze_requires_alert_classes():
+    from buzzdetect_tpu.analysis import analyze
+    with pytest.raises(ValueError, match='alert_command without'):
+        analyze(modelname='nonexistent', alert_command='echo hi')
+
+
+def test_viewmodel_cross_field_rule():
+    from buzzdetect_tpu.gui.viewmodel import SettingsModel
+    m = SettingsModel()
+    m.values['alert_command'] = 'echo hi'
+    v = m.validate_field('alert_command')
+    assert not v.valid and 'alert_classes' in v.message
+    m.values['alert_classes'] = 'ins_buzz'
+    m.values['alert_threshold'] = -2.0
+    assert m.validate_field('alert_command').valid
+    kwargs = m.analyze_kwargs()
+    assert kwargs['alert_command'] == 'echo hi'
+
+
+def test_pipeline_runs_alert_command(tmp_path):
+    """End to end: analyze(alert_classes=..., alert_command=...) runs the
+    hook with the event's data for a real detection."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'alertmodel'),
+                       classes=['ins_buzz', 'ambient_noise'], seed=5)
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(3.0, 16000, 220), 16000)
+
+    out = tmp_path / 'alerts.log'
+    cmd = (f'{sys.executable} -c "import os; '
+           f"open(r'{out}', 'a').write("
+           f"os.environ['BUZZ_CLASS'] + ' ' + os.environ['BUZZ_IDENT'] "
+           f"+ ' ' + os.environ['BUZZ_START'] + chr(10))\"")
+
+    old = cfg.DIR_MODELS
+    cfg.DIR_MODELS = str(dir_models)
+    try:
+        analyze(modelname='alertmodel', dir_audio=str(dir_audio),
+                dir_out=str(tmp_path / 'out'), chunklength=3.0,
+                verbosity_print='ERROR', alert_classes=['ins_buzz'],
+                alert_threshold=-1e9, alert_command=cmd)
+    finally:
+        cfg.DIR_MODELS = old  # match the suite's patched_models pattern
+    assert _wait_for(lambda: out.exists(), timeout=10.0)
+    line = out.read_text().splitlines()[0]
+    assert line.startswith('ins_buzz rec ')
