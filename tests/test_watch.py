@@ -341,9 +341,13 @@ def test_watch_endurance_bounded_residue(patched_models, tmp_path):
     for i in range(2):
         write_wav(dir_audio / f'f{i}.wav', make_tone(2.0, 16000, 220 + 80 * i),
                   16000)
+    # live alerts + notification hook included: each cycle spins an
+    # AlertCommandRunner dispatcher thread that must exit with its pass
     kw = dict(modelname='watchmodel', dir_audio=str(dir_audio),
               dir_out=str(tmp_path / 'out'), chunklength=2.0,
-              verbosity_print='ERROR', watch=True, watch_interval=0.0)
+              verbosity_print='ERROR', watch=True, watch_interval=0.0,
+              alert_classes='ins_buzz', alert_threshold=-1e9,
+              alert_command='true')
 
     analyze(watch_cycles=5, **kw)  # steady state: compiled, corpus analyzed
     have_proc = os.path.exists('/proc/self/fd')

@@ -112,11 +112,15 @@ def main():
                 pass  # racing the streamer on a rotated file is the point
 
     def run_watch(cycles):
+        # alerts + a notification hook included: the hook's dispatcher
+        # thread and subprocesses are per-cycle residue candidates too
         return analyze(modelname='model_general_v3', dir_audio=dir_audio,
                        dir_out=dir_out, chunklength=2.0,
                        verbosity_print='CRITICAL',
                        watch=True, watch_interval=args.interval,
-                       watch_cycles=cycles)
+                       watch_cycles=cycles,
+                       alert_classes='ins_buzz', alert_threshold=-1e9,
+                       alert_command='true')
 
     # steady state: model loaded, programs compiled, one full corpus pass
     run_watch(args.warm_cycles)
