@@ -64,7 +64,11 @@ class Analyzer:
                  alert_command: str = None):
         self.modelname = modelname
         # checked before the (slow) model load: a misconfigured hook should
-        # fail in milliseconds, and it depends on no model state
+        # fail in milliseconds, and it depends on no model state. Blank or
+        # whitespace-only means "no hook" (the GUI form's empty-field
+        # convention) — a bare shell would otherwise spawn per alert.
+        if isinstance(alert_command, str):
+            alert_command = alert_command.strip()
         if alert_command and alert_classes is None:
             raise ValueError(
                 'alert_command without alert_classes does nothing; pass '

@@ -23,6 +23,12 @@ Design rules (all about never hurting the analysis):
   degrades to dropped notifications, never to an unbounded process/thread
   pile (watch mode builds one runner per polling cycle — see
   tools/soak_watch.py's bounded-residue assertions).
+* ``close()`` is bounded AND terminal: it waits briefly for queued
+  notifications to ship, then ABANDONS the dispatch — the drain thread
+  stops launching new commands (at most the one in flight finishes or is
+  killed), drains the leftovers as counted drops, and exits. A slow
+  notifier can therefore never stall the writer join, and per-cycle
+  runners in watch mode never stack concurrent notifier processes.
 * Failures warn ONCE per run and are counted; the summary lands in the
   log at close. An alert command that exits non-zero must not bury the
   DETECTED lines it exists to amplify.
@@ -52,6 +58,12 @@ class AlertCommandRunner:
         self._failures = 0
         self._warned = False
         self._launched = 0
+        # _closing: stop waiting for NEW alerts — exit once the queue
+        # empties. _abandoned: stop SHIPPING — drain leftovers as drops
+        # and exit; set when close()'s bounded wait expires.
+        self._closing = threading.Event()
+        self._abandoned = threading.Event()
+        self._summary_done = False
         self._thread = threading.Thread(target=self._drain, daemon=True,
                                         name='alert-command')
         self._thread.start()
@@ -64,45 +76,73 @@ class AlertCommandRunner:
             self._dropped += 1
 
     def _drain(self):
-        while True:
-            fields = self._q.get()
-            if fields is None:
-                return
-            env = dict(os.environ)
-            env.update({f'BUZZ_{k.upper()}': str(v)
-                        for k, v in fields.items()})
-            self._launched += 1
+        while not self._abandoned.is_set():
             try:
-                proc = subprocess.run(
-                    self.command, shell=True, env=env,
-                    stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
-                    timeout=self.timeout_s)
-                if proc.returncode != 0:
-                    err = (proc.stderr or b'').decode(
-                        errors='replace').strip()[-200:]
-                    self._failure(f'exit {proc.returncode}'
-                                  + (f': {err}' if err else ''))
-            except subprocess.TimeoutExpired:
-                self._failure(f'killed after {self.timeout_s:.0f}s timeout')
-            except Exception as e:
-                self._failure(str(e))
+                fields = self._q.get(timeout=0.25)
+            except queue.Empty:
+                if self._closing.is_set():
+                    return  # shipped everything queued before close
+                continue
+            if self._abandoned.is_set():
+                self._dropped += 1
+                continue
+            self._run_one(fields)
+        # abandoned: never execute another command — count the leftovers
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                return
+            self._dropped += 1
+
+    def _run_one(self, fields):
+        env = dict(os.environ)
+        env.update({f'BUZZ_{k.upper()}': str(v) for k, v in fields.items()})
+        self._launched += 1
+        try:
+            proc = subprocess.run(
+                self.command, shell=True, env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+                timeout=self.timeout_s)
+            if proc.returncode != 0:
+                err = (proc.stderr or b'').decode(
+                    errors='replace').strip()[-200:]
+                self._failure(f'exit {proc.returncode}'
+                              + (f': {err}' if err else ''))
+        except subprocess.TimeoutExpired:
+            self._failure(f'killed after {self.timeout_s:.0f}s timeout')
+        except Exception as e:
+            self._failure(str(e))
 
     def _failure(self, detail):
         self._failures += 1
-        if not self._warned:
+        if not self._warned and not self._abandoned.is_set():
+            # after abandonment the run's log channel is shutting down —
+            # count silently; the close summary already landed
             self._warned = True
             self.log(f'alert command failed ({detail}); counting further '
                      f'failures silently — see the run summary', 'WARNING')
 
     def close(self, timeout: float = 5.0):
-        """Stop accepting, drain briefly, and report drops/failures.
+        """Stop accepting, drain briefly, abandon what's left, summarize.
 
-        Bounded: a command hung at close is abandoned to its own kill
-        timeout on the daemon thread — shutdown never waits longer than
-        ``timeout`` for notifications.
-        """
-        self._q.put(None)
+        Bounded by construction: waits at most ``timeout`` for queued
+        notifications to ship, then flips the drain to drop-and-exit — at
+        most the single in-flight command remains, on a daemon thread,
+        under its own kill timeout. Idempotent (watch/fatal paths may
+        close twice)."""
+        if self._summary_done:
+            return
+        self._summary_done = True
+        self._closing.set()
         self._thread.join(timeout)
+        if self._thread.is_alive():
+            stranded = self._q.qsize()
+            self._abandoned.set()
+            self.log(f'alert command still running at shutdown; abandoning '
+                     f'dispatch ({stranded} queued notification(s) will be '
+                     f'dropped; the in-flight command is killed after its '
+                     f'{self.timeout_s:.0f}s timeout)', 'WARNING')
         if self._dropped:
             self.log(f'alert command: {self._dropped} alert(s) dropped '
                      f'(command slower than the alert rate; the DETECTED '

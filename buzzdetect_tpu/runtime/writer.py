@@ -82,7 +82,8 @@ class WorkerWriter:
         # command (event data in BUZZ_* env vars) on a bounded, non-blocking
         # dispatcher — see runtime/alert_command.py for the design rules
         self.alert_runner = None
-        if alert is not None and alert_command:
+        if alert is not None and alert_command \
+                and str(alert_command).strip():
             from buzzdetect_tpu.runtime.alert_command import \
                 AlertCommandRunner
             self.alert_runner = AlertCommandRunner(alert_command, self.log)
@@ -310,6 +311,15 @@ class WorkerWriter:
                         f'{traceback.format_exc()}',
                 level='ERROR', end_reason='writer failure'))
         finally:
+            if self.alert_runner is not None:
+                # in the finally so a FATAL writer death still ships/
+                # summarizes notifications (bounded drain: queued alerts
+                # for the final chunks go out, a hung command is abandoned
+                # to its own kill timeout, drops/failures land in the log)
+                try:
+                    self.alert_runner.close()
+                except Exception:
+                    pass  # never let notification teardown mask the exit
             self.coordinator.worker_exited('writer')
 
     def _run(self):
@@ -326,10 +336,6 @@ class WorkerWriter:
                 self.failed_idents.add(a_chunk.file.ident)
                 self.log(f'error writing {a_chunk.file.shortpath_audio}: {e}; '
                          f'leaving the file as a resumable partial', 'ERROR')
-        if self.alert_runner is not None:
-            # bounded drain: ships queued notifications for the final
-            # chunks, abandons (but never joins forever on) a hung command
-            self.alert_runner.close()
         self.log(f'wrote {self.chunks_written} chunks, '
                  f'{self.audio_seconds_written:,.0f} audio-seconds', 'DEBUG')
         self.log('terminating', 'DEBUG')

@@ -151,3 +151,58 @@ def test_pipeline_runs_alert_command(tmp_path):
     assert _wait_for(lambda: out.exists(), timeout=10.0)
     line = out.read_text().splitlines()[0]
     assert line.startswith('ins_buzz rec ')
+
+
+def test_close_is_bounded_and_abandons(tmp_path):
+    """close() with a backlog of a slow command must return within its own
+    bound, warn that dispatch was abandoned, count the stranded alerts as
+    drops, and the drain thread must stop launching commands (at most the
+    in-flight one, under its kill timeout) — the writer join can never be
+    held hostage by a notifier."""
+    log = []
+    started = tmp_path / 'started'
+    # each invocation: announce, then outlive the kill timeout
+    cmd = (f'{sys.executable} -c "import os, time\n'
+           f"open(r'{started}', 'a').write('x')\n"
+           f'time.sleep(600)"')
+    runner = AlertCommandRunner(cmd, _logger(log), depth=8, timeout_s=1.0)
+    runner.submit(FIELDS)
+    assert _wait_for(started.exists)  # first command in flight
+    for _ in range(8):
+        runner.submit(FIELDS)  # a full queue behind it
+
+    t0 = time.monotonic()
+    runner.close(timeout=0.5)
+    assert time.monotonic() - t0 < 3.0  # bounded, not 9 x kill-timeout
+    assert any('abandoning' in m for _, m in log)
+
+    # the drain thread dies after the in-flight kill; launches stop at
+    # abandonment (the close grace window may admit one more — never the
+    # whole backlog serially at kill-timeout each)
+    assert _wait_for(lambda: not runner._thread.is_alive(), timeout=15.0)
+    time.sleep(0.2)
+    assert runner._launched <= 2
+    # conservation: every one of the 9 submitted alerts either launched
+    # or was counted as a drop — none vanish silently
+    assert runner._launched + runner._dropped == 9
+    runner.close()  # idempotent: no duplicate summary
+    assert sum('abandoning' in m for _, m in log) == 1
+
+
+def test_whitespace_command_means_no_hook():
+    """' ' follows the GUI's blank-field convention (no hook) — a bare
+    shell must not spawn per alert."""
+    from buzzdetect_tpu.runtime.writer import WorkerWriter
+
+    class _Coord:
+        class q_log:
+            @staticmethod
+            def put(x):
+                pass
+
+    w = WorkerWriter(classes_out=['ins_buzz'], threshold=None,
+                     classes=['ins_buzz'], framehop_s=0.96, digits_time=2,
+                     digits_results=2, coordinator=_Coord(),
+                     alert=(['ins_buzz'], [0], -2.0, 0.96),
+                     alert_command='   ')
+    assert w.alert_runner is None
