@@ -170,6 +170,30 @@ def test_manifest_lock_no_trace_recursion_at_init(gui, env, tmp_path):
     assert win.entries['framehop_prop'].entry.kw.get('state') == 'disabled'
 
 
+def test_full_run_with_alerts_and_hook(gui, env, tmp_path):
+    """Live alerts configured through the real settings form reach the GUI
+    log pane (DETECTED line from the spawned child) and the notification
+    command runs in the child with the event's BUZZ_* data."""
+    import sys as _sys
+    hook_out = tmp_path / 'hook.txt'
+    win = _make_settings(env, tmp_path, 'alerts.json')
+    win.entries['alert_classes'].set('ins_buzz')
+    win.entries['alert_threshold'].set('-1e9')
+    win.entries['alert_command'].set(
+        f'{_sys.executable} -c "import os; '
+        f"open(r'{hook_out}', 'a').write(os.environ['BUZZ_CLASS'] + ' ' + "
+        f"os.environ['BUZZ_IDENT'] + chr(10))\"")
+    win.launch_button.invoke()
+    awin = win.children[-1]
+    assert _pump_until(gui, lambda: awin.btn_rerun.kw.get('state') == 'normal')
+    text = awin.textbox.get_text()
+    assert 'DETECTED ins_buzz' in text
+    assert hook_out.exists()
+    assert any(line.startswith('ins_buzz ')
+               for line in hook_out.read_text().splitlines())
+    awin.kw['protocol:WM_DELETE_WINDOW']()
+
+
 def test_cross_field_alert_misconfig_blocks_launch(gui, env, tmp_path,
                                                    monkeypatch):
     """A cross-field alert misconfiguration (threshold without classes)
