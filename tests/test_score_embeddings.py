@@ -1,0 +1,118 @@
+"""Scoring cached embeddings: embed once, iterate heads for free.
+
+The contract under test: embed_directory + tools/score_embeddings.py
+reproduces a full analyze() run's result files — same schema, same
+rounding, same manifest — without touching the audio again.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.models.convert import build_model_bundle
+from tests.audio_fixtures import make_tone, write_wav
+
+CLASSES = ['ins_buzz', 'ambient_noise', 'human']
+TOOL = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                    'score_embeddings.py')
+METRICS = '/root/reference/models/model_general_v3/tests/metrics.csv'
+
+
+@pytest.fixture(scope='module')
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp('score_env')
+    dir_models = root / 'models'
+    build_model_bundle(
+        str(dir_models / 'scoremodel'), classes=CLASSES, seed=7,
+        metrics_csv=METRICS if os.path.exists(METRICS) else None)
+    dir_audio = root / 'audio'
+    (dir_audio / 'sub').mkdir(parents=True)
+    write_wav(dir_audio / 'a.wav', make_tone(4.0, 16000, 220), 16000)
+    write_wav(dir_audio / 'sub' / 'b.wav', make_tone(3.0, 16000, 440), 16000)
+    return {'models': str(dir_models), 'audio': str(dir_audio)}
+
+
+def _run_tool(args):
+    return subprocess.run([sys.executable, TOOL] + args,
+                          capture_output=True, text=True, timeout=300,
+                          env={**os.environ,
+                               'BUZZDETECT_DIR_MODELS': os.environ.get(
+                                   'BUZZDETECT_DIR_MODELS', '')})
+
+
+def test_score_embeddings_matches_analyze(env, tmp_path, monkeypatch):
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.train.embed_corpus import embed_directory
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', env['models'])
+    monkeypatch.setenv('BUZZDETECT_DIR_MODELS', env['models'])
+
+    golden = tmp_path / 'golden'
+    analyze(modelname='scoremodel', dir_audio=env['audio'],
+            dir_out=str(golden), verbosity_print='ERROR')
+
+    emb = tmp_path / 'emb'
+    embed_directory(env['audio'], str(emb), modelname='scoremodel',
+                    log=lambda *a: None)
+
+    out = tmp_path / 'rescored'
+    proc = _run_tool(['--dir_embeddings', str(emb),
+                      '--modelname', 'scoremodel', '--dir_out', str(out)])
+    assert proc.returncode == 0, proc.stderr
+
+    for rel in ('a', 'sub/b'):
+        # BYTES, not read_text(): text mode translates newlines and would
+        # mask a line-terminator mismatch with the finalizer's CRLF files
+        g = (golden / (rel + cfg.SUFFIX_RESULT_COMPLETE)).read_bytes()
+        s = (out / (rel + cfg.SUFFIX_RESULT_COMPLETE)).read_bytes()
+        assert s == g, f'{rel}: rescored CSV differs from analyze()'
+
+    m_g = json.loads((golden / 'buzzdetect_manifest.json').read_text())
+    m_s = json.loads((out / 'buzzdetect_manifest.json').read_text())
+    assert m_s == m_g
+
+
+@pytest.mark.skipif(not os.path.exists(METRICS),
+                    reason='reference metrics table not present')
+def test_score_embeddings_detections_mode(env, tmp_path, monkeypatch):
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.train.embed_corpus import embed_directory
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', env['models'])
+    monkeypatch.setenv('BUZZDETECT_DIR_MODELS', env['models'])
+
+    golden = tmp_path / 'golden'
+    analyze(modelname='scoremodel', dir_audio=env['audio'],
+            dir_out=str(golden), precision=0.95, verbosity_print='ERROR')
+
+    emb = tmp_path / 'emb'
+    embed_directory(env['audio'], str(emb), modelname='scoremodel',
+                    log=lambda *a: None)
+    out = tmp_path / 'det'
+    proc = _run_tool(['--dir_embeddings', str(emb),
+                      '--modelname', 'scoremodel',
+                      '--precision', '0.95', '--dir_out', str(out)])
+    assert proc.returncode == 0, proc.stderr
+    g = (golden / ('a' + cfg.SUFFIX_RESULT_COMPLETE)).read_bytes()
+    s = (out / ('a' + cfg.SUFFIX_RESULT_COMPLETE)).read_bytes()
+    assert s == g
+
+
+def test_score_embeddings_refuses_unpinned_dir(env, tmp_path, monkeypatch):
+    """A directory of npz files WITHOUT the embeddings manifest must be
+    refused — there is no attested frame grid to put in the result rows."""
+    monkeypatch.setenv('BUZZDETECT_DIR_MODELS', env['models'])
+    d = tmp_path / 'loose'
+    d.mkdir()
+    np.savez(d / 'x_embeddings.npz', starts=np.zeros(1),
+             embeddings=np.zeros((1, 1024), np.float32))
+    proc = _run_tool(['--dir_embeddings', str(d),
+                      '--modelname', 'scoremodel',
+                      '--dir_out', str(tmp_path / 'out')])
+    assert proc.returncode != 0
+    assert 'embeddings_manifest' in proc.stderr
