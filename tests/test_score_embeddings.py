@@ -116,3 +116,56 @@ def test_score_embeddings_refuses_unpinned_dir(env, tmp_path, monkeypatch):
                       '--dir_out', str(tmp_path / 'out')])
     assert proc.returncode != 0
     assert 'embeddings_manifest' in proc.stderr
+
+
+def test_score_embeddings_with_ensemble(env, tmp_path, monkeypatch):
+    """Ensemble bundles share the linear-head format, so 'embed once,
+    iterate heads' extends to 'score every member in one rescoring pass':
+    ensemble columns equal each member's own rescoring."""
+    import shutil
+
+    from buzzdetect_tpu.models.convert import (build_model_bundle,
+                                               build_ensemble_bundle)
+    from buzzdetect_tpu.train.embed_corpus import embed_directory
+
+    dir_models = tmp_path / 'models'
+    dir_models.mkdir()
+    # second member shares the scoremodel's embedder weights (same seed
+    # path: copy the bundle and retrain nothing — ensemble requires
+    # identical embedders), different head via a different class list
+    shutil.copytree(os.path.join(env['models'], 'scoremodel'),
+                    dir_models / 'm_a')
+    shutil.copytree(os.path.join(env['models'], 'scoremodel'),
+                    dir_models / 'm_b')
+    build_ensemble_bundle([str(dir_models / 'm_a'), str(dir_models / 'm_b')],
+                          str(dir_models / 'duo'))
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+    monkeypatch.setenv('BUZZDETECT_DIR_MODELS', str(dir_models))
+
+    emb = tmp_path / 'emb'
+    embed_directory(env['audio'], str(emb), modelname='m_a',
+                    log=lambda *a: None)
+
+    out_duo = tmp_path / 'duo_scores'
+    proc = _run_tool(['--dir_embeddings', str(emb), '--modelname', 'duo',
+                      '--dir_out', str(out_duo)])
+    assert proc.returncode == 0, proc.stderr
+    header = open(out_duo / ('a' + cfg.SUFFIX_RESULT_COMPLETE)).readline()
+    cols = header.strip().split(',')
+    assert cols[0] == 'start'
+    assert f'activation_m_a.{CLASSES[0]}' in cols
+    assert f'activation_m_b.{CLASSES[0]}' in cols
+
+    # member columns match the member's own rescoring exactly
+    out_a = tmp_path / 'a_scores'
+    proc = _run_tool(['--dir_embeddings', str(emb), '--modelname', 'm_a',
+                      '--dir_out', str(out_a)])
+    assert proc.returncode == 0, proc.stderr
+    rows_duo = open(out_duo / ('a' + cfg.SUFFIX_RESULT_COMPLETE)
+                    ).read().splitlines()
+    rows_a = open(out_a / ('a' + cfg.SUFFIX_RESULT_COMPLETE)
+                  ).read().splitlines()
+    i_duo = cols.index(f'activation_m_a.{CLASSES[1]}')
+    i_a = rows_a[0].split(',').index(f'activation_{CLASSES[1]}')
+    for r_duo, r_a in zip(rows_duo[1:], rows_a[1:]):
+        assert r_duo.split(',')[i_duo] == r_a.split(',')[i_a]
