@@ -19,10 +19,12 @@ Design rules (all about never hurting the analysis):
   configuration, the same trust level as the CLI itself), but event data
   is passed ONLY via environment variables — class names and file idents
   never interpolate into shell syntax, so hostile filenames can't inject.
-* One command at a time, killed after ``timeout_s``: a hung notifier
-  degrades to dropped notifications, never to an unbounded process/thread
-  pile (watch mode builds one runner per polling cycle — see
-  tools/soak_watch.py's bounded-residue assertions).
+* One command at a time, killed (whole process group) after
+  ``timeout_s``: a hung notifier degrades to dropped notifications, never
+  to an unbounded process/thread pile (watch mode builds one runner per
+  polling cycle — see tools/soak_watch.py's bounded-residue assertions).
+  A hook that deliberately backgrounds work (``notify.sh &``) returns as
+  soon as its shell does and is NOT treated as hung.
 * ``close()`` is bounded AND terminal: it waits briefly for queued
   notifications to ship, then ABANDONS the dispatch — the drain thread
   stops launching new commands (at most the one in flight finishes or is
@@ -36,7 +38,9 @@ Design rules (all about never hurting the analysis):
 
 import os
 import queue
+import signal
 import subprocess
+import tempfile
 import threading
 
 # generous headroom for a notification hop (an HTTP POST, a mail relay);
@@ -96,21 +100,42 @@ class AlertCommandRunner:
             self._dropped += 1
 
     def _run_one(self, fields):
+        # stderr goes to an unlinked temp FILE, not a pipe: the common
+        # `notify.sh &` idiom leaves a grandchild holding stderr open, and
+        # a pipe would make us block until ITS eof (a 30 s false "hung"
+        # per alert for a command that exited instantly). wait() reads no
+        # pipes, so a backgrounded hook returns as fast as its shell does
+        # — and a chatty hook can never deadlock on a full pipe buffer.
         env = dict(os.environ)
         env.update({f'BUZZ_{k.upper()}': str(v) for k, v in fields.items()})
         self._launched += 1
         try:
-            proc = subprocess.run(
-                self.command, shell=True, env=env,
-                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
-                timeout=self.timeout_s)
-            if proc.returncode != 0:
-                err = (proc.stderr or b'').decode(
-                    errors='replace').strip()[-200:]
-                self._failure(f'exit {proc.returncode}'
-                              + (f': {err}' if err else ''))
-        except subprocess.TimeoutExpired:
-            self._failure(f'killed after {self.timeout_s:.0f}s timeout')
+            with tempfile.TemporaryFile() as errf:
+                proc = subprocess.Popen(
+                    self.command, shell=True, env=env,
+                    stdout=subprocess.DEVNULL, stderr=errf,
+                    start_new_session=True)
+                try:
+                    rc = proc.wait(timeout=self.timeout_s)
+                except subprocess.TimeoutExpired:
+                    # kill the whole process group (start_new_session made
+                    # the shell its leader): "hung commands are killed"
+                    # must include whatever the shell spawned, or the hung
+                    # worker survives the shell's SIGKILL
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        proc.kill()
+                    proc.wait()
+                    self._failure(
+                        f'killed after {self.timeout_s:.0f}s timeout')
+                    return
+                if rc != 0:
+                    errf.seek(0, os.SEEK_END)
+                    size = errf.tell()
+                    errf.seek(max(0, size - 1024))
+                    err = errf.read().decode(errors='replace').strip()[-200:]
+                    self._failure(f'exit {rc}' + (f': {err}' if err else ''))
         except Exception as e:
             self._failure(str(e))
 
@@ -137,10 +162,23 @@ class AlertCommandRunner:
         self._closing.set()
         self._thread.join(timeout)
         if self._thread.is_alive():
-            stranded = self._q.qsize()
             self._abandoned.set()
+            # count the stranded backlog HERE, before the summary below —
+            # the drain thread is parked inside the in-flight command (up
+            # to timeout_s more) and would only add these drops after
+            # close() returned, making the summary undercount exactly in
+            # the abandonment case. Each alert is popped once (here, or by
+            # the thread's own leftover loop), so nothing double-counts.
+            stranded = 0
+            while True:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    break
+                stranded += 1
+            self._dropped += stranded
             self.log(f'alert command still running at shutdown; abandoning '
-                     f'dispatch ({stranded} queued notification(s) will be '
+                     f'dispatch ({stranded} queued notification(s) '
                      f'dropped; the in-flight command is killed after its '
                      f'{self.timeout_s:.0f}s timeout)', 'WARNING')
         if self._dropped:

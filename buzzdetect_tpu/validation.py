@@ -201,13 +201,16 @@ def validate_devices(value):
 
 
 def validate_alert_command(alert_command):
-    """None (no hook) or a non-empty command string. Whether it WORKS is
-    only knowable by running it; alert-classes pairing is a cross-field
-    rule (viewmodel / analyze())."""
+    """None, blank, or a command string. Blank/whitespace means "no hook"
+    everywhere the engine reads it (Analyzer/WorkerWriter treat it as
+    None — the `--alert_command "$HOOK"` with HOOK unset idiom), so the
+    validator must accept it too. Whether a command WORKS is only
+    knowable by running it; alert-classes pairing is a cross-field rule
+    (viewmodel / analyze())."""
     if alert_command is None:
         return OK
-    if isinstance(alert_command, str) and alert_command.strip():
-        return OK
+    if isinstance(alert_command, str):
+        return OK  # blank/whitespace == no hook; anything else is a command
     return ArgValid(False, 'a shell command (or blank for no hook)')
 
 

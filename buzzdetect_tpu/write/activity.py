@@ -57,6 +57,10 @@ def bin_events(rows, starts_by_ident, bin_s: float = 3600.0):
     Returns ``{(bin_start_datetime, class): {'n_events': int,
     'seconds': float}}``, only for non-empty bins.
     """
+    if not (bin_s > 0):
+        # a negative width would walk the split loop BACKWARD forever;
+        # zero divides. Reject both instead of hanging the caller.
+        raise ValueError(f'bin_s must be positive, got {bin_s}')
     if not rows:
         return {}
     missing = sorted({r['ident'] for r in rows}

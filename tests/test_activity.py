@@ -63,6 +63,15 @@ def test_bin_events_missing_ident_and_empty():
         bin_events([_event('ghost', 0.0, 1.0)], {}, bin_s=60.0)
 
 
+def test_bin_events_rejects_nonpositive_width():
+    """A negative width would walk the boundary-split loop backward
+    forever; zero divides — both must fail loudly, not hang."""
+    for bad in (-3600.0, 0.0):
+        with pytest.raises(ValueError, match='positive'):
+            bin_events([_event('r', 0.0, 1.0)],
+                       {'r': datetime(2024, 6, 1)}, bin_s=bad)
+
+
 def test_render_activity_csv(tmp_path):
     starts = {'a': datetime(2024, 6, 1, 10, 0, 0)}
     binned = bin_events([_event('a', 0.0, 2.5)], starts, bin_s=3600.0)

@@ -99,6 +99,46 @@ def test_runner_kills_hung_command():
     assert any('timeout' in m for _, m in log)
 
 
+def test_kill_reaches_the_whole_process_group(tmp_path):
+    """A hung hook's own children must die with it — 'hung commands are
+    killed' means the work it spawned, not just the shell."""
+    pidf = tmp_path / 'grandchild.pid'
+    # shell primitives, not python: interpreter startup can exceed the
+    # kill timeout on a loaded host. exec keeps the announced pid.
+    cmd = (f"sh -c 'echo $$ > \"{pidf}\"; exec sleep 600' & sleep 600")
+    runner = AlertCommandRunner(cmd, _logger([]), timeout_s=1.5)
+    runner.submit(FIELDS)
+    assert _wait_for(pidf.exists)  # grandchild alive before the kill
+    assert _wait_for(lambda: runner._failures == 1, timeout=15.0)
+    pid = int(pidf.read_text())
+
+    def _gone():
+        try:
+            os.kill(pid, 0)
+            return False
+        except ProcessLookupError:
+            return True
+    assert _wait_for(_gone, timeout=10.0), \
+        'backgrounded grandchild survived the group kill'
+    runner.close(timeout=15.0)
+
+
+def test_backgrounding_hook_is_not_hung(tmp_path):
+    """The `notify.sh &` idiom: the shell exits instantly while a
+    grandchild inherits stderr. That must count as SUCCESS immediately —
+    not burn the kill timeout per alert as a false 'hung' failure."""
+    log = []
+    # grandchild holds the inherited stderr open long past the timeout
+    cmd = 'sleep 30 & exit 0'
+    runner = AlertCommandRunner(cmd, _logger(log), timeout_s=5.0)
+    t0 = time.monotonic()
+    runner.submit(FIELDS)
+    runner.close(timeout=10.0)
+    assert time.monotonic() - t0 < 4.0  # returned with the shell, not the 5s kill
+    assert runner._failures == 0
+    assert log == []
+
+
 def test_analyze_requires_alert_classes():
     from buzzdetect_tpu.analysis import analyze
     with pytest.raises(ValueError, match='alert_command without'):
@@ -161,10 +201,9 @@ def test_close_is_bounded_and_abandons(tmp_path):
     held hostage by a notifier."""
     log = []
     started = tmp_path / 'started'
-    # each invocation: announce, then outlive the kill timeout
-    cmd = (f'{sys.executable} -c "import os, time\n'
-           f"open(r'{started}', 'a').write('x')\n"
-           f'time.sleep(600)"')
+    # each invocation: announce, then outlive the kill timeout (shell
+    # primitives — python startup can exceed the timeout on a loaded host)
+    cmd = f'echo x >> "{started}"; exec sleep 600'
     runner = AlertCommandRunner(cmd, _logger(log), depth=8, timeout_s=1.0)
     runner.submit(FIELDS)
     assert _wait_for(started.exists)  # first command in flight
@@ -175,6 +214,9 @@ def test_close_is_bounded_and_abandons(tmp_path):
     runner.close(timeout=0.5)
     assert time.monotonic() - t0 < 3.0  # bounded, not 9 x kill-timeout
     assert any('abandoning' in m for _, m in log)
+    # the stranded backlog is counted INTO the close summary itself — not
+    # left for the drain thread to tally after close() already summarized
+    assert any('8 alert(s) dropped' in m for _, m in log)
 
     # the drain thread dies after the in-flight kill; launches stop at
     # abandonment (the close grace window may admit one more — never the
@@ -187,6 +229,18 @@ def test_close_is_bounded_and_abandons(tmp_path):
     assert runner._launched + runner._dropped == 9
     runner.close()  # idempotent: no duplicate summary
     assert sum('abandoning' in m for _, m in log) == 1
+
+
+def test_validator_accepts_blank_as_no_hook():
+    """`--alert_command "$HOOK"` with HOOK unset must pass validation —
+    blank means "no hook" everywhere the engine reads it, and the CLI
+    path has no ''->None coercion."""
+    from buzzdetect_tpu.validation import validate_alert_command
+    assert validate_alert_command(None).valid
+    assert validate_alert_command('').valid
+    assert validate_alert_command('   ').valid
+    assert validate_alert_command('echo hi').valid
+    assert not validate_alert_command(42).valid
 
 
 def test_whitespace_command_means_no_hook():

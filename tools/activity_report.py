@@ -48,8 +48,14 @@ def main():
                     help='render an SVG activity chart here')
     args = ap.parse_args()
 
-    bin_s = {'hour': 3600.0, 'day': 86400.0}.get(
-        args.bin) or float(args.bin)
+    try:
+        bin_s = {'hour': 3600.0, 'day': 86400.0}.get(
+            args.bin) or float(args.bin)
+    except ValueError:
+        ap.error(f"--bin must be 'hour', 'day', or seconds "
+                 f"(got {args.bin!r})")
+    if bin_s <= 0:
+        ap.error(f'--bin must be positive (got {args.bin!r})')
 
     from buzzdetect_tpu.write.activity import (parse_ident_timestamp,
                                                bin_events,

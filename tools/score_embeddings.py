@@ -91,7 +91,26 @@ def main():
         if bad:
             sys.exit(f'error: classes_out {bad} not in model classes '
                      f'{classes}')
-        keep = [classes.index(c) for c in args.classes_out]
+        # MODEL order, like format_activations' subset (write/formatting.py)
+        # — user-given order or duplicates would break the byte-identity
+        # with analyze() the tool promises
+        wanted = set(args.classes_out)
+        keep = [i for i, c in enumerate(classes) if c in wanted]
+
+    # --- the result dir's manifest guard, BEFORE writing anything ------------
+    # same order as analyze() (_check_manifest runs before the writer
+    # starts): rescoring into a directory holding results from different
+    # settings must refuse up front, not overwrite the stored manifest
+    # after interleaving incompatible files — and a mid-run abort must not
+    # leave finished CSVs with no manifest at all
+    from buzzdetect_tpu.manifest import build_manifest, check_or_write_manifest
+    ok, why = check_or_write_manifest(args.dir_out, build_manifest(
+        modelname=args.modelname,
+        classes_out=[classes[i] for i in keep],  # resolved, like analyze()
+        precision=args.precision,
+        framehop_prop=emb_manifest.get('framehop_prop', 1.0)))
+    if not ok:
+        sys.exit(f'error: {why}')
 
     # --- score every cached file ---------------------------------------------
     from buzzdetect_tpu.train.embed_corpus import SUFFIX_EMBEDDINGS
@@ -135,15 +154,6 @@ def main():
             f.write(table.render_csv(digits_time, include_header=True)
                     .replace('\n', '\r\n'))
         n_frames += len(starts)
-
-    # the result dir gets a standard manifest so downstream tooling
-    # (call_detections --precision, resumed analyses) resolves the model
-    from buzzdetect_tpu.manifest import build_manifest, write_manifest
-    write_manifest(args.dir_out, build_manifest(
-        modelname=args.modelname,
-        classes_out=[classes[i] for i in keep],  # resolved, like analyze()
-        precision=args.precision,
-        framehop_prop=emb_manifest.get('framehop_prop', 1.0)))
 
     print(f'scored {n_frames} frames across {len(paths)} file(s) '
           f'-> {args.dir_out}')
