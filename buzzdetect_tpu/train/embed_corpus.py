@@ -115,9 +115,27 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
             classifier = model.classifier
         return classifier
 
+    if os.path.isfile(dir_audio):
+        # a single recording instead of a directory — same quality-of-life
+        # superset as analyze(dir_audio=<file>) (analysis.py:461-467):
+        # root = its parent so the ident is the basename
+        from buzzdetect_tpu.utils import get_ext
+        if get_ext(dir_audio) not in driver_map:
+            # fatal, not the per-file isolation below: an unsupported
+            # extension can never heal, and the isolation path would
+            # reduce it to a log line + "embedded 0 files"
+            raise ValueError(
+                f'unsupported audio format {get_ext(dir_audio)!r}: '
+                f'{dir_audio}')
+        root = os.path.dirname(os.path.abspath(dir_audio)) or '.'
+        paths = [dir_audio]
+    else:
+        root = dir_audio
+        paths = search_dir(dir_audio, list(driver_map.keys()))
+
     written = []
-    for path in search_dir(dir_audio, list(driver_map.keys())):
-        ident = build_ident(path, dir_audio)
+    for path in paths:
+        ident = build_ident(path, root)
         path_out = os.path.join(dir_out, ident + SUFFIX_EMBEDDINGS)
         if os.path.exists(path_out):
             continue

@@ -20,6 +20,8 @@ from tests.audio_fixtures import make_tone, write_wav
 CLASSES = ['ins_buzz', 'ambient_noise', 'human']
 TOOL = os.path.join(os.path.dirname(__file__), '..', 'tools',
                     'score_embeddings.py')
+TOOL_EMBED = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                          'embed_corpus.py')
 METRICS = '/root/reference/models/model_general_v3/tests/metrics.csv'
 
 
@@ -116,6 +118,52 @@ def test_score_embeddings_refuses_unpinned_dir(env, tmp_path, monkeypatch):
                       '--dir_out', str(tmp_path / 'out')])
     assert proc.returncode != 0
     assert 'embeddings_manifest' in proc.stderr
+
+
+def test_embed_corpus_cli_end_to_end(env, tmp_path, monkeypatch):
+    """The whole CLI loop with no Python API: tools/embed_corpus.py ->
+    tools/score_embeddings.py reproduces analyze() byte-for-byte, and a
+    rerun of the embed tool resumes (skips everything)."""
+    from buzzdetect_tpu.analysis import analyze
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', env['models'])
+    monkeypatch.setenv('BUZZDETECT_DIR_MODELS', env['models'])
+
+    golden = tmp_path / 'golden'
+    analyze(modelname='scoremodel', dir_audio=env['audio'],
+            dir_out=str(golden), verbosity_print='ERROR')
+
+    emb = tmp_path / 'emb'
+
+    def _embed(args):
+        return subprocess.run(
+            [sys.executable, TOOL_EMBED] + args, capture_output=True,
+            text=True, timeout=300, env=dict(os.environ))
+
+    proc = _embed(['--dir_audio', env['audio'], '--dir_out', str(emb),
+                   '--modelname', 'scoremodel'])
+    assert proc.returncode == 0, proc.stderr
+    assert 'embedded 2 new file(s)' in proc.stdout
+
+    proc = _embed(['--dir_audio', env['audio'], '--dir_out', str(emb),
+                   '--modelname', 'scoremodel'])
+    assert proc.returncode == 0, proc.stderr
+    assert 'embedded 0 new file(s)' in proc.stdout  # resumed
+
+    # a settings conflict fails loudly with a clean error, not a traceback
+    proc = _embed(['--dir_audio', env['audio'], '--dir_out', str(emb),
+                   '--modelname', 'scoremodel', '--framehop', '0.5'])
+    assert proc.returncode != 0
+    assert 'conflicts' in proc.stderr and 'Traceback' not in proc.stderr
+
+    out = tmp_path / 'rescored'
+    proc = _run_tool(['--dir_embeddings', str(emb),
+                      '--modelname', 'scoremodel', '--dir_out', str(out)])
+    assert proc.returncode == 0, proc.stderr
+    for rel in ('a', 'sub/b'):
+        g = (golden / (rel + cfg.SUFFIX_RESULT_COMPLETE)).read_bytes()
+        s = (out / (rel + cfg.SUFFIX_RESULT_COMPLETE)).read_bytes()
+        assert s == g, f'{rel}: CLI-loop CSV differs from analyze()'
 
 
 def test_score_embeddings_with_ensemble(env, tmp_path, monkeypatch):

@@ -143,6 +143,37 @@ def test_embed_directory_roundtrip(tmp_path, monkeypatch):
                            log=lambda *_: None) == []
 
 
+def test_embed_directory_single_file(tmp_path, monkeypatch):
+    """A single recording as dir_audio — same superset as
+    analyze(dir_audio=<file>): ident is the basename, and an unsupported
+    extension fails loudly instead of 'embedded 0 files'."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from buzzdetect_tpu.train.embed_corpus import (embed_directory,
+                                                   load_embeddings)
+    from tests.audio_fixtures import make_tone, write_wav
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'em'), classes=['a', 'b'], seed=1)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+
+    wav = tmp_path / 'solo.wav'
+    write_wav(wav, make_tone(2.0, 16000), 16000)
+    out = tmp_path / 'emb'
+    written = embed_directory(str(wav), str(out), modelname='em',
+                              log=lambda *_: None)
+    assert [os.path.basename(p) for p in written] == [
+        'solo_embeddings.npz']
+    starts, emb = load_embeddings(written[0])
+    assert emb.shape == (len(starts), 1024) and len(starts) > 0
+
+    bogus = tmp_path / 'notes.txt'
+    bogus.write_text('not audio')
+    with pytest.raises(ValueError, match='unsupported audio format'):
+        embed_directory(str(bogus), str(tmp_path / 'emb2'), modelname='em',
+                        log=lambda *_: None)
+
+
 def test_annotations_to_frame_labels():
     from buzzdetect_tpu.train.annotations import frames_to_labels
     starts = np.arange(10) * 0.96
