@@ -32,20 +32,9 @@ BASELINE_REALTIME = 100.0  # north star: >=100x realtime per v5e chip
 # honest zero-value record instead of hanging.
 _CHILD_ENV = 'BUZZ_BENCH_CHILD'
 
-# one real dispatch, synced by host materialization (block_until_ready can
-# return early through the tunnel — docs/tuning.md). JAX_PLATFORMS must be
-# re-pinned explicitly: the image's preloaded platform plugin overrides the
-# env var (see classifier._honor_platform_env), and a cpu-pinned test run
-# would otherwise preflight the dead axon tunnel.
-_PREFLIGHT_CODE = (
-    "import os, jax\n"
-    "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
-    "if p: jax.config.update('jax_platforms', p)\n"
-    "import numpy as np, jax.numpy as jnp\n"
-    "x = jnp.ones((128, 128))\n"
-    "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n"
-    "print('BENCH_PREFLIGHT_OK')\n"
-)
+# the probe (one real dispatch, synced by host materialization, with the
+# JAX_PLATFORMS re-pin) is shared with doctor's triage check —
+# utils.backend_preflight holds the single copy and its rationale
 
 
 def _failure_record(mode, reason):
@@ -66,17 +55,13 @@ def _failure_record(mode, reason):
 
 
 def _preflight_ok(timeout, retries, retry_sleep):
-    code = os.environ.get('BUZZ_BENCH_PREFLIGHT_CODE', _PREFLIGHT_CODE)
+    from buzzdetect_tpu.utils import backend_preflight
+    code = os.environ.get('BUZZ_BENCH_PREFLIGHT_CODE') or None
     for attempt in range(retries + 1):
         if attempt:
             time.sleep(retry_sleep)
-        try:
-            out = subprocess.run([sys.executable, '-c', code],
-                                 capture_output=True, text=True,
-                                 timeout=timeout)
-        except subprocess.TimeoutExpired:
-            continue
-        if out.returncode == 0 and 'BENCH_PREFLIGHT_OK' in out.stdout:
+        ok, _why = backend_preflight(timeout, code=code)
+        if ok:
             return True
     return False
 

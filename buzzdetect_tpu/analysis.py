@@ -158,13 +158,17 @@ class Analyzer:
             import jax
             host_shard = (jax.process_index(), jax.process_count())
         if host_shard is not None:
-            hid, n_hosts = host_shard
-            if not (isinstance(hid, int) and isinstance(n_hosts, int)
-                    and 0 <= hid < n_hosts):
+            # shape-check BEFORE unpacking: host_shard=1 or '0/4' must hit
+            # this message, not a raw unpack TypeError
+            if not (isinstance(host_shard, (tuple, list))
+                    and len(host_shard) == 2
+                    and all(isinstance(v, int) and not isinstance(v, bool)
+                            for v in host_shard)
+                    and 0 <= host_shard[0] < host_shard[1]):
                 raise ValueError(
                     f'host_shard must be (host_id, n_hosts) with '
                     f'0 <= host_id < n_hosts, got {host_shard!r}')
-            host_shard = (hid, n_hosts)
+            host_shard = (host_shard[0], host_shard[1])
         self.host_shard = host_shard
 
         self.precision = precision

@@ -192,7 +192,8 @@ def main(argv=None):
     # comma-and/or-space separated class names (validation.split_names),
     # so the CLI's nargs tokens are re-split on commas too — otherwise
     # `--alert_classes a,b` silently becomes the single class 'a,b'
-    from buzzdetect_tpu.validation import validate_map, split_names
+    from buzzdetect_tpu.validation import (validate_map, split_names,
+                                            watch_exempt)
     classes_out = args.classes_out
     if isinstance(classes_out, list):
         classes_out = [n for tok in classes_out for n in split_names(tok)]
@@ -209,8 +210,8 @@ def main(argv=None):
     for name, rule in validate_map.items():
         if name not in values:
             continue
-        if name == 'dir_audio' and args.watch:
-            continue  # watch mode: a not-yet-created recorder dir is normal
+        if watch_exempt(name, args.watch):
+            continue
         result = rule(values[name])
         if not result.valid:
             errors.append(f'--{name}: {result.message}')

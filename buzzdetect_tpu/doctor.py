@@ -6,41 +6,20 @@ one line per check so field deployments can triage quickly.
 """
 
 import os
-import subprocess
 import sys
 import traceback
 
-# A dead axon tunnel hangs jax.devices() FOREVER (observed 2026-08-17:
-# 10+ h outages where even backend init never returns) — the one condition
-# a triage tool must diagnose, not inherit. Probe the backend in a
-# subprocess with a hard timeout before any in-process device call (same
-# discipline as bench.py's supervised preflight). JAX_PLATFORMS is
-# re-pinned explicitly because the image's preloaded platform plugin
-# overrides the env var (see classifier._honor_platform_env).
-_PREFLIGHT_CODE = (
-    "import os, jax\n"
-    "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
-    "if p: jax.config.update('jax_platforms', p)\n"
-    "import numpy as np, jax.numpy as jnp\n"
-    "x = jnp.ones((128, 128))\n"
-    "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n"
-    "print('DOCTOR_PREFLIGHT_OK')\n"
-)
+# A dead axon tunnel hangs jax.devices() FOREVER — the one condition a
+# triage tool must diagnose, not inherit. The probe itself is shared with
+# bench.py's supervised preflight (utils.backend_preflight); the module
+# attribute below exists so tests can substitute a hanging probe.
+from buzzdetect_tpu.utils import PREFLIGHT_CODE as _PREFLIGHT_CODE  # noqa: E402
+from buzzdetect_tpu.utils import backend_preflight  # noqa: E402
 
 
 def _backend_reachable(timeout: float):
     """(ok, why_not): dispatch one matmul in a watched subprocess."""
-    try:
-        out = subprocess.run([sys.executable, '-c', _PREFLIGHT_CODE],
-                             capture_output=True, text=True,
-                             timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return False, (f'no dispatch completed within {timeout:.0f}s — '
-                       f'backend unreachable (tunnel outage?)')
-    if out.returncode == 0 and 'DOCTOR_PREFLIGHT_OK' in out.stdout:
-        return True, None
-    tail = (out.stderr or out.stdout).strip().splitlines()
-    return False, (tail[-1] if tail else f'probe exited {out.returncode}')
+    return backend_preflight(timeout, code=_PREFLIGHT_CODE)
 
 
 def _check(name, fn):

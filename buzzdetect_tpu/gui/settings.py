@@ -16,7 +16,7 @@ from buzzdetect_tpu.gui.viewmodel import (SettingsModel, BASIC_FIELDS,
 from buzzdetect_tpu.gui.widgets import (TextEntry, FilePathEntry,
                                         CheckBoxEntry, DropDownEntry)
 from buzzdetect_tpu.loglevels import loglevels
-from buzzdetect_tpu.validation import ArgValid, validate_map
+from buzzdetect_tpu.validation import ArgValid, validate_map, watch_exempt
 
 
 class AnalysisSettings(tk.Tk):
@@ -68,13 +68,13 @@ class AnalysisSettings(tk.Tk):
         if validator is not None:
             # widgets hold raw strings; validators expect coerced values
             # ('' -> None for optional fields, numerics per annotation).
-            # dir_audio is exempt while 'watch' is checked: a not-yet-
-            # created recorder directory is normal there (CLI parity —
-            # cli.py skips the validator in exactly this case; the
-            # launch would otherwise brick a feature the CLI allows)
+            # The exemption rule itself is single-sourced in
+            # validation.watch_exempt; only the live-checkbox read is
+            # widget-specific (the viewmodel sees coerced values, this
+            # sees the checkbox as the user toggles it)
             validator = (lambda raw, _v=validator, _n=name:
                          ArgValid(True, None)
-                         if _n == 'dir_audio' and self._watch_checked()
+                         if watch_exempt(_n, self._watch_checked())
                          else _v(coerce_field(_n, raw)))
         if name in ('dir_audio', 'dir_out'):
             return FilePathEntry(parent, name, validator, self._on_change)

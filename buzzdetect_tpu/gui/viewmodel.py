@@ -16,7 +16,8 @@ import os
 from buzzdetect_tpu.gui import config as gui_cfg
 from buzzdetect_tpu.manifest import (read_manifest, KEYS_LOCKED,
                                      FNAME_MANIFEST)
-from buzzdetect_tpu.validation import validate_map, ArgValid, split_names
+from buzzdetect_tpu.validation import (validate_map, ArgValid, split_names,
+                                       watch_exempt)
 
 # fields shown in the basic settings form, in display order
 BASIC_FIELDS = ('modelname', 'dir_audio', 'dir_out', 'classes_out',
@@ -150,11 +151,7 @@ class SettingsModel:
         if validator is None:
             return ArgValid(True, None)
         value = self.values.get(name)
-        if name == 'dir_audio' and self.values.get('watch'):
-            # watch mode tolerates a not-yet-created recorder directory
-            # (CLI parity: cli.py skips the dir_audio validator there; the
-            # pipeline downgrades the empty listing to DEBUG and keeps
-            # polling)
+        if watch_exempt(name, self.values.get('watch')):
             return ArgValid(True, None)
         result = validator(value)
         if not result.valid:

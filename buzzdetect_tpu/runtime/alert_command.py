@@ -58,6 +58,11 @@ class AlertCommandRunner:
         self.log = log  # callable(message, level_str) -> the run's log
         self.timeout_s = timeout_s
         self._q = queue.Queue(maxsize=depth)
+        # _dropped is bumped from three threads (writer via submit, the
+        # drain thread, close()'s caller); += is a non-atomic
+        # read-modify-write, so an unlocked storm would undercount the
+        # very drops the summary promises to report
+        self._drop_lock = threading.Lock()
         self._dropped = 0
         self._failures = 0
         self._warned = False
@@ -77,7 +82,8 @@ class AlertCommandRunner:
         try:
             self._q.put_nowait(dict(fields))
         except queue.Full:
-            self._dropped += 1
+            with self._drop_lock:
+                self._dropped += 1
 
     def _drain(self):
         while not self._abandoned.is_set():
@@ -88,7 +94,8 @@ class AlertCommandRunner:
                     return  # shipped everything queued before close
                 continue
             if self._abandoned.is_set():
-                self._dropped += 1
+                with self._drop_lock:
+                    self._dropped += 1
                 continue
             self._run_one(fields)
         # abandoned: never execute another command — count the leftovers
@@ -97,7 +104,8 @@ class AlertCommandRunner:
                 self._q.get_nowait()
             except queue.Empty:
                 return
-            self._dropped += 1
+            with self._drop_lock:
+                self._dropped += 1
 
     def _run_one(self, fields):
         # stderr goes to an unlinked temp FILE, not a pipe: the common
@@ -176,7 +184,8 @@ class AlertCommandRunner:
                 except queue.Empty:
                     break
                 stranded += 1
-            self._dropped += stranded
+            with self._drop_lock:
+                self._dropped += stranded
             self.log(f'alert command still running at shutdown; abandoning '
                      f'dispatch ({stranded} queued notification(s) '
                      f'dropped; the in-flight command is killed after its '

@@ -118,7 +118,11 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
     if os.path.isfile(dir_audio):
         # a single recording instead of a directory — same quality-of-life
         # superset as analyze(dir_audio=<file>) (analysis.py:461-467):
-        # root = its parent so the ident is the basename
+        # root = its parent so the ident is the basename. abspath BOTH
+        # sides: build_ident's containment check compares path prefixes,
+        # so a relative file against an absolute root would leak the
+        # directory into the ident (breaking parity with analyze())
+        dir_audio = os.path.abspath(dir_audio)
         from buzzdetect_tpu.utils import get_ext
         if get_ext(dir_audio) not in driver_map:
             # fatal, not the per-file isolation below: an unsupported
@@ -127,7 +131,7 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
             raise ValueError(
                 f'unsupported audio format {get_ext(dir_audio)!r}: '
                 f'{dir_audio}')
-        root = os.path.dirname(os.path.abspath(dir_audio)) or '.'
+        root = os.path.dirname(dir_audio) or '.'
         paths = [dir_audio]
     else:
         root = dir_audio
@@ -148,8 +152,14 @@ def embed_directory(dir_audio: str, dir_out: str, modelname: str = None,
                                             chunklength)
             # write-then-rename: the skip-if-exists resume above must never
             # adopt a truncated npz left by a mid-write crash
+            # starts stay float64: analyze() derives its start column from
+            # a float64 grid, and float32 spacing passes the 0.005
+            # half-step of digits_time=2 rounding beyond t ~ 131072 s
+            # (~36 h) — a downcast would break score_embeddings' byte
+            # parity exactly on the days-long recordings the framework
+            # advertises
             path_tmp = path_out + '.tmp.npz'  # savez appends .npz otherwise
-            np.savez_compressed(path_tmp, starts=starts.astype(np.float32),
+            np.savez_compressed(path_tmp, starts=starts.astype(np.float64),
                                 embeddings=embeddings)
             os.replace(path_tmp, path_out)
             written.append(path_out)

@@ -152,6 +152,46 @@ def write_wav(path, samples, rate: int = 16000):
         w.writeframes(ints.tobytes())
 
 
+# One real dispatch, synced by host materialization (block_until_ready can
+# return early through the tunneled link — docs/tuning.md). JAX_PLATFORMS is
+# re-pinned explicitly because the image's preloaded platform plugin
+# overrides the env var (see classifier._honor_platform_env); without the
+# re-pin a cpu-pinned run would probe the (possibly dead) axon tunnel.
+PREFLIGHT_CODE = (
+    "import os, jax\n"
+    "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
+    "if p: jax.config.update('jax_platforms', p)\n"
+    "import numpy as np, jax.numpy as jnp\n"
+    "x = jnp.ones((128, 128))\n"
+    "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n"
+    "print('BUZZ_PREFLIGHT_OK')\n"
+)
+
+
+def backend_preflight(timeout: float, code: str = None):
+    """(ok, why_not): prove one device dispatch completes, in a subprocess.
+
+    A dead tunneled backend hangs ``jax.devices()`` itself forever
+    (observed 2026-08-17: 10+ h outages) — any tool that must stay
+    responsive (doctor's triage, bench's unattended round-end run) probes
+    through this watched child before its first in-process device call.
+    """
+    import subprocess
+    import sys
+    code = PREFLIGHT_CODE if code is None else code
+    try:
+        out = subprocess.run([sys.executable, '-c', code],
+                             capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False, (f'no dispatch completed within {timeout:.0f}s — '
+                       f'backend unreachable (tunnel outage?)')
+    if out.returncode == 0 and 'BUZZ_PREFLIGHT_OK' in out.stdout:
+        return True, None
+    tail = (out.stderr or out.stdout).strip().splitlines()
+    return False, (tail[-1] if tail else f'probe exited {out.returncode}')
+
+
 def dispatch_slope(fn, inputs, n_long, trials=5, floor=0.0):
     """(best, median, worst) seconds per call via the dispatch-slope method.
 

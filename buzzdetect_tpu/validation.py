@@ -169,6 +169,15 @@ def validate_dir_audio(dir_audio):
     return OK
 
 
+def watch_exempt(name, watch) -> bool:
+    """The one cross-field validation exemption, single-sourced for the
+    CLI, the GUI widgets, and the headless viewmodel: ``dir_audio`` skips
+    existence validation while watch mode is on — a not-yet-created
+    recorder directory is normal there (the pipeline downgrades the empty
+    listing to DEBUG and keeps polling)."""
+    return name == 'dir_audio' and bool(watch)
+
+
 def validate_dir_out(dir_out):
     if dir_out is not None and not os.path.exists(dir_out):
         return ArgValid(True, 'Output folder does not exist; it will be '

@@ -23,14 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-
-def _write_wav(path, x, rate=16000):
-    import wave
-    with wave.open(path, 'wb') as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes((np.clip(x, -1, 1) * 32767).astype('<i2').tobytes())
+from buzzdetect_tpu.utils import write_wav  # noqa: E402
 
 
 def _recording(seconds, seed, buzzy=False, rate=16000):
@@ -57,13 +50,13 @@ def main():
 
         # --- the "recorder": drops a new file every couple of seconds ----
         def recorder():
-            _write_wav(os.path.join(dir_audio, 'hive_0001.wav'),
+            write_wav(os.path.join(dir_audio, 'hive_0001.wav'),
                        _recording(10, seed=1, buzzy=True))
             time.sleep(2.0)
-            _write_wav(os.path.join(dir_audio, 'hive_0002.wav'),
+            write_wav(os.path.join(dir_audio, 'hive_0002.wav'),
                        _recording(10, seed=2))
             time.sleep(2.0)
-            _write_wav(os.path.join(dir_audio, 'hive_0003.wav'),
+            write_wav(os.path.join(dir_audio, 'hive_0003.wav'),
                        _recording(10, seed=3, buzzy=True))
 
         threading.Thread(target=recorder, daemon=True).start()

@@ -302,6 +302,13 @@ def test_host_shard_validation():
     with pytest.raises(ValueError, match='host_shard'):
         Analyzer(modelname='whatever', host_shard=(4, 2),
                  model=object.__new__(object))
+    # non-tuple misuse must hit the crafted message, not a raw unpack
+    # TypeError: host_shard=1 ("host 1"?) and the CLI-style string '0/4'
+    # are the likely API typos
+    for bad in (1, '0/4', (0,), (0, 2, 4), (0.0, 2), (True, 2)):
+        with pytest.raises(ValueError, match='host_shard must be'):
+            Analyzer(modelname='whatever', host_shard=bad,
+                     model=object.__new__(object))
 
 
 def test_resolve_replica_devices_rejects_stray_strings():

@@ -160,12 +160,21 @@ def test_embed_directory_single_file(tmp_path, monkeypatch):
     wav = tmp_path / 'solo.wav'
     write_wav(wav, make_tone(2.0, 16000), 16000)
     out = tmp_path / 'emb'
-    written = embed_directory(str(wav), str(out), modelname='em',
+    # RELATIVE path: build_ident's containment check compares prefixes, so
+    # an un-abspathed file against an absolute root would leak the
+    # directory into the ident ('sub/solo' instead of 'solo')
+    monkeypatch.chdir(tmp_path)
+    written = embed_directory('solo.wav', str(out), modelname='em',
                               log=lambda *_: None)
     assert [os.path.basename(p) for p in written] == [
         'solo_embeddings.npz']
+    assert os.path.dirname(os.path.relpath(written[0], out)) == '', \
+        'relative input leaked a directory component into the ident'
     starts, emb = load_embeddings(written[0])
     assert emb.shape == (len(starts), 1024) and len(starts) > 0
+    # float64 grid: float32 spacing exceeds the 0.005 rounding half-step
+    # beyond ~36 h, which would break byte parity on days-long recordings
+    assert starts.dtype == np.float64
 
     bogus = tmp_path / 'notes.txt'
     bogus.write_text('not audio')

@@ -43,7 +43,8 @@ def main():
 
     from buzzdetect_tpu import config as cfg
     from buzzdetect_tpu.models.heads import apply_head
-    from buzzdetect_tpu.write.formatting import ResultTable
+    from buzzdetect_tpu.write.formatting import (format_activations,
+                                                 format_detections)
     from buzzdetect_tpu.write.thresholds import calculate_threshold
 
     # --- the embeddings' provenance pin -------------------------------------
@@ -134,16 +135,22 @@ def main():
         scores = np.asarray(apply_head(params, emb))
         rel = os.path.relpath(path, args.dir_embeddings)
         ident = rel[:-len(SUFFIX_EMBEDDINGS)].replace(os.sep, '/')
+        # byte parity with analyze() is structural, not mirrored: the SAME
+        # formatting functions the writer uses produce the values/columns
+        # (rounding, class subset, detections threshold); only the frame
+        # grid is substituted — these frames carry the cache's absolute
+        # starts, not the 0-based framehop grid add_time would derive
         if threshold is None:
-            values = np.round(scores.astype(np.float64),
-                              digits_results)[:, keep]
-            columns = [cfg.PREFIX_COLUMN_ACTIVATION + classes[i]
-                       for i in keep]
+            table = format_activations(
+                scores, classes, framehop_s=0.0, digits_time=digits_time,
+                classes_keep=('all' if args.classes_out == ['all']
+                              else set(args.classes_out)),
+                digits_results=digits_results)
         else:
-            buzz = scores[:, classes.index('ins_buzz')]
-            values = (buzz > threshold).astype(np.int64)[:, None]
-            columns = [cfg.PREFIX_COLUMN_DETECTION + 'ins_buzz']
-        table = ResultTable(columns, np.round(starts, digits_time), values)
+            table = format_detections(scores, threshold, classes,
+                                      framehop_s=0.0,
+                                      digits_time=digits_time)
+        table.start = np.round(starts, digits_time)
         path_out = os.path.join(args.dir_out,
                                 ident + cfg.SUFFIX_RESULT_COMPLETE)
         os.makedirs(os.path.dirname(path_out) or '.', exist_ok=True)
