@@ -769,7 +769,8 @@ def analyze(modelname: str,
             watch_cycles: int = None,
             alert_classes=None,
             alert_threshold: float = None,
-            alert_command: str = None):
+            alert_command: str = None,
+            backend_timeout: float = None):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -857,7 +858,25 @@ def analyze(modelname: str,
         on a bounded queue off the hot path: a slow or failing command
         drops notifications (counted, warned) but never blocks or fails
         the analysis. Requires ``alert_classes``.
+    backend_timeout : if set, prove the device backend can complete one
+        real dispatch within this many seconds BEFORE starting the run,
+        and fail loudly otherwise. A dead tunneled/remote accelerator
+        link hangs the first dispatch (and even ``jax.devices()``)
+        forever with no error — observed outages exceed 10 h — which
+        turns an unattended field deployment into a silent hang. The
+        probe runs in a watched subprocess (utils.backend_preflight, the
+        same check doctor and bench use) and costs a few seconds of
+        startup, so it is opt-in.
     """
+    if backend_timeout is not None:
+        from buzzdetect_tpu.utils import backend_preflight
+        ok, why = backend_preflight(float(backend_timeout))
+        if not ok:
+            raise RuntimeError(
+                f'device backend preflight failed: {why}. The accelerator '
+                f'link may be down — triage with '
+                f'`python -m buzzdetect_tpu.doctor`, or run on CPU with '
+                f'JAX_PLATFORMS=cpu')
     replica_devices = None
     if devices is not None:
         if mesh is not None:

@@ -178,6 +178,13 @@ def build_parser():
                              'BUZZ_START/BUZZ_END/BUZZ_FRAMES/BUZZ_PEAK/'
                              'BUZZ_THRESHOLD env vars); non-blocking, '
                              'needs --alert_classes')
+    parser.add_argument('--backend_timeout', required=False, default=None,
+                        type=float,
+                        help='Fail loudly if the device backend cannot '
+                             'complete one dispatch within this many '
+                             'seconds, instead of hanging forever on a '
+                             'dead accelerator link (opt-in; costs a few '
+                             'seconds of startup)')
     parser.add_argument('--yes', action='store_true',
                         help='Answer yes to interactive prompts (resume '
                              'reconciliation)')
@@ -284,7 +291,8 @@ def main(argv=None):
             watch_interval=args.watch_interval,
             alert_classes=args.alert_classes,
             alert_threshold=args.alert_threshold,
-            alert_command=args.alert_command)
+            alert_command=args.alert_command,
+            backend_timeout=args.backend_timeout)
 
 
 if __name__ == '__main__':

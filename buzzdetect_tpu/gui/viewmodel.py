@@ -26,7 +26,8 @@ ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
                    'devices', 'n_streamers', 'stream_buffer_depth',
                    'verbosity_print', 'verbosity_log', 'log_progress',
                    'watch', 'watch_interval',
-                   'alert_classes', 'alert_threshold', 'alert_command')
+                   'alert_classes', 'alert_threshold', 'alert_command',
+                   'backend_timeout')
 
 
 def analysis_defaults():
@@ -65,7 +66,7 @@ def field_types():
 OPTIONAL_EMPTY_FIELDS = ('dir_out', 'precision', 'n_streamers',
                          'stream_buffer_depth', 'devices',
                          'alert_classes', 'alert_threshold',
-                         'alert_command')
+                         'alert_command', 'backend_timeout')
 
 
 def coerce_field(name, raw):

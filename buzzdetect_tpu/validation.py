@@ -246,4 +246,6 @@ validate_map = {
     'alert_classes': validate_alert_classes,
     'alert_threshold': numeric_rule(kind=float, none_ok=True),
     'alert_command': validate_alert_command,
+    'backend_timeout': numeric_rule(kind=float, exclusive_min=0,
+                                    none_ok=True),
 }

@@ -172,6 +172,27 @@ def test_cli_host_shard_flag_parsing(monkeypatch, tmp_path):
             cli.main(base + ['--host_shard', bad])
 
 
+def test_cli_backend_timeout_flag(monkeypatch, tmp_path):
+    """--backend_timeout reaches analyze(); non-positive values fail at
+    the validator with a parser error, not deep inside the preflight."""
+    import buzzdetect_tpu.cli as cli
+
+    seen = {}
+    monkeypatch.setattr('buzzdetect_tpu.analysis.analyze',
+                        lambda **kw: seen.update(kw))
+    base = ['--modelname', 'model_general_v3',
+            '--dir_audio', str(tmp_path), '--dir_out', str(tmp_path / 'out')]
+    cli.main(base + ['--backend_timeout', '90'])
+    assert seen['backend_timeout'] == 90.0
+    cli.main(base)
+    assert seen['backend_timeout'] is None
+
+    import pytest as _pytest
+    for bad in ('0', '-5', 'soon'):
+        with _pytest.raises(SystemExit):
+            cli.main(base + ['--backend_timeout', bad])
+
+
 def test_cli_class_lists_accept_commas(monkeypatch, tmp_path):
     """One naming convention across surfaces: the GUI form splits class
     names on commas and/or whitespace (validation.split_names), so the

@@ -737,6 +737,35 @@ def test_analyze_single_file_unsupported_format(patched_models, tmp_path):
     assert a.coordinator.end_reason == 'unsupported input'
 
 
+def test_analyze_backend_timeout(patched_models, tmp_path, monkeypatch):
+    """analyze(backend_timeout=...) turns a dead accelerator link into a
+    fast loud error instead of a silent forever-hang at first dispatch
+    (observed: tunneled-backend outages hang even jax.devices()). With a
+    live backend the same preflight passes and the run proceeds."""
+    import time
+    from buzzdetect_tpu import utils
+    from buzzdetect_tpu.analysis import analyze
+
+    monkeypatch.setattr(utils, 'PREFLIGHT_CODE',
+                        'import time; time.sleep(999)')
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match='backend preflight failed'):
+        analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+                dir_out=str(tmp_path / 'out'), backend_timeout=2,
+                verbosity_print='ERROR')
+    assert time.time() - t0 < 60, 'preflight did not bound the hang'
+    assert not os.path.exists(tmp_path / 'out' / 'buzzdetect_manifest.json'),\
+        'a failed preflight must not start the run'
+
+    monkeypatch.undo()
+    monkeypatch.setattr(cfg, 'DIR_MODELS', patched_models['models'])
+    analyze(modelname='testmodel', dir_audio=patched_models['audio'],
+            dir_out=str(tmp_path / 'out'), backend_timeout=120,
+            verbosity_print='ERROR')
+    assert any(f.endswith(cfg.SUFFIX_RESULT_COMPLETE)
+               for f in os.listdir(tmp_path / 'out'))
+
+
 def test_doctor_survives_unreachable_backend(patched_models, monkeypatch,
                                              capsys):
     """The triage tool must DIAGNOSE a hung device backend, not inherit
