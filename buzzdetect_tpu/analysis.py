@@ -61,7 +61,13 @@ class Analyzer:
                  path_log: str = None,
                  alert_classes=None,
                  alert_threshold: float = None,
-                 alert_command: str = None):
+                 alert_command: str = None,
+                 stall_timeout: float = None):
+        if stall_timeout is not None and stall_timeout <= 0:
+            raise ValueError(
+                f'stall_timeout must be positive seconds (got '
+                f'{stall_timeout!r})')
+        self.stall_timeout = stall_timeout
         self.modelname = modelname
         # checked before the (slow) model load: a misconfigured hook should
         # fail in milliseconds, and it depends on no model state. Blank or
@@ -423,13 +429,22 @@ class Analyzer:
         self.thread_writer.start()
 
     def _launch_stall_watchdog(self):
-        """Warn when NO results land within cfg.STALL_WARNING_S of launch.
+        """Warn when NO results land within cfg.STALL_WARNING_S of launch;
+        optionally (``stall_timeout=``) STOP the run when progress halts.
 
         A dead device backend hangs the first dispatch indefinitely
         (observed: tunnel outages stall jax backend init with no error),
-        which reads as a silent mid-startup freeze. The watchdog cannot
-        distinguish a hang from a legitimately long first compile, so it
-        only WARNS — pointing at the doctor — and never kills the run.
+        which reads as a silent mid-startup freeze. The default watchdog
+        cannot distinguish a hang from a legitimately long first compile,
+        so it only WARNS — pointing at the doctor — and never kills the
+        run. With ``stall_timeout`` set, a second (opt-in) watchdog ends
+        the run loudly when NO chunk lands for that many seconds at ANY
+        point — the link can also die mid-run, where a blocked dispatch
+        is not a dead worker and fatal-death detection never fires. A
+        loud stop is safe by construction: finished chunks are already
+        checkpointed and a rerun resumes byte-identically (the SIGKILL
+        durability contract), which is exactly what an unattended
+        deployment's supervisor should do.
         """
         def watch():
             import time
@@ -446,8 +461,33 @@ class Analyzer:
                         f'this; triage with `python -m buzzdetect_tpu.'
                         f'doctor` in another shell', 'WARNING')
                     return
+
+        def watch_hard(timeout=self.stall_timeout):
+            import time
+            poll = min(5.0, max(0.05, timeout / 10))
+            last, t_last = -1.0, time.monotonic()
+            while not self.coordinator.event_exitanalysis.wait(poll):
+                done = self.coordinator.audio_seconds_done
+                if done != last:
+                    last, t_last = done, time.monotonic()
+                    continue
+                if time.monotonic() - t_last > timeout:
+                    self.coordinator.exit_analysis(ExitSignal(
+                        message=(
+                            f'device stall: no chunk completed in '
+                            f'{timeout:.0f}s — the accelerator link may '
+                            f'have died mid-run (triage with `python -m '
+                            f'buzzdetect_tpu.doctor`). Stopping; finished '
+                            f'chunks are checkpointed and a rerun resumes '
+                            f'exactly where this stopped.'),
+                        level='CRITICAL', end_reason='device stall'))
+                    return
+
         threading.Thread(target=watch, name='stall-watchdog',
                          daemon=True).start()
+        if self.stall_timeout is not None:
+            threading.Thread(target=watch_hard, name='stall-killer',
+                             daemon=True).start()
 
     # --- assignment / guard logic ---------------------------------------------
     def _check_manifest(self):
@@ -770,7 +810,8 @@ def analyze(modelname: str,
             alert_classes=None,
             alert_threshold: float = None,
             alert_command: str = None,
-            backend_timeout: float = None):
+            backend_timeout: float = None,
+            stall_timeout: float = None):
     """Analyze audio files with a buzz-detection model (kwarg-compatible with
     the reference `analyze()`, `src/analyze.py:387-404`).
 
@@ -867,6 +908,16 @@ def analyze(modelname: str,
         probe runs in a watched subprocess (utils.backend_preflight, the
         same check doctor and bench use) and costs a few seconds of
         startup, so it is opt-in.
+    stall_timeout : if set, stop the run loudly (end reason
+        ``'device stall'``, CRITICAL log) when no chunk completes for this
+        many seconds at ANY point mid-run — an accelerator link that dies
+        after startup leaves a dispatch blocked forever, which is not a
+        dead worker and so never trips fatal-death detection. Stopping is
+        safe by construction (finished chunks are checkpointed; a rerun
+        resumes byte-identically), so an unattended deployment's
+        supervisor can simply restart. Set it well above the first-compile
+        plus one-chunk wall time (>= 300 s is a sensible floor); pairs
+        with ``backend_timeout`` (startup) for full coverage.
     """
     if backend_timeout is not None:
         from buzzdetect_tpu.utils import backend_preflight
@@ -917,7 +968,8 @@ def analyze(modelname: str,
                             resample_on_device=resample_on_device,
                             alert_classes=alert_classes,
                             alert_command=alert_command,
-                            alert_threshold=alert_threshold, **extra)
+                            alert_threshold=alert_threshold,
+                            stall_timeout=stall_timeout, **extra)
         _current_pass['coordinator'] = analyzer.coordinator
         analyzer.run()
         return analyzer

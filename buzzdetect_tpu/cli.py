@@ -185,6 +185,15 @@ def build_parser():
                              'seconds, instead of hanging forever on a '
                              'dead accelerator link (opt-in; costs a few '
                              'seconds of startup)')
+    parser.add_argument('--stall_timeout', required=False, default=None,
+                        type=float,
+                        help='Stop the run (exit non-zero) if no chunk '
+                             'completes for this many seconds mid-run — '
+                             'a link that dies after startup otherwise '
+                             'hangs silently. Safe: finished chunks are '
+                             'checkpointed, a rerun resumes. Set well '
+                             'above first-compile + one-chunk time '
+                             '(>= 300 recommended)')
     parser.add_argument('--yes', action='store_true',
                         help='Answer yes to interactive prompts (resume '
                              'reconciliation)')
@@ -268,31 +277,42 @@ def main(argv=None):
             parser.error('--host_shard needs 0 <= I < N')
 
     from buzzdetect_tpu.analysis import analyze
-    analyze(modelname=modelname,
-            classes_out=classes_out,
-            precision=precision,
-            framehop_prop=framehop_prop,
-            chunklength=args.chunklength,
-            analyzers_cpu=args.analyzers_cpu,
-            analyzers_gpu=args.analyzers_gpu,
-            n_streamers=args.n_streamers,
-            stream_buffer_depth=args.stream_buffer_depth,
-            dir_audio=args.dir_audio,
-            dir_out=dir_out,
-            verbosity_print=args.verbosity_print,
-            verbosity_log=args.verbosity_log,
-            log_progress=args.log_progress,
-            compute_dtype=compute_dtype,
-            devices=devices,
-            host_shard=host_shard,
-            transfer_dtype=args.transfer_dtype,
-            resample_on_device=args.resample_on_device,
-            watch=args.watch,
-            watch_interval=args.watch_interval,
-            alert_classes=args.alert_classes,
-            alert_threshold=args.alert_threshold,
-            alert_command=args.alert_command,
-            backend_timeout=args.backend_timeout)
+    result = analyze(modelname=modelname,
+                     classes_out=classes_out,
+                     precision=precision,
+                     framehop_prop=framehop_prop,
+                     chunklength=args.chunklength,
+                     analyzers_cpu=args.analyzers_cpu,
+                     analyzers_gpu=args.analyzers_gpu,
+                     n_streamers=args.n_streamers,
+                     stream_buffer_depth=args.stream_buffer_depth,
+                     dir_audio=args.dir_audio,
+                     dir_out=dir_out,
+                     verbosity_print=args.verbosity_print,
+                     verbosity_log=args.verbosity_log,
+                     log_progress=args.log_progress,
+                     compute_dtype=compute_dtype,
+                     devices=devices,
+                     host_shard=host_shard,
+                     transfer_dtype=args.transfer_dtype,
+                     resample_on_device=args.resample_on_device,
+                     watch=args.watch,
+                     watch_interval=args.watch_interval,
+                     alert_classes=args.alert_classes,
+                     alert_threshold=args.alert_threshold,
+                     alert_command=args.alert_command,
+                     backend_timeout=args.backend_timeout,
+                     stall_timeout=args.stall_timeout)
+
+    # scripting contract: abnormal endings (fatal worker failure, device
+    # stall, manifest mismatch, interrupts) must not exit 0 — field
+    # supervisors and `buzzdetect ... && next_step` pipelines key off the
+    # exit code. The healthy set matches the watch loop's.
+    reason = getattr(getattr(result, 'coordinator', None), 'end_reason',
+                     None)
+    if reason not in (None, 'completed', 'fully analyzed', 'no files'):
+        print(f'analysis ended abnormally: {reason}', file=sys.stderr)
+        sys.exit(130 if reason == 'interrupted' else 1)
 
 
 if __name__ == '__main__':

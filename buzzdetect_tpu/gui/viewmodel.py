@@ -27,7 +27,7 @@ ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
                    'verbosity_print', 'verbosity_log', 'log_progress',
                    'watch', 'watch_interval',
                    'alert_classes', 'alert_threshold', 'alert_command',
-                   'backend_timeout')
+                   'backend_timeout', 'stall_timeout')
 
 
 def analysis_defaults():
@@ -66,7 +66,8 @@ def field_types():
 OPTIONAL_EMPTY_FIELDS = ('dir_out', 'precision', 'n_streamers',
                          'stream_buffer_depth', 'devices',
                          'alert_classes', 'alert_threshold',
-                         'alert_command', 'backend_timeout')
+                         'alert_command', 'backend_timeout',
+                         'stall_timeout')
 
 
 def coerce_field(name, raw):

@@ -248,4 +248,6 @@ validate_map = {
     'alert_command': validate_alert_command,
     'backend_timeout': numeric_rule(kind=float, exclusive_min=0,
                                     none_ok=True),
+    'stall_timeout': numeric_rule(kind=float, exclusive_min=0,
+                                  none_ok=True),
 }

@@ -193,6 +193,38 @@ def test_cli_backend_timeout_flag(monkeypatch, tmp_path):
             cli.main(base + ['--backend_timeout', bad])
 
 
+def test_cli_exit_code_reflects_end_reason(monkeypatch, tmp_path, capsys):
+    """Abnormal endings (fatal worker failure, device stall, interrupt)
+    must not exit 0 — supervisors and `buzzdetect ... && next` pipelines
+    key off the exit code."""
+    import pytest as _pytest
+    import buzzdetect_tpu.cli as cli
+
+    class _Result:
+        def __init__(self, reason):
+            class _C:
+                end_reason = reason
+            self.coordinator = _C()
+
+    base = ['--modelname', 'model_general_v3',
+            '--dir_audio', str(tmp_path), '--dir_out', str(tmp_path / 'out')]
+
+    def run_with(reason):
+        monkeypatch.setattr('buzzdetect_tpu.analysis.analyze',
+                            lambda **kw: _Result(reason))
+        return cli.main(base)
+
+    for healthy in ('completed', 'fully analyzed', 'no files'):
+        run_with(healthy)  # returns, no SystemExit
+
+    for reason, code in (('analyzer failure', 1), ('device stall', 1),
+                         ('manifest mismatch', 1), ('interrupted', 130)):
+        with _pytest.raises(SystemExit) as e:
+            run_with(reason)
+        assert e.value.code == code
+        assert reason in capsys.readouterr().err
+
+
 def test_cli_class_lists_accept_commas(monkeypatch, tmp_path):
     """One naming convention across surfaces: the GUI form splits class
     names on commas and/or whitespace (validation.split_names), so the

@@ -524,7 +524,7 @@ def test_stall_watchdog_warns_then_stands_down(monkeypatch):
     monkeypatch.setattr(cfg, 'STALL_WARNING_S', 0.2)
 
     class Stub:
-        pass
+        stall_timeout = None  # the hard watchdog is opt-in
 
     # stalled: warns once
     stub = Stub()
@@ -548,3 +548,77 @@ def test_stall_watchdog_warns_then_stands_down(monkeypatch):
     stub3.coordinator.event_exitanalysis.set()
     Analyzer._launch_stall_watchdog(stub3)
     assert drain(stub3.coordinator, seconds=0.6) == []
+
+
+def test_stall_timeout_stops_hung_device_mid_run(tmp_path):
+    """A dispatch that hangs AFTER progress was made is not a dead worker
+    (fatal-death detection never fires) — analyze(stall_timeout=) must end
+    the run loudly with checkpoints intact, and a rerun must finish the
+    file from exactly where the stall cut it off."""
+    import numpy as np
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.analysis import Analyzer
+    from buzzdetect_tpu.runtime.coordination import Coordinator
+    from tests.audio_fixtures import make_tone, write_wav
+
+    class Emb:
+        framelength_s = 0.96
+        digits_time = 2
+        samplerate = 16000
+        framehop_s = 0.96
+        framehop_prop = 1.0
+
+    class HangingModel:
+        """Scores one chunk, then blocks forever (a dead link mid-run)."""
+        embedder = Emb()
+        config = {'classes': ['ins_buzz', 'x']}
+
+        def __init__(self, hang_after=1):
+            self.calls = 0
+            self.hang_after = hang_after
+            self.hang = threading.Event()
+
+        def initialize(self):
+            pass
+
+        def predict(self, samples):
+            self.calls += 1
+            if self.hang_after is not None and self.calls > self.hang_after:
+                self.hang.wait()  # never set: the blocked-dispatch hang
+            n = max(1, int(len(samples) / (0.96 * 16000)))
+            return np.full((n, 2), 0.5, np.float32)
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(6.0, 16000), 16000)
+    dir_out = tmp_path / 'out'
+
+    coord = Coordinator(streamers_total=1, depth=1, analyzers_cpu=1)
+    an = Analyzer(modelname='hangmodel', model=HangingModel(),
+                  dir_audio=str(dir_audio), dir_out=str(dir_out),
+                  chunklength=1.0, coordinator=coord,
+                  verbosity_print='CRITICAL', stall_timeout=2.0)
+    t = threading.Thread(target=an.run, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), 'stall_timeout did not bound the hang'
+    assert coord.end_reason == 'device stall'
+    # the chunk that completed before the stall is checkpointed
+    partial = dir_out / ('rec' + cfg.SUFFIX_RESULT_PARTIAL)
+    assert partial.exists(), 'no checkpoint from the pre-stall chunk'
+
+    # rerun with a healthy link: resumes the hole and completes
+    coord2 = Coordinator(streamers_total=1, depth=1, analyzers_cpu=1)
+    an2 = Analyzer(modelname='hangmodel', model=HangingModel(hang_after=None),
+                   dir_audio=str(dir_audio), dir_out=str(dir_out),
+                   chunklength=1.0, coordinator=coord2,
+                   verbosity_print='CRITICAL', stall_timeout=30.0)
+    t2 = threading.Thread(target=an2.run, daemon=True)
+    t2.start()
+    t2.join(timeout=60)
+    assert not t2.is_alive()
+    assert coord2.end_reason == 'completed'
+    final = dir_out / ('rec' + cfg.SUFFIX_RESULT_COMPLETE)
+    assert final.exists() and not partial.exists()
+    rows = final.read_text().strip().splitlines()
+    assert len(rows) - 1 >= 6, f'resume left holes: {rows}'
