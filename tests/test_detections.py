@@ -408,3 +408,19 @@ def test_classes_out_rejects_empty_list():
     assert not validate_classes_out([]).valid
     assert not validate_alert_classes([]).valid
     assert validate_classes_out(['ins_buzz']).valid
+
+
+def test_call_detections_cli_rejects_ambiguous_threshold(tmp_path):
+    """The tool mirrors the library's 'exactly one of threshold/precision'
+    contract as a parser error (was a raw ValueError traceback)."""
+    import subprocess
+    import sys
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'call_detections.py')
+    for extra in ([], ['--threshold', '-1', '--precision', '0.9']):
+        proc = subprocess.run(
+            [sys.executable, tool, '--dir_results', str(tmp_path)] + extra,
+            capture_output=True, text=True, timeout=120)
+        assert proc.returncode == 2, proc.stderr  # argparse error exit
+        assert 'exactly one of' in proc.stderr
+        assert 'Traceback' not in proc.stderr

@@ -61,6 +61,9 @@ def main():
                          'view the detector heard; 0 keeps the '
                          'recording\'s native rate (clips only)')
     args = ap.parse_args()
+    if (args.threshold is None) == (args.precision is None):
+        # mirror the library's contract as a parser error, not a traceback
+        ap.error('pass exactly one of --threshold or --precision')
     if args.format != 'csv' and args.out is None:
         ap.error(f'--format {args.format} requires --out')
     if args.format == 'clips' and args.dir_audio is None:
