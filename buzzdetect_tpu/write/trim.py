@@ -3,8 +3,10 @@
 trim to classes of interest, coarsen rounding, store compressed — ~29:1).
 
 Trimmed files are ``<ident>_buzztrim.npz``: a compressed archive holding the
-start-time grid (reconstructed from offset+hop when uniform) and one
-small-integer array per kept class (activations quantized to ``decimals``).
+start-time grid as exact scaled integers (the CSV column is rounded to
+``digits_time`` decimals, so the integer form is lossless at any recording
+length) and one small-integer array per kept class (activations quantized
+to ``decimals``).
 """
 
 import os
@@ -50,19 +52,43 @@ def trim_results(path_csv: str, classes_keep=('ins_buzz',), decimals: int = 1):
         else:
             cols[name] = q.astype(np.int32)
 
-    out = {'starts': starts.astype(np.float32), 'decimals': np.int16(decimals)}
+    # The CSV start column is rounded to the embedder's digits_time, so
+    # every start is an EXACT scaled integer — store it that way. This is
+    # precision-exact at any recording length (a float32 grid drifts past
+    # the 2-decimal rounding half-step beyond ~36 h — the same failure
+    # class fixed in train/embed_corpus) and small integers also compress
+    # far better than floats.
+    time_decimals = 0
+    for r in rows:
+        cell = r[start_idx]
+        if '.' in cell:
+            time_decimals = max(time_decimals,
+                                len(cell.split('.', 1)[1].rstrip('0')))
+    scaled = np.round(starts * (10 ** time_decimals)).astype(np.int64)
+    out = {'starts_scaled': scaled,
+           'time_decimals': np.int16(time_decimals),
+           'decimals': np.int16(decimals)}
     out.update(cols)
     return out
 
 
 def read_trimmed(path_npz: str):
     """Trimmed archive -> (starts, {column: float activations})."""
+    meta = ('starts', 'starts_scaled', 'time_decimals', 'decimals')
     with np.load(path_npz) as z:
         decimals = int(z['decimals'])
-        starts = z['starts'].astype(np.float64)
+        if 'starts_scaled' in z.files:
+            # divide by the integer power rather than multiplying by its
+            # inverse: IEEE division is correctly rounded, so the result
+            # is bit-identical to float(csv_cell); the multiply double-
+            # rounds (14000480 * 0.01 = 140004.80000000002)
+            starts = (z['starts_scaled'].astype(np.float64)
+                      / float(10 ** int(z['time_decimals'])))
+        else:  # archives written before the exact-integer grid
+            starts = z['starts'].astype(np.float64)
         scale = 10.0 ** -decimals
         cols = {k: z[k].astype(np.float64) * scale
-                for k in z.files if k not in ('starts', 'decimals')}
+                for k in z.files if k not in meta}
     return starts, cols
 
 

@@ -111,6 +111,68 @@ def test_trim_directory_roundtrip(tmp_path):
                                atol=0.051)
 
 
+def test_trim_start_grid_exact_past_36h(tmp_path):
+    """Archived start times must round-trip EXACTLY at any recording
+    length: a float32 grid drifts past the 2-decimal rounding half-step
+    beyond ~36 h (t > 131072 s), so starts are stored as scaled integers
+    of the CSV's rounded column. Old float32 archives still read."""
+    from buzzdetect_tpu.write.trim import (trim_directory, read_trimmed,
+                                           SUFFIX_TRIMMED)
+    d = tmp_path / 'results'
+    d.mkdir()
+    # a 40 h recording's tail: starts far past the float32-exact range
+    starts = [round(140000.0 + k * 0.96, 2) for k in range(50)]
+    with open(d / 'long_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz\n')
+        for s in starts:
+            f.write(f'{s},-1.23\n')
+    trim_directory(str(d), classes_keep=('ins_buzz',), decimals=1)
+    got, _cols = read_trimmed(str(d / ('long' + SUFFIX_TRIMMED)))
+    assert got.tolist() == starts, 'start grid not exact past 36 h'
+    assert float(np.float32(starts[1])) != starts[1], \
+        'fixture no longer exercises the float32-inexact range'
+
+    # pre-scaled-grid archives (starts stored float32) still read
+    np.savez_compressed(d / ('old' + SUFFIX_TRIMMED),
+                        starts=np.array([0.0, 0.96], np.float32),
+                        decimals=np.int16(1),
+                        activation_ins_buzz=np.array([-12, -10], np.int16))
+    got_old, cols_old = read_trimmed(str(d / ('old' + SUFFIX_TRIMMED)))
+    np.testing.assert_allclose(got_old, [0.0, 0.96], atol=1e-6)
+    np.testing.assert_allclose(cols_old['activation_ins_buzz'],
+                               [-1.2, -1.0], atol=1e-9)
+
+
+def test_trim_results_cli(tmp_path):
+    """The trim tool compacts a directory from the command line and is
+    honest about expansion on tiny files."""
+    import subprocess
+    import sys as _sys
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'trim_results.py')
+    d = tmp_path / 'results'
+    d.mkdir()
+    with open(d / 'big_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz,activation_human\n')
+        for k in range(3000):
+            f.write(f'{round(k * 0.96, 2)},-1.23,-0.5\n')
+    proc = subprocess.run(
+        [_sys.executable, tool, '--dir_results', str(d),
+         '--remove_original'],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    assert 'trimmed 1 file(s)' in proc.stdout
+    assert 'EXPANDED' not in proc.stdout  # 3000 rows compress well
+    assert not (d / 'big_buzzdetect.csv').exists()
+    assert (d / 'big_buzztrim.npz').exists()
+
+    # empty directory: loud error, not a silent 0-file success
+    proc = subprocess.run(
+        [_sys.executable, tool, '--dir_results', str(tmp_path / 'nope')],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode != 0 and 'no finalized' in proc.stderr
+
+
 def test_embed_directory_roundtrip(tmp_path, monkeypatch):
     """Corpus embedding extraction: correct frame grid, resumable skips."""
     from buzzdetect_tpu import config as cfg
