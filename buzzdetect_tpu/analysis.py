@@ -384,13 +384,18 @@ class Analyzer:
             level_str='INFO'))
 
     def _launch_streamers(self):
+        from buzzdetect_tpu.write.formatting import result_header
+        header = result_header(self.model.config['classes'],
+                               classes_keep=self.classes_out,
+                               threshold=self.threshold)
         for s in range(self.coordinator.streamers_total):
             t = threading.Thread(
                 target=run_worker, name=f'streamer_{s}', daemon=True,
                 kwargs=dict(workerclass=WorkerStreamer, id_streamer=s,
                             model=self.model, chunklength=self.chunklength,
                             coordinator=self.coordinator,
-                            resample_on_device=self.resample_on_device))
+                            resample_on_device=self.resample_on_device,
+                            result_header=header))
             self.threads_streamers.append(t)
             t.start()
 

@@ -18,7 +18,7 @@ from buzzdetect_tpu import config as cfg
 from buzzdetect_tpu.audio import build_track, get_duration
 from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignFile, AssignLog
 from buzzdetect_tpu.utils import encode_wire
-from buzzdetect_tpu.write.coverage import (coverage_from_csv, get_gaps,
+from buzzdetect_tpu.write.coverage import (coverage_from_rows, get_gaps,
                                            smooth_gaps, gaps_to_chunklist,
                                            read_result_rows,
                                            quarantine_partial)
@@ -26,11 +26,18 @@ from buzzdetect_tpu.write.coverage import (coverage_from_csv, get_gaps,
 
 class WorkerStreamer:
     def __init__(self, id_streamer, model, chunklength, coordinator,
-                 resample_on_device=False):
+                 resample_on_device=False, result_header=None):
         self.id_streamer = id_streamer
         self.model = model
         self.coordinator = coordinator
         self.chunklength = chunklength
+        # the exact header line this run's writer produces
+        # (write/formatting.result_header). A partial under a DIFFERENT
+        # header must not count as resume coverage: the writer quarantines
+        # it on first append, so rows counted here would finalize a
+        # complete file permanently missing those spans. None (tests,
+        # direct construction) skips the pin.
+        self.result_header = result_header
         self.framelength_s = model.embedder.framelength_s
         self.resample_rate = model.embedder.samplerate
         # with on-device resampling the decoder keeps the file's native rate
@@ -86,20 +93,40 @@ class WorkerStreamer:
         if not os.path.exists(a_file.path_results_partial):
             gaps = [(0.0, a_file.duration_audio)]
         else:
+            # ONE parse serves the schema pin, the coverage math, and the
+            # debris-vs-finished distinction below
+            header, rows, torn = read_result_rows(
+                a_file.path_results_partial)
+            if (self.result_header is not None and header is not None
+                    and ','.join(header) != self.result_header):
+                # schema pin: this partial was written under different
+                # settings (mode/classes — possible when the manifest was
+                # lost). Its rows must NOT count as coverage: the writer
+                # quarantines such a partial on first append, so counting
+                # them here would finalize a complete file permanently
+                # missing the quarantined spans.
+                path_corrupt = quarantine_partial(
+                    a_file.path_results_partial)
+                self.log(f'{a_file.shortpath_audio}: partial result was '
+                         f'written under a different output schema '
+                         f'(header mismatch); quarantined to '
+                         f'{os.path.basename(path_corrupt)} and analyzing '
+                         f'from scratch', 'WARNING')
+                a_file.chunklist = gaps_to_chunklist(
+                    [(0.0, a_file.duration_audio)], self.chunklength)
+                return
             # framehop-aware: at sparse hops (> framelength) a row attests
             # its whole stride, and torn rows force their frame's re-analysis
-            coverage = coverage_from_csv(a_file.path_results_partial,
-                                         self.framelength_s,
-                                         framehop=self.model.embedder
-                                         .framehop_s)
+            coverage = coverage_from_rows(header, rows, torn,
+                                          self.framelength_s,
+                                          framehop=self.model.embedder
+                                          .framehop_s)
             a_file.has_results = bool(coverage)
             gaps = get_gaps((0, a_file.duration_audio), coverage)
             gaps = smooth_gaps(gaps, (0, a_file.duration_audio),
                                framelength=self.framelength_s,
                                gap_tolerance=self.framelength_s / 4)
             if not gaps:
-                header, rows, _torn = read_result_rows(
-                    a_file.path_results_partial)
                 if header is None or not rows:
                     # the partial attests NOTHING (0-byte, or a torn header
                     # whose rows all column-mismatch — SIGKILL debris from

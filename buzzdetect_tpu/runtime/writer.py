@@ -42,6 +42,12 @@ def finalize_partial(path_partial: str, path_complete: str):
         w = csv.writer(f)
         w.writerow(header)
         w.writerows(rows)
+        # fsync BEFORE the rename: without it a power loss inside the
+        # writeback window can persist the directory entry but not the
+        # data (ext4 writeback / XFS / btrfs), leaving the truncated
+        # complete file this function's atomicity exists to prevent
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(path_tmp, path_complete)
     os.remove(path_partial)
 

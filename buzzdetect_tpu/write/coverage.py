@@ -216,6 +216,16 @@ def coverage_from_csv(path: str, framelength: float,
     would re-analyze an already-sampled sparse run frame by frame.
     """
     header, rows, torn_starts = read_result_rows(path)
+    return coverage_from_rows(header, rows, torn_starts, framelength,
+                              framehop)
+
+
+def coverage_from_rows(header, rows, torn_starts, framelength: float,
+                       framehop: float = None):
+    """``coverage_from_csv`` on an already-parsed ``read_result_rows``
+    triple — callers that also need the rows themselves (the streamer's
+    resume path distinguishes debris from finished-but-unfinalized) parse
+    the partial once instead of three times."""
     if header is None or not rows:
         return []
     idx = header.index('start')

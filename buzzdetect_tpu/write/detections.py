@@ -164,8 +164,13 @@ def call_detections_directory(dir_results, *, threshold=None,
             per_class = call_detections_file(
                 paths[ident], thr, classes=classes,
                 framelength_s=framelength_s, merge_gap_s=merge_gap_s)
-        except (KeyError, ValueError) as e:
-            reason = str(e)
+        except Exception as e:
+            # broad by contract: one bad archive (schema KeyError, parse
+            # ValueError, but ALSO a truncated npz raising
+            # zipfile.BadZipFile or a permission OSError) must not abort a
+            # corpus-scale batch with zero events written for the healthy
+            # files
+            reason = f'{type(e).__name__}: {e}'
             if on_skip is not None:
                 on_skip(paths[ident], reason)
             else:
@@ -356,6 +361,22 @@ def write_event_clips(rows, dir_audio, dir_out, pad_s: float = 1.0,
                             block = quantize_s16(block)
                         w.writeframes(block.tobytes())
                         remaining -= len(block)
+                if remaining == n:
+                    # zero frames decoded: the event lies past the real
+                    # audio end (a result file from a since-truncated copy
+                    # of a no-duration-header container, where t1 is never
+                    # clamped). A 44-byte silent WAV reported as written
+                    # would read as a successful export to the reviewer —
+                    # remove it and skip loudly instead.
+                    os.remove(path)
+                    path = None
+                    if on_skip is not None:
+                        on_skip(ident,
+                                f"event {r['class']} "
+                                f"{r['start']:.2f}-{r['end']:.2f}s lies "
+                                f"past the end of {path_audio}; no audio "
+                                f"decoded")
+                    continue
                 written.append(path)
         except Exception as e:
             # a recording that OPENED but fails mid-export (truncated copy:

@@ -79,6 +79,25 @@ def format_activations(results, classes, framehop_s, digits_time, time_start=0.0
     return ResultTable(columns, start, results)
 
 
+def result_header(classes, classes_keep='all', threshold=None) -> str:
+    """The exact header line this run's writer will produce.
+
+    The schema pin for resume readers: a partial whose header differs was
+    written under different settings (mode/classes), so its rows must NOT
+    count as coverage — the writer quarantines such a partial on first
+    append, and a streamer that had already counted its rows would then
+    finalize a complete file missing those spans forever.
+    """
+    empty = np.zeros((0, len(classes)))
+    if threshold is None:
+        table = format_activations(empty, classes, framehop_s=0.0,
+                                   digits_time=2, classes_keep=classes_keep)
+    else:
+        table = format_detections(empty, threshold, classes, framehop_s=0.0,
+                                  digits_time=2)
+    return table.header()
+
+
 def format_detections(results, threshold, classes, framehop_s, digits_time,
                       time_start=0.0) -> ResultTable:
     """Binary buzz detections: ``ins_buzz`` activation > threshold."""

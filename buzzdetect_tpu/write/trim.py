@@ -44,6 +44,14 @@ def trim_results(path_csv: str, classes_keep=('ins_buzz',), decimals: int = 1):
         if classes_keep != 'all' and cls not in classes_keep:
             continue
         vals = np.array([float(r[j]) for r in rows], np.float64)
+        if not np.isfinite(vals).all():
+            # int casts of NaN/inf are undefined (x86 yields INT_MIN, which
+            # read_trimmed would report as -2e8) — refuse rather than
+            # archive garbage and let remove_original delete the truth
+            bad = int(np.flatnonzero(~np.isfinite(vals))[0])
+            raise ValueError(
+                f'{path_csv} column {name} row {bad} holds a non-finite '
+                f'activation ({vals[bad]!r}); refusing to quantize it')
         # quantize to a small-int grid: int16 of round(v * 10^decimals);
         # header-only CSVs quantize to an empty int16 column
         q = np.round(vals * (10 ** decimals))
@@ -112,10 +120,15 @@ def read_results(path_csv: str):
 
 
 def trim_directory(dir_results: str, classes_keep=('ins_buzz',),
-                   decimals: int = 1, remove_original: bool = False):
+                   decimals: int = 1, remove_original: bool = False,
+                   on_skip=None):
     """Compact every finalized result CSV under ``dir_results``.
 
-    Returns (n_files, bytes_before, bytes_after).
+    Returns (n_files, bytes_before, bytes_after). One bad CSV (no header,
+    non-finite values) must not abort a season-scale batch: it is skipped,
+    reported through ``on_skip(path, why)``, and its original is NEVER
+    removed. Archives write via temp + rename so a crash mid-write cannot
+    leave a truncated npz that later aborts detection calling.
     """
     n, before, after = 0, 0, 0
     for root, _dirs, files in os.walk(dir_results):
@@ -125,8 +138,15 @@ def trim_directory(dir_results: str, classes_keep=('ins_buzz',),
             path_csv = os.path.join(root, fname)
             path_out = path_csv[:-len(cfg.SUFFIX_RESULT_COMPLETE)] \
                 + SUFFIX_TRIMMED
-            arrays = trim_results(path_csv, classes_keep, decimals)
-            np.savez_compressed(path_out, **arrays)
+            try:
+                arrays = trim_results(path_csv, classes_keep, decimals)
+                path_tmp = path_out + '.tmp.npz'  # savez appends .npz
+                np.savez_compressed(path_tmp, **arrays)
+                os.replace(path_tmp, path_out)
+            except Exception as e:
+                if on_skip is not None:
+                    on_skip(path_csv, str(e))
+                continue
             n += 1
             before += os.path.getsize(path_csv)
             after += os.path.getsize(path_out)

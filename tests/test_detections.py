@@ -424,3 +424,59 @@ def test_call_detections_cli_rejects_ambiguous_threshold(tmp_path):
         assert proc.returncode == 2, proc.stderr  # argparse error exit
         assert 'exactly one of' in proc.stderr
         assert 'Traceback' not in proc.stderr
+
+
+def test_call_detections_directory_survives_corrupt_archive(tmp_path):
+    """One truncated trimmed archive (crash mid-copy between field
+    machines) must be skipped+reported, not abort the whole batch with
+    zipfile.BadZipFile — the healthy files' events must still land."""
+    d = tmp_path / 'res'
+    d.mkdir()
+    _write_result(str(d / 'good_buzzdetect.csv'),
+                  [0.0, 0.96, 1.92], [1.5, 1.5, -3.0])
+    (d / 'bad_buzztrim.npz').write_bytes(b'PK\x03\x04 truncated garbage')
+    skipped = []
+    rows = call_detections_directory(
+        str(d), threshold=0.0,
+        on_skip=lambda p, why: skipped.append((p, why)))
+    assert [r['ident'] for r in rows] == ['good']
+    assert len(skipped) == 1 and 'bad_buzztrim.npz' in skipped[0][0]
+
+
+def test_event_clips_skip_past_eof_event(tmp_path, monkeypatch):
+    """An event past the real audio end of a no-duration-header container
+    must be skipped loudly, not exported as a silent zero-frame WAV the
+    reviewer would mistake for a successful clip."""
+    import buzzdetect_tpu.audio as audio_mod
+    from buzzdetect_tpu.write.detections import write_event_clips
+
+    class StubTrack:
+        samplerate = 16000
+        frames = -1  # container reports no duration
+
+        def seek(self, i):
+            pass
+
+        def read(self, n, dtype=None):
+            return np.zeros(0, np.int16)  # nothing decodes: past EOF
+
+        def close(self):
+            pass
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    (dir_audio / 'rec.aac').write_bytes(b'\xff\xf1' + b'\0' * 64)
+    monkeypatch.setattr(audio_mod, 'build_track',
+                        lambda *a, **k: StubTrack())
+    skipped = []
+    written = write_event_clips(
+        [{'ident': 'rec', 'class': 'ins_buzz',
+          'start': 100.0, 'end': 101.0}],
+        str(dir_audio), str(tmp_path / 'clips'),
+        on_skip=lambda i, why: skipped.append((i, why)))
+    assert written == []
+    assert skipped and 'past the end' in skipped[0][1]
+    clips = tmp_path / 'clips'
+    leftover = ([f for f in os.listdir(clips) if f.endswith('.wav')]
+                if clips.exists() else [])
+    assert not leftover, f'zero-frame clip left behind: {leftover}'

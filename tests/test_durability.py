@@ -480,3 +480,41 @@ def test_subframe_file_with_unusable_partial_self_heals(patched_models,
     assert len(lines) == 2  # one real analyzed frame (padded sub-frame file)
     assert os.path.exists(partial + '.corrupt')
     assert not os.path.exists(partial)
+
+
+def test_foreign_schema_partial_never_counts_as_coverage(patched_models,
+                                                         tmp_path):
+    """A partial written under a DIFFERENT output schema (possible when
+    the manifest was lost and the settings changed) must be quarantined
+    BEFORE its rows count as resume coverage. Counting them used to be a
+    silent data-loss path: the streamer scheduled only the gaps, the
+    writer quarantined the mismatched partial on first append, and the
+    file finalized as a complete result permanently missing the
+    quarantined spans."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.write.coverage import read_result_rows
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(6.0, 16000), 16000)
+    dir_out = tmp_path / 'out'
+    dir_out.mkdir()
+    # a detections-mode partial covering the first 4 frames; this run is
+    # ACTIVATIONS mode, and no manifest exists to block the mismatch
+    _write_csv(dir_out / ('rec' + cfg.SUFFIX_RESULT_PARTIAL),
+               ['start,detections_ins_buzz'] +
+               [f'{round(k * 0.96, 2)},1' for k in range(4)])
+
+    analyze(modelname='durmodel', dir_audio=str(dir_audio),
+            dir_out=str(dir_out), verbosity_print='ERROR')
+
+    header, rows, _ = read_result_rows(
+        str(dir_out / ('rec' + cfg.SUFFIX_RESULT_COMPLETE)))
+    assert header[1].startswith('activation_'), 'wrong schema finalized'
+    starts = sorted(float(r[0]) for r in rows)
+    # FULL coverage: every frame re-analyzed under the new schema (7
+    # frames for 6 s — the final partial window scores zero padding)
+    assert starts == [round(k * 0.96, 2) for k in range(7)], \
+        f'foreign-schema rows leaked into coverage: {starts}'
+    corrupt = [f for f in os.listdir(dir_out) if f.endswith('.corrupt')]
+    assert corrupt, 'mismatched partial was not quarantined'

@@ -781,3 +781,28 @@ def test_train_checkpoint_ahead_of_requested_epochs_trains_fresh(tmp_path):
     assert losses == gold_losses  # 1 epoch of losses, not 3
     for k in gold_raw:
         np.testing.assert_array_equal(raw[k], gold_raw[k], err_msg=k)
+
+
+def test_trim_skips_nonfinite_and_keeps_original(tmp_path):
+    """A CSV holding a NaN/inf activation must be skipped+reported, never
+    quantized (int casts of NaN are undefined — x86 yields INT_MIN, which
+    would read back as -2e8) — and its original must survive even with
+    remove_original=True."""
+    from buzzdetect_tpu.write.trim import trim_directory
+    d = tmp_path / 'res'
+    d.mkdir()
+    with open(d / 'ok_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz\n0.0,-1.2\n0.96,-1.0\n')
+    with open(d / 'bad_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz\n0.0,nan\n0.96,-1.0\n')
+    skipped = []
+    n, _before, _after = trim_directory(
+        str(d), classes_keep=('ins_buzz',), remove_original=True,
+        on_skip=lambda p, why: skipped.append((p, why)))
+    assert n == 1
+    assert len(skipped) == 1 and 'non-finite' in skipped[0][1]
+    assert (d / 'bad_buzzdetect.csv').exists(), \
+        'remove_original deleted the un-archived truth'
+    assert not (d / 'ok_buzzdetect.csv').exists()
+    assert (d / 'ok_buzztrim.npz').exists()
+    assert not (d / 'bad_buzztrim.npz').exists()

@@ -44,10 +44,11 @@ def main():
 
     from buzzdetect_tpu.write.trim import trim_directory
     classes = 'all' if args.classes == ['all'] else tuple(args.classes)
-    n, before, after = trim_directory(args.dir_results,
-                                      classes_keep=classes,
-                                      decimals=args.decimals,
-                                      remove_original=args.remove_original)
+    n, before, after = trim_directory(
+        args.dir_results, classes_keep=classes, decimals=args.decimals,
+        remove_original=args.remove_original,
+        on_skip=lambda path, why: print(f'skipping {path}: {why}',
+                                        file=sys.stderr))
     if not n:
         sys.exit(f'error: no finalized *_buzzdetect.csv under '
                  f'{args.dir_results}')
