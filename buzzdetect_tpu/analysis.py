@@ -243,8 +243,13 @@ class Analyzer:
         # fail fast on typos and bare strings (iterated per-character!): a
         # bad class would otherwise burn the whole run and fail per-chunk
         # inside the writer — same contract as _setup_threshold
+        if classes_out is not None and not isinstance(classes_out, str):
+            # materialize ONCE up front: a generator/map/filter input would
+            # be exhausted by the emptiness check below and then silently
+            # yield an empty classes_out — zero-column result files
+            classes_out = list(classes_out)
         if classes_out is None or isinstance(classes_out, str) \
-                or not list(classes_out):
+                or not classes_out:
             # an empty list passes the membership check vacuously and would
             # archive result files with zero activation columns
             raise ValueError(
@@ -285,6 +290,11 @@ class Analyzer:
             return None
         if isinstance(alert_classes, str):
             alert_classes = [alert_classes]
+        # materialize ONCE: a generator input would survive the emptiness
+        # check (generators are truthy) and then exhaust during the typo
+        # scan, yielding an empty alert tuple — alerts silently disabled
+        # in a feature built for unattended monitoring
+        alert_classes = list(alert_classes)
         if not alert_classes:
             raise ValueError(
                 'alert_classes is empty — pass at least one class name, '
@@ -327,7 +337,7 @@ class Analyzer:
                 f'alerts and d_ rows will disagree by design (omit '
                 f'alert_threshold to alert exactly on the archived '
                 f'detections)', stacklevel=5)
-        return (list(alert_classes),
+        return (alert_classes,
                 [classes.index(c) for c in alert_classes], float(thr),
                 self.model.embedder.framelength_s)
 
@@ -342,7 +352,7 @@ class Analyzer:
             self.dir_out,
             f"{self.timer_total.time_start.strftime('%Y-%m-%d_%H%M%S')}"
             f"{host_tag}.log")
-        os.makedirs(os.path.dirname(self.path_log), exist_ok=True)
+        os.makedirs(os.path.dirname(self.path_log) or '.', exist_ok=True)
         self.thread_logger = threading.Thread(
             target=run_worker, name='logger', daemon=True,
             kwargs=dict(workerclass=WorkerLogger, path_log=self.path_log,
@@ -694,14 +704,29 @@ class Analyzer:
     @staticmethod
     def _demote_to_partial(a, framelength):
         """Turn a finalized result back into a partial, dropping rows whose
-        window starts within one patch window of the last covered start —
-        those may have scored zero padding past the audio's then-EOF."""
+        analysis window may have scored zero padding past the audio's
+        then-EOF.
+
+        The margin is one patch window PLUS the STFT window-completion
+        tail (window - hop, 15 ms for YAMNet's 25 ms/10 ms): a patch
+        starting at t consumes audio through t + framelength + tail, so a
+        row up to that much before the old EOF can carry a padded final
+        STFT frame. Dropping a row costs nothing but its re-scoring — the
+        demoted gap re-analyzes it against the real audio — while keeping
+        one bakes the padded score into every later resume, diverging
+        from what a fresh non-watch run would produce.
+        """
+        # 6.25% of a patch window in the default geometry; computed from
+        # the frame grid rather than frontend constants so plugin
+        # embedders with different DSP stay safe (their tail is unknown,
+        # but it is bounded by one spectrogram hop of the patch grid)
+        tail = framelength / 16
         with open(a.path_results_complete) as f:
             lines = f.read().splitlines()
         header, rows = lines[0], lines[1:]
         starts = [float(r.split(',', 1)[0]) for r in rows]
         if starts:
-            cutoff = max(starts) - framelength + 1e-9
+            cutoff = max(starts) - framelength - tail + 1e-9
             rows = [r for r, s in zip(rows, starts) if s < cutoff]
         with open(a.path_results_partial, 'w') as f:
             f.write('\n'.join([header] + rows) + '\n')

@@ -35,14 +35,23 @@ def embed_file(classifier, path_audio: str, chunklength: float = 200.0):
         all_emb, all_starts = [], []
         for t0, t1 in chunks:
             rate = track.samplerate
-            track.seek(int(t0 * rate))
-            samples = track.read(int((t1 - t0) * rate))
+            sample_from = int(t0 * rate)
+            # int(t1*rate) - int(t0*rate), NOT int((t1-t0)*rate): the
+            # pipeline streamer computes chunk sample spans this way
+            # (runtime/streamer.py queue_chunk), and the two disagree by
+            # one sample on non-frame-aligned boundaries — the final patch
+            # would embed one zero-padded sample where analyze() saw real
+            # audio, breaking score_embeddings' byte-parity contract on
+            # any recording longer than one chunk
+            read_size = int(t1 * rate) - sample_from
+            track.seek(sample_from)
+            samples = track.read(read_size)
             if len(samples) == 0:
                 break
             emb = classifier.embed(samples)
             all_emb.append(emb)
             all_starts.append(t0 + np.arange(len(emb)) * framehop_s)
-            if len(samples) < int((t1 - t0) * rate):
+            if len(samples) < read_size:
                 break  # truncated audio
         if not all_emb:
             return np.zeros(0), np.zeros((0, 1024), np.float32)

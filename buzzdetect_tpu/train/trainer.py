@@ -95,6 +95,7 @@ def train_head(embeddings, labels, n_classes=None, *, epochs=10,
     losses = []
     n = len(embeddings)
     batch_size = min(batch_size, n)
+    steps_per_epoch = -(-n // batch_size)
     for epoch in range(epochs):
         order = rng.permutation(n)
         for i in range(0, n, batch_size):
@@ -109,6 +110,9 @@ def train_head(embeddings, labels, n_classes=None, *, epochs=10,
             params, opt_state, loss = step(params, opt_state,
                                            embeddings[idx], labels[idx])
             losses.append(float(loss))
+        if log_every and (epoch + 1) % log_every == 0:
+            mean_loss = float(np.mean(losses[-steps_per_epoch:]))
+            print(f'epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f}')
     return {k: np.asarray(v) for k, v in params.items()}, losses
 
 

@@ -866,3 +866,33 @@ def test_live_alerts_end_to_end(patched_models, tmp_path):
         analyze(alert_threshold=0.0, **common)  # classes missing
     with pytest.raises(ValueError, match='empty'):
         analyze(alert_classes=[], alert_threshold=0.0, **common)
+
+
+def test_generator_arguments_materialized(patched_models):
+    """classes_out / alert_classes given as one-shot iterators must be
+    materialized before the emptiness/typo scans — exhaustion used to
+    yield zero-column result files and silently disabled alerts."""
+    from buzzdetect_tpu.analysis import Analyzer
+    an = Analyzer(modelname='testmodel',
+                  classes_out=iter(['ins_buzz', 'human']),
+                  alert_classes=(c for c in ['ins_buzz']),
+                  alert_threshold=0.5,
+                  dir_audio=patched_models['audio'],
+                  verbosity_print='ERROR')
+    assert an.classes_out == ['ins_buzz', 'human']
+    names, idxs, thr, _fl = an.alert
+    assert names == ['ins_buzz']
+    assert idxs == [CLASSES.index('ins_buzz')] and thr == 0.5
+
+
+def test_bare_filename_log_path(patched_models, tmp_path, monkeypatch):
+    """path_log without a directory component must not crash makedirs('')."""
+    monkeypatch.chdir(tmp_path)
+    from buzzdetect_tpu.analysis import Analyzer
+    an = Analyzer(modelname='testmodel',
+                  dir_audio=patched_models['audio'],
+                  dir_out=str(tmp_path / 'out'),
+                  path_log='run.log', verbosity_print='ERROR')
+    an.run()
+    assert (tmp_path / 'run.log').exists()
+    assert an.coordinator.end_reason == 'completed'

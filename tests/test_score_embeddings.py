@@ -217,3 +217,44 @@ def test_score_embeddings_with_ensemble(env, tmp_path, monkeypatch):
     i_a = rows_a[0].split(',').index(f'activation_{CLASSES[1]}')
     for r_duo, r_a in zip(rows_duo[1:], rows_a[1:]):
         assert r_duo.split(',')[i_duo] == r_a.split(',')[i_a]
+
+
+def test_embed_chunk_boundaries_match_streamer(env, tmp_path, monkeypatch):
+    """Multi-chunk embedding must read EXACTLY the streamer's sample
+    spans: int(t1*rate)-int(t0*rate) and int((t1-t0)*rate) disagree by
+    one sample on non-frame-aligned final chunks (5 s at chunklength 2.0
+    -> final chunk (3.84, 5.0): 18560 vs 18559 samples), which embeds one
+    zero-padded sample where analyze() saw real audio and breaks the
+    byte-parity contract on any recording longer than one chunk."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.train.embed_corpus import embed_directory
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', env['models'])
+    monkeypatch.setenv('BUZZDETECT_DIR_MODELS', env['models'])
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    # NOT a tone: a frame scored over near-constant audio rounds to the
+    # same 2 decimals with or without the missing sample — broadband
+    # noise makes the one-sample pad visible in the raw scores
+    rng = np.random.default_rng(5)
+    write_wav(dir_audio / 'long.wav',
+              (rng.standard_normal(5 * 16000) * 0.2).astype(np.float32),
+              16000)
+
+    golden = tmp_path / 'golden'
+    analyze(modelname='scoremodel', dir_audio=str(dir_audio),
+            dir_out=str(golden), verbosity_print='ERROR')
+
+    emb = tmp_path / 'emb'
+    embed_directory(str(dir_audio), str(emb), modelname='scoremodel',
+                    chunklength=2.0, log=lambda *_: None)
+    out = tmp_path / 'rescored'
+    proc = subprocess.run(
+        [sys.executable, TOOL, '--dir_embeddings', str(emb),
+         '--modelname', 'scoremodel', '--dir_out', str(out)],
+        capture_output=True, text=True, timeout=300, env=dict(os.environ))
+    assert proc.returncode == 0, proc.stderr
+    g = (golden / ('long' + cfg.SUFFIX_RESULT_COMPLETE)).read_bytes()
+    s = (out / ('long' + cfg.SUFFIX_RESULT_COMPLETE)).read_bytes()
+    assert s == g, 'multi-chunk embed drifted from analyze()'

@@ -806,3 +806,38 @@ def test_trim_skips_nonfinite_and_keeps_original(tmp_path):
     assert not (d / 'ok_buzzdetect.csv').exists()
     assert (d / 'ok_buzztrim.npz').exists()
     assert not (d / 'bad_buzztrim.npz').exists()
+
+
+def test_embed_file_reads_streamer_sample_spans(tmp_path):
+    """embed_file must read EXACTLY int(t1*rate)-int(t0*rate) samples per
+    chunk (the streamer's span math, runtime/streamer.py queue_chunk):
+    int((t1-t0)*rate) loses one sample on non-frame-aligned final chunks
+    (5 s at chunklength 2.0 -> (3.84, 5.0): 18559 vs 18560), silently
+    zero-padding the final patch relative to analyze()."""
+    from buzzdetect_tpu.train.embed_corpus import embed_file
+    from tests.audio_fixtures import make_tone, write_wav
+
+    # 1.13 s is a found counterexample: final chunk (0.96, 1.13) gives
+    # int((1.13-0.96)*16000) = 2719 but int(1.13*16000)-int(0.96*16000)
+    # = 2720 — float subtraction rounds DOWN across the boundary here
+    wav = tmp_path / 'odd.wav'
+    write_wav(wav, make_tone(1.13, 16000), 16000)
+
+    class Cfg:
+        patch_window_seconds = 0.96
+        patch_hop_seconds = 0.96
+        sample_rate = 16000
+
+    reads = []
+
+    class Capturing:
+        cfg = Cfg()
+
+        def embed(self, samples):
+            reads.append(len(samples))
+            return np.zeros((max(1, len(samples) // 15360), 1024),
+                            np.float32)
+
+    embed_file(Capturing(), str(wav), chunklength=0.96)
+    assert reads == [15360, 2720], \
+        f'chunk sample spans diverge from the streamer: {reads}'
