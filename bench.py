@@ -208,7 +208,7 @@ def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
     import tempfile
     import numpy as np
     from buzzdetect_tpu.analysis import analyze
-    from tests.audio_fixtures import write_wav  # noqa: deliberate reuse
+    from buzzdetect_tpu.utils import write_wav
 
     rng = np.random.default_rng(0)
     kw = dict(chunklength=chunklength, verbosity_print='ERROR',

@@ -59,15 +59,21 @@ def stream_scores(path_audio: str, modelname: str = None,
         duration = get_duration(track)
         rate = track.samplerate
         for t0, t1 in gaps_to_chunklist([(0.0, duration)], chunklength):
-            track.seek(int(t0 * rate))
-            samples = track.read(int((t1 - t0) * rate))
+            sample_from = int(t0 * rate)
+            # the pipeline streamer's span math (int(t1*rate) - sample_from;
+            # see train/embed_corpus.embed_file for the counterexample
+            # where the subtraction form loses one boundary sample) — the
+            # in-memory API must score the same samples analyze() does
+            read_size = int(t1 * rate) - sample_from
+            track.seek(sample_from)
+            samples = track.read(read_size)
             if len(samples) == 0:
                 return
             scores = model.predict(samples)
             for i, row in enumerate(scores):
                 yield round(t0 + i * framehop_s,
                             model.embedder.digits_time), row
-            if len(samples) < int((t1 - t0) * rate):
+            if len(samples) < read_size:
                 return  # truncated audio (bad read): stop at real content
     finally:
         track.close()

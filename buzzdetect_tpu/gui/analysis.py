@@ -118,6 +118,13 @@ class AnalysisWindow(tk.Toplevel):
                         self.q_gui.get_nowait()
                 except queue_mod.Empty:
                     pass
+                except Exception:
+                    # a child dying mid-pipe-write leaves a truncated
+                    # pickle (EOFError/UnpicklingError, not Empty) — same
+                    # defense as poll_queue; letting it escape the Tk
+                    # callback would skip terminate/destroy and wedge the
+                    # window half-closed
+                    pass
                 self.process.join(timeout=0.2)
             if self.process.is_alive():
                 self.process.terminate()

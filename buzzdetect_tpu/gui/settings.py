@@ -162,6 +162,13 @@ class AnalysisSettings(tk.Tk):
             v = self.model.validate_field(name)
             if not v.valid:
                 w.show_error(v.message)
+        # the watch checkbox changes dir_audio's validity (the one
+        # documented exemption, validation.watch_exempt): re-render its
+        # message on EVERY change so toggling watch clears a stale
+        # 'folder does not exist' error (or restores a missing one)
+        w = self.entries.get('dir_audio')
+        if w is not None:
+            w.validate()
 
     def _pull_values(self):
         for name, w in self.entries.items():

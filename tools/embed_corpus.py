@@ -49,12 +49,18 @@ def main():
                     help='seconds of audio per device dispatch')
     args = ap.parse_args()
 
-    from buzzdetect_tpu.validation import validate_framehop
+    from buzzdetect_tpu.validation import (validate_chunklength,
+                                           validate_framehop)
     v = validate_framehop(args.framehop)
     if not v.valid:
         ap.error(f'--framehop: {v.message}')
-    if args.chunklength <= 0:
-        ap.error(f'--chunklength must be positive (got {args.chunklength})')
+    if v.message:
+        # valid-with-warning (framehop > 1 leaves unsampled gaps) — print
+        # it like the main CLI does instead of discarding it
+        print(f'warning: --framehop: {v.message}', file=sys.stderr)
+    v = validate_chunklength(args.chunklength)
+    if not v.valid:
+        ap.error(f'--chunklength: {v.message}')
 
     from buzzdetect_tpu.train.embed_corpus import embed_directory
     try:

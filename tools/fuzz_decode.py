@@ -188,6 +188,7 @@ def run_worker(paths, timeout=None):
                 if isinstance(e.stdout, bytes) else (e.stdout or '')
             code = 'timeout'
         acked = set()
+        saw_pyerr = False
         for line in out.splitlines():
             kind, _, rest = line.partition(' ')
             if kind not in ('OK', 'PYERR'):
@@ -200,10 +201,16 @@ def run_worker(paths, timeout=None):
                 continue  # garbage on stdout (decoder noise): not an ack
             outcomes[path] = tag if kind == 'OK' else f'PYERR {tag}'
             acked.add(idx)
+            saw_pyerr = saw_pyerr or kind == 'PYERR'
         pending = [p for i, p in enumerate(pending) if i not in acked]
         if code == 0:
             break
-        if pending:
+        # exit 3 after an ACKED PYERR is the worker's own clean bail — the
+        # failing file is already recorded, and blaming pending[0] would
+        # pin a CRASH on a file that was never exercised (masking any real
+        # crasher at that position). Only an un-acked death (signal, torn
+        # output, hang) names a culprit.
+        if pending and not (code == 3 and saw_pyerr):
             culprit = pending.pop(0)
             outcomes[culprit] = (f'CRASH exit={code}' if code != 'timeout'
                                  else 'HANG')

@@ -73,12 +73,15 @@ def main():
     digits_results = int(config.get('digits_results', 2))
 
     emb_of = emb_manifest.get('model')
-    if emb_of and config.get('embedder') and emb_of != args.modelname:
+    if emb_of and emb_of != args.modelname:
         # heads only transfer within one embedding space; warn (don't block:
-        # the ident may be a retrained sibling sharing the same embedder)
+        # the ident may be a retrained sibling sharing the same embedder).
+        # Config key is 'embeddername' (models/convert.py:216) — an earlier
+        # 'embedder' lookup was always None, silencing this warning forever
         print(f'note: embeddings were extracted via model {emb_of!r}; '
               f'scoring with {args.modelname!r} assumes both use the same '
-              f'embedder ({config.get("embedder")})', file=sys.stderr)
+              f'embedder ({config.get("embeddername", "yamnet")})',
+              file=sys.stderr)
 
     threshold = None
     if args.precision is not None:
