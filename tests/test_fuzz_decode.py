@@ -48,6 +48,25 @@ def test_crash_attribution_respawns(tmp_path, monkeypatch):
     assert outcomes[str(after)].startswith('decoded')  # respawn covered it
 
 
+def test_acked_pyerr_does_not_blame_pending_files(tmp_path, monkeypatch):
+    """A worker that bails with exit 3 AFTER acking its PYERR (the clean
+    unexpected-failure path, worker_main) must not pin a CRASH on the next
+    pending file — that file was never exercised, and mislabeling it would
+    mask a real crasher at that position. The respawn must give it a real
+    outcome."""
+    from buzzdetect_tpu.audio.ffi import encode_fixture
+    first = tmp_path / 'first.wav'
+    pyerr = tmp_path / 'pyerrme.wav'
+    after = tmp_path / 'after.wav'
+    for p in (first, pyerr, after):
+        encode_fixture(str(p), 'pcm_s16le', 16000, 1, 0.5)
+    monkeypatch.setenv('BZ_FUZZ_SELFPYERR', '1')
+    outcomes = run_worker([str(first), str(pyerr), str(after)])
+    assert outcomes[str(first)].startswith('decoded')
+    assert outcomes[str(pyerr)].startswith('PYERR RuntimeError')
+    assert outcomes[str(after)].startswith('decoded'), outcomes
+
+
 def test_paths_with_spaces_survive_the_ack_protocol(tmp_path):
     """Acks are by index, so a mutant path containing spaces is matched
     back to its outcome instead of being popped as a false crash."""

@@ -98,6 +98,25 @@ def test_settings_window_builds_and_validates(gui, env, tmp_path,
     assert os.path.exists(win.model.path_cache)
 
 
+def test_watch_toggle_refreshes_dir_audio_validity(gui, env, tmp_path):
+    """The watch checkbox changes dir_audio's validity (the documented
+    watch_exempt rule: a watched folder may not exist yet). Toggling it must
+    re-render dir_audio's message in place — a stale 'does not exist' error
+    after checking watch (or a missing one after unchecking) shows the user
+    the opposite of what Analyze will do."""
+    win = _make_settings(env, tmp_path, 'watchval.json')
+    da = win.entries['dir_audio']
+    da.set(str(tmp_path / 'missing_folder'))
+    assert da.message.cget('text'), 'expected an inline error to render'
+    win.entries['watch'].box.invoke()   # user click: on -> fires _on_change
+    assert win.entries['watch'].get() is True
+    assert da.message.cget('text') == '', \
+        'watch exemption should have cleared the stale error'
+    win.entries['watch'].box.invoke()   # off again
+    assert da.message.cget('text'), \
+        'unchecking watch should restore the validity error'
+
+
 def test_manifest_lock_disables_schema_fields(gui, env, tmp_path):
     import json
     out = tmp_path / 'locked_out'

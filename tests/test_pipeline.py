@@ -566,6 +566,38 @@ def test_api_framehop_conflict_with_preloaded_model(patched_models, tmp_path):
     assert len(starts) > 0
 
 
+def test_stream_scores_reads_streamer_sample_spans(tmp_path):
+    """stream_scores must read int(t1*rate)-int(t0*rate) samples per chunk
+    (the pipeline streamer's span math): the subtraction form
+    int((t1-t0)*rate) loses one boundary sample on the 1.13 s
+    counterexample's final chunk, scoring different samples than
+    analyze() does for the same file."""
+    from buzzdetect_tpu.api import stream_scores
+
+    path = str(tmp_path / 'odd.wav')
+    write_wav(path, make_tone(1.13, 16000), 16000)
+
+    reads = []
+
+    class Emb:
+        framelength_s = 0.96
+        framehop_s = 0.96
+        samplerate = 16000
+        digits_time = 2
+        framehop_prop = 1.0
+
+    class Capturing:
+        embedder = Emb()
+
+        def predict(self, samples):
+            reads.append(len(samples))
+            return np.zeros((max(1, len(samples) // 15360), 3), np.float32)
+
+    list(stream_scores(path, model=Capturing(), chunklength=0.96))
+    assert reads == [15360, 2720], \
+        f'chunk sample spans diverge from the streamer: {reads}'
+
+
 def test_compressed_formats_through_pipeline(patched_models, tmp_path):
     """m4a + wma + ogg files flow through the full pipeline to finalized
     results (compressed-codec decode inside the worker stack)."""

@@ -105,6 +105,39 @@ def test_score_embeddings_detections_mode(env, tmp_path, monkeypatch):
     assert s == g
 
 
+def test_cross_model_rescore_warns_but_proceeds(env, tmp_path, monkeypatch):
+    """Rescoring with a DIFFERENT head than the one that extracted the
+    embeddings must print the shared-embedder caveat (naming the
+    'embeddername' config key's value) and still produce results — heads
+    only transfer within one embedding space, but a retrained sibling is a
+    legitimate use. Regression: the warning used to key on a nonexistent
+    'embedder' config entry and therefore never fired."""
+    from buzzdetect_tpu.train.embed_corpus import embed_directory
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', env['models'])
+    monkeypatch.setenv('BUZZDETECT_DIR_MODELS', env['models'])
+    build_model_bundle(os.path.join(env['models'], 'scoremodel_b'),
+                       classes=CLASSES, seed=11)
+
+    emb = tmp_path / 'emb'
+    embed_directory(env['audio'], str(emb), modelname='scoremodel',
+                    log=lambda *a: None)
+    out = tmp_path / 'cross'
+    proc = _run_tool(['--dir_embeddings', str(emb),
+                      '--modelname', 'scoremodel_b', '--dir_out', str(out)])
+    assert proc.returncode == 0, proc.stderr
+    assert "extracted via model 'scoremodel'" in proc.stderr
+    assert 'yamnet' in proc.stderr  # the embeddername, not a dead config key
+    assert (out / ('a' + cfg.SUFFIX_RESULT_COMPLETE)).exists()
+
+    # same head -> no caveat
+    out2 = tmp_path / 'same'
+    proc2 = _run_tool(['--dir_embeddings', str(emb),
+                       '--modelname', 'scoremodel', '--dir_out', str(out2)])
+    assert proc2.returncode == 0, proc2.stderr
+    assert 'extracted via model' not in proc2.stderr
+
+
 def test_score_embeddings_refuses_unpinned_dir(env, tmp_path, monkeypatch):
     """A directory of npz files WITHOUT the embeddings manifest must be
     refused — there is no attested frame grid to put in the result rows."""

@@ -125,6 +125,13 @@ def worker_main(paths):
             # test seam: simulate a native crash so the attribution/respawn
             # protocol itself can be exercised in CI
             os.kill(os.getpid(), signal.SIGSEGV)
+        if (os.environ.get('BZ_FUZZ_SELFPYERR')
+                and 'pyerrme' in os.path.basename(p)):
+            # test seam: simulate the clean exit-3 bail (acked PYERR) so
+            # its attribution is distinguishable from a native crash in CI
+            print(f'PYERR {i} RuntimeError: injected test failure',
+                  flush=True)
+            sys.exit(3)
         try:
             tag = exercise(p)
         except Exception as e:  # unexpected Python-level failure
