@@ -950,8 +950,15 @@ def analyze(modelname: str,
         with ``backend_timeout`` (startup) for full coverage.
     """
     if backend_timeout is not None:
+        backend_timeout = float(backend_timeout)
+        if backend_timeout <= 0:
+            # same contract as stall_timeout: a caller bug must fail as a
+            # caller bug — fed to subprocess.run(timeout=...) it would
+            # expire instantly and be misdiagnosed as a dead accelerator
+            raise ValueError(f'backend_timeout must be positive seconds '
+                             f'(got {backend_timeout!r})')
         from buzzdetect_tpu.utils import backend_preflight
-        ok, why = backend_preflight(float(backend_timeout))
+        ok, why = backend_preflight(backend_timeout)
         if not ok:
             raise RuntimeError(
                 f'device backend preflight failed: {why}. The accelerator '
@@ -1053,9 +1060,8 @@ def analyze(modelname: str,
         # keep watching only after HEALTHY pass outcomes — interrupts,
         # manifest mismatches, and fatal worker failures would otherwise
         # retry forever, failing identically every cycle
-        if analyzer.coordinator.end_reason not in ('completed',
-                                                   'fully analyzed',
-                                                   'no files'):
+        from buzzdetect_tpu.runtime.coordination import HEALTHY_END_REASONS
+        if analyzer.coordinator.end_reason not in HEALTHY_END_REASONS:
             break
         if watch_cycles is not None and cycles >= watch_cycles:
             break

@@ -307,10 +307,11 @@ def main(argv=None):
     # scripting contract: abnormal endings (fatal worker failure, device
     # stall, manifest mismatch, interrupts) must not exit 0 — field
     # supervisors and `buzzdetect ... && next_step` pipelines key off the
-    # exit code. The healthy set matches the watch loop's.
+    # exit code. None = a pre-run path that never built a coordinator.
+    from buzzdetect_tpu.runtime.coordination import HEALTHY_END_REASONS
     reason = getattr(getattr(result, 'coordinator', None), 'end_reason',
                      None)
-    if reason not in (None, 'completed', 'fully analyzed', 'no files'):
+    if reason is not None and reason not in HEALTHY_END_REASONS:
         print(f'analysis ended abnormally: {reason}', file=sys.stderr)
         sys.exit(130 if reason == 'interrupted' else 1)
 

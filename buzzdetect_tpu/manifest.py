@@ -122,15 +122,58 @@ def diff_manifests(existing: dict, current: dict):
     return Manifest(**current).conflicts_with(existing)
 
 
+def find_orphan_results(dir_out, limit=3):
+    """Up to ``limit`` result files (partial or finalized) under a folder,
+    as paths relative to it. Used to detect orphaned results: result files
+    in a folder with no manifest."""
+    from buzzdetect_tpu import config as cfg
+    suffixes = (cfg.SUFFIX_RESULT_PARTIAL, cfg.SUFFIX_RESULT_COMPLETE)
+    found = []
+    for root, _dirs, files in os.walk(dir_out):
+        for fname in files:
+            if fname.endswith(suffixes):
+                found.append(os.path.relpath(os.path.join(root, fname),
+                                             dir_out))
+                if len(found) >= limit:
+                    return found
+    return found
+
+
 def check_or_write_manifest(dir_out, manifest: dict):
     """Admit or refuse a run against the folder's stored manifest.
 
-    No manifest yet: store this run's and admit. Stored and compatible:
-    admit. Stored but conflicting: refuse with an explanation and leave the
-    stored manifest untouched.
+    No manifest yet and no results yet: store this run's manifest and
+    admit. Stored and compatible: admit. Stored but conflicting: refuse
+    with an explanation and leave the stored manifest untouched.
+
+    Results but NO manifest (deleted, or CSVs copied without it): refuse.
+    The settings that produced those files cannot be verified, and the
+    dangerous mismatches are invisible in the files themselves — a
+    different detection threshold or frame stride yields the *same* CSV
+    header, so admitting the run would let a resume silently interleave
+    rows scored under incompatible settings into one finalized result.
+    The refusal names the remedy: restore the manifest (the message
+    includes the exact JSON for this run's settings) or start fresh.
     """
     existing = read_manifest(dir_out)
     if existing is None:
+        orphans = find_orphan_results(dir_out)
+        if orphans:
+            return False, (
+                f"'{dir_out}' already contains result files (e.g. "
+                f"{', '.join(sorted(orphans))}) but no {FNAME_MANIFEST}, "
+                f"so the settings that produced them cannot be verified. "
+                f"Resuming could silently mix rows from incompatible "
+                f"settings: a different detection threshold or frame "
+                f"stride produces the SAME column header, so the files "
+                f"themselves cannot prove compatibility.\n"
+                f"If (and only if) the existing results were produced "
+                f"with this run's exact settings, restore the manifest "
+                f"by writing this to "
+                f"{os.path.join(dir_out, FNAME_MANIFEST)}:\n"
+                f"{json.dumps(manifest, indent=2)}\n"
+                f"Otherwise move the old results aside or choose a "
+                f"different output folder.")
         write_manifest(dir_out, manifest)
         return True, None
 

@@ -24,6 +24,13 @@ from buzzdetect_tpu.runtime.assignments import AssignChunk, AssignLog
 
 EXIT = 'exit'
 
+# End reasons that mean the run finished the work it was given (as opposed
+# to interrupts, worker failures, stalls, or configuration refusals). The
+# SINGLE source of truth: the watch loop keys re-watching off it and the
+# CLI keys its exit code off it — a reason added to one copy but not the
+# other would break `buzzdetect ... && next_step` supervisor pipelines.
+HEALTHY_END_REASONS = ('completed', 'fully analyzed', 'no files')
+
 
 class ExitSignal:
     def __init__(self, message, level, end_reason):

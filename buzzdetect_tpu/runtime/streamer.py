@@ -54,6 +54,13 @@ class WorkerStreamer:
         self.coordinator.q_log.put(AssignLog(
             message=f'streamer {self.id_streamer}: {msg}', level_str=level_str))
 
+    def _quarantine(self, a_file: AssignFile, why: str):
+        """Move an unusable partial aside and announce the full re-analysis."""
+        path_corrupt = quarantine_partial(a_file.path_results_partial)
+        self.log(f'{a_file.shortpath_audio}: partial result {why}; '
+                 f'quarantined to {os.path.basename(path_corrupt)} and '
+                 f'analyzing from scratch', 'WARNING')
+
     def handle_bad_read(self, a_file: AssignFile):
         """Truncated/corrupt audio mid-read: classify severity by how much of
         the file is lost (recorders dying at file end are routine)."""
@@ -100,59 +107,55 @@ class WorkerStreamer:
             if (self.result_header is not None and header is not None
                     and ','.join(header) != self.result_header):
                 # schema pin: this partial was written under different
-                # settings (mode/classes — possible when the manifest was
-                # lost). Its rows must NOT count as coverage: the writer
-                # quarantines such a partial on first append, so counting
-                # them here would finalize a complete file permanently
-                # missing the quarantined spans.
-                path_corrupt = quarantine_partial(
-                    a_file.path_results_partial)
-                self.log(f'{a_file.shortpath_audio}: partial result was '
-                         f'written under a different output schema '
-                         f'(header mismatch); quarantined to '
-                         f'{os.path.basename(path_corrupt)} and analyzing '
-                         f'from scratch', 'WARNING')
-                a_file.chunklist = gaps_to_chunklist(
-                    [(0.0, a_file.duration_audio)], self.chunklength)
-                return
-            # framehop-aware: at sparse hops (> framelength) a row attests
-            # its whole stride, and torn rows force their frame's re-analysis
-            coverage = coverage_from_rows(header, rows, torn,
-                                          self.framelength_s,
-                                          framehop=self.model.embedder
-                                          .framehop_s)
-            a_file.has_results = bool(coverage)
-            gaps = get_gaps((0, a_file.duration_audio), coverage)
-            gaps = smooth_gaps(gaps, (0, a_file.duration_audio),
-                               framelength=self.framelength_s,
-                               gap_tolerance=self.framelength_s / 4)
-            if not gaps:
-                if header is None or not rows:
-                    # the partial attests NOTHING (0-byte, or a torn header
-                    # whose rows all column-mismatch — SIGKILL debris from
-                    # before the first flush): gaps can still come back
-                    # empty for sub-framelength files because smooth_gaps
-                    # drops end-adjacent gaps. Promoting would mark the
-                    # file complete with zero data; quarantine the debris
-                    # and analyze from scratch instead.
-                    path_corrupt = quarantine_partial(
-                        a_file.path_results_partial)
-                    self.log(f'{a_file.shortpath_audio}: partial result has '
-                             f'no usable rows; quarantined to '
-                             f'{os.path.basename(path_corrupt)} and '
-                             f'analyzing from scratch', 'WARNING')
-                    gaps = [(0.0, a_file.duration_audio)]
-                else:
-                    # finished but never finalized (e.g. killed mid-cleanup):
-                    # self-heal by finalizing now
-                    self.log(f'Discovered non-cleaned file at '
-                             f'{a_file.shortpath_audio}; cleaning results',
-                             'DEBUG')
-                    from buzzdetect_tpu.runtime.writer import finalize_partial
-                    finalize_partial(a_file.path_results_partial,
-                                     a_file.path_results_complete)
-                    a_file.chunklist = []
-                    return
+                # settings (mode/classes — e.g. a foreign partial copied
+                # into this folder). Its rows must NOT count as coverage:
+                # the writer quarantines such a partial on first append,
+                # so counting them here would finalize a complete file
+                # permanently missing the quarantined spans. Second line
+                # of defense — the manifest guard already refuses runs
+                # whose folder holds results it cannot attest
+                # (manifest.check_or_write_manifest), which covers the
+                # mismatches a header CANNOT show (threshold, framehop).
+                self._quarantine(a_file, 'was written under a different '
+                                         'output schema (header mismatch)')
+                gaps = [(0.0, a_file.duration_audio)]
+            else:
+                # framehop-aware: at sparse hops (> framelength) a row
+                # attests its whole stride, and torn rows force their
+                # frame's re-analysis
+                coverage = coverage_from_rows(header, rows, torn,
+                                              self.framelength_s,
+                                              framehop=self.model.embedder
+                                              .framehop_s)
+                a_file.has_results = bool(coverage)
+                gaps = get_gaps((0, a_file.duration_audio), coverage)
+                gaps = smooth_gaps(gaps, (0, a_file.duration_audio),
+                                   framelength=self.framelength_s,
+                                   gap_tolerance=self.framelength_s / 4)
+                if not gaps:
+                    if header is None or not rows:
+                        # the partial attests NOTHING (0-byte, or a torn
+                        # header whose rows all column-mismatch — SIGKILL
+                        # debris from before the first flush): gaps can
+                        # still come back empty for sub-framelength files
+                        # because smooth_gaps drops end-adjacent gaps.
+                        # Promoting would mark the file complete with zero
+                        # data; quarantine the debris and analyze from
+                        # scratch instead.
+                        self._quarantine(a_file, 'has no usable rows')
+                        gaps = [(0.0, a_file.duration_audio)]
+                    else:
+                        # finished but never finalized (e.g. killed
+                        # mid-cleanup): self-heal by finalizing now
+                        self.log(f'Discovered non-cleaned file at '
+                                 f'{a_file.shortpath_audio}; cleaning '
+                                 f'results', 'DEBUG')
+                        from buzzdetect_tpu.runtime.writer import \
+                            finalize_partial
+                        finalize_partial(a_file.path_results_partial,
+                                         a_file.path_results_complete)
+                        a_file.chunklist = []
+                        return
 
         a_file.chunklist = gaps_to_chunklist(gaps, self.chunklength)
 

@@ -138,12 +138,19 @@ def trim_directory(dir_results: str, classes_keep=('ins_buzz',),
             path_csv = os.path.join(root, fname)
             path_out = path_csv[:-len(cfg.SUFFIX_RESULT_COMPLETE)] \
                 + SUFFIX_TRIMMED
+            path_tmp = path_out + '.tmp.npz'  # savez appends .npz
             try:
                 arrays = trim_results(path_csv, classes_keep, decimals)
-                path_tmp = path_out + '.tmp.npz'  # savez appends .npz
                 np.savez_compressed(path_tmp, **arrays)
                 os.replace(path_tmp, path_out)
             except Exception as e:
+                # a failed savez (disk full mid-batch) must not leave the
+                # half-written temp archive consuming the very space the
+                # trim run exists to reclaim
+                try:
+                    os.remove(path_tmp)
+                except OSError:
+                    pass
                 if on_skip is not None:
                     on_skip(path_csv, str(e))
                 continue

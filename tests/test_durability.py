@@ -38,6 +38,17 @@ def _write_csv(path, lines, newline_terminated=True):
         f.write('\n'.join(lines) + ('\n' if newline_terminated else ''))
 
 
+def _adopt_dir_out(dir_out):
+    """Write the manifest a default activations-mode durmodel run produces.
+
+    Tests that pre-plant result files need it: a manifest-less folder with
+    results refuses admission outright (unattestable provenance)."""
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    write_manifest(str(dir_out), build_manifest(
+        'durmodel', framehop_prop=1, precision=None,
+        classes_out=list(CLASSES)))
+
+
 def test_parseable_torn_tail_not_adopted(tmp_path):
     """A tear can land mid-cell and still leave a line with the right
     column count and float-parseable cells ('19.2,0.53' torn to '19.2,0.5'):
@@ -353,6 +364,7 @@ def test_stale_partial_behind_complete_removed(patched_models, tmp_path):
     stale = str(dir_out / 'rec_buzzpart.csv')
     _write_csv(stale, ['start,activation_ins_buzz,activation_ambient_noise',
                        '0.0,9.0,9.0'])
+    _adopt_dir_out(dir_out)
 
     analyze(modelname='durmodel', dir_audio=str(dir_audio),
             dir_out=str(dir_out), verbosity_print='ERROR')
@@ -470,6 +482,7 @@ def test_subframe_file_with_unusable_partial_self_heals(patched_models,
     partial = str(dir_out / 'rec_buzzpart.csv')
     with open(partial, 'w') as f:
         f.write(debris)
+    _adopt_dir_out(dir_out)
 
     analyze(modelname='durmodel', dir_audio=str(dir_audio),
             dir_out=str(dir_out), verbosity_print='ERROR')
@@ -484,12 +497,12 @@ def test_subframe_file_with_unusable_partial_self_heals(patched_models,
 
 def test_foreign_schema_partial_never_counts_as_coverage(patched_models,
                                                          tmp_path):
-    """A partial written under a DIFFERENT output schema (possible when
-    the manifest was lost and the settings changed) must be quarantined
-    BEFORE its rows count as resume coverage. Counting them used to be a
-    silent data-loss path: the streamer scheduled only the gaps, the
-    writer quarantined the mismatched partial on first append, and the
-    file finalized as a complete result permanently missing the
+    """A partial written under a DIFFERENT output schema (a foreign
+    partial copied into the folder behind a valid manifest) must be
+    quarantined BEFORE its rows count as resume coverage. Counting them
+    used to be a silent data-loss path: the streamer scheduled only the
+    gaps, the writer quarantined the mismatched partial on first append,
+    and the file finalized as a complete result permanently missing the
     quarantined spans."""
     from buzzdetect_tpu.analysis import analyze
     from buzzdetect_tpu.write.coverage import read_result_rows
@@ -499,8 +512,10 @@ def test_foreign_schema_partial_never_counts_as_coverage(patched_models,
     write_wav(dir_audio / 'rec.wav', make_tone(6.0, 16000), 16000)
     dir_out = tmp_path / 'out'
     dir_out.mkdir()
-    # a detections-mode partial covering the first 4 frames; this run is
-    # ACTIVATIONS mode, and no manifest exists to block the mismatch
+    # the manifest matches this run (ACTIVATIONS mode) — it admits the
+    # run — but a detections-mode partial covering the first 4 frames was
+    # hand-copied in behind it: only the streamer's header pin can catch it
+    _adopt_dir_out(dir_out)
     _write_csv(dir_out / ('rec' + cfg.SUFFIX_RESULT_PARTIAL),
                ['start,detections_ins_buzz'] +
                [f'{round(k * 0.96, 2)},1' for k in range(4)])
@@ -518,3 +533,41 @@ def test_foreign_schema_partial_never_counts_as_coverage(patched_models,
         f'foreign-schema rows leaked into coverage: {starts}'
     corrupt = [f for f in os.listdir(dir_out) if f.endswith('.corrupt')]
     assert corrupt, 'mismatched partial was not quarantined'
+
+
+def test_orphan_results_without_manifest_refuse_the_run(patched_models,
+                                                        tmp_path):
+    """Results in a folder with NO manifest must refuse the run outright.
+
+    The dangerous mismatches are invisible in the files: a partial from a
+    detections run at a different precision, or an activations run at a
+    different framehop, carries the SAME header — so once admitted, its
+    rows would count as resume coverage and the finalized CSV would
+    permanently interleave rows scored under incompatible settings. The
+    only sound reaction to unattestable provenance is refusal (with the
+    restore-the-manifest remedy in the message)."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.manifest import FNAME_MANIFEST
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(6.0, 16000), 16000)
+    dir_out = tmp_path / 'out'
+    dir_out.mkdir()
+    # an ACTIVATIONS-mode partial whose header matches what this run would
+    # write — the header pin CANNOT catch a framehop/threshold change, so
+    # admission itself must be refused
+    _write_csv(dir_out / ('rec' + cfg.SUFFIX_RESULT_PARTIAL),
+               ['start,activation_ins_buzz,activation_ambient_noise'] +
+               [f'{round(k * 0.96, 2)},0.5,0.5' for k in range(4)])
+
+    analyzer = analyze(modelname='durmodel', dir_audio=str(dir_audio),
+                       dir_out=str(dir_out), verbosity_print='CRITICAL')
+
+    assert analyzer.coordinator.end_reason == 'manifest mismatch'
+    # nothing ran: the partial is untouched (not quarantined, not grown),
+    # no complete file appeared, and no manifest was adopted
+    assert os.path.exists(dir_out / ('rec' + cfg.SUFFIX_RESULT_PARTIAL))
+    assert not any(f.endswith('.corrupt') for f in os.listdir(dir_out))
+    assert not os.path.exists(dir_out / ('rec' + cfg.SUFFIX_RESULT_COMPLETE))
+    assert not os.path.exists(dir_out / FNAME_MANIFEST)

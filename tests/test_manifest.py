@@ -71,3 +71,53 @@ def test_read_manifest_tolerates_corrupt_json(tmp_path):
     p_file = tmp_path / 'not_a_dir'
     p_file.write_text('x')
     assert read_manifest(str(p_file)) is None
+
+
+def test_orphan_results_refuse_admission(tmp_path):
+    """A manifest-less folder that already holds result files (partial OR
+    finalized, at any depth) must refuse admission: their settings cannot
+    be attested, and the dangerous mismatches (threshold, framehop) are
+    invisible in the CSV header. The message must carry the remedy —
+    the exact manifest JSON to restore."""
+    import json
+    import os
+
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.manifest import FNAME_MANIFEST
+
+    d = str(tmp_path / 'out')
+    nested = tmp_path / 'out' / 'siteA'
+    nested.mkdir(parents=True)
+    (nested / ('rec' + cfg.SUFFIX_RESULT_PARTIAL)).write_text(
+        'start,detections_ins_buzz\n0.0,1\n')
+
+    m = build_manifest('m1', 1.0, None, ['a'])
+    ok, msg = check_or_write_manifest(d, m)
+    assert not ok
+    assert 'rec' + cfg.SUFFIX_RESULT_PARTIAL in msg
+    assert FNAME_MANIFEST in msg
+    # the remedy: the message embeds this run's manifest JSON verbatim
+    assert json.dumps(m, indent=2) in msg
+    # refusal must not adopt a manifest behind the user's back
+    assert not os.path.exists(os.path.join(d, FNAME_MANIFEST))
+
+    # finalized files alone trigger it too (corpus-level consistency)
+    d2 = tmp_path / 'out2'
+    d2.mkdir()
+    (d2 / ('rec' + cfg.SUFFIX_RESULT_COMPLETE)).write_text(
+        'start,activation_a\n0.0,0.5\n')
+    ok, msg = check_or_write_manifest(str(d2), m)
+    assert not ok
+
+    # restoring the manifest (the message's remedy) admits the run
+    with open(d2 / FNAME_MANIFEST, 'w') as f:
+        json.dump(m, f)
+    ok, msg = check_or_write_manifest(str(d2), m)
+    assert ok and msg is None
+
+    # quarantined debris (.corrupt) alone must NOT block a fresh folder
+    d3 = tmp_path / 'out3'
+    d3.mkdir()
+    (d3 / ('rec' + cfg.SUFFIX_RESULT_PARTIAL + '.corrupt')).write_text('x')
+    ok, msg = check_or_write_manifest(str(d3), m)
+    assert ok and msg is None

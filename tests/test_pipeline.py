@@ -798,6 +798,18 @@ def test_analyze_backend_timeout(patched_models, tmp_path, monkeypatch):
                for f in os.listdir(tmp_path / 'out'))
 
 
+def test_analyze_backend_timeout_must_be_positive(tmp_path):
+    """A non-positive backend_timeout is a caller bug and must fail as
+    one — fed to the preflight it would expire instantly and be
+    misdiagnosed as a dead accelerator (same contract as stall_timeout)."""
+    from buzzdetect_tpu.analysis import analyze
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match='backend_timeout must be '
+                                             'positive'):
+            analyze(modelname='whatever', dir_audio=str(tmp_path),
+                    dir_out=str(tmp_path / 'out'), backend_timeout=bad)
+
+
 def test_doctor_survives_unreachable_backend(patched_models, monkeypatch,
                                              capsys):
     """The triage tool must DIAGNOSE a hung device backend, not inherit

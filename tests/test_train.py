@@ -841,3 +841,54 @@ def test_embed_file_reads_streamer_sample_spans(tmp_path):
     embed_file(Capturing(), str(wav), chunklength=0.96)
     assert reads == [15360, 2720], \
         f'chunk sample spans diverge from the streamer: {reads}'
+
+
+def test_trim_directory_failed_write_leaves_no_tmp_debris(tmp_path,
+                                                          monkeypatch):
+    """A savez that dies mid-write (disk full on a season-scale batch)
+    must remove its half-written temp archive — leaving it would consume
+    exactly the space the trim run exists to reclaim — and must not
+    remove the original CSV."""
+    from buzzdetect_tpu.write import trim as trim_mod
+
+    d = tmp_path / 'results'
+    d.mkdir()
+    with open(d / 'x_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz\n0.0,-1.2\n')
+
+    def boom(path, **arrays):
+        with open(path, 'wb') as fh:
+            fh.write(b'half-written')
+        raise OSError(28, 'No space left on device')
+
+    monkeypatch.setattr(trim_mod.np, 'savez_compressed', boom)
+    skips = []
+    n, _b, _a = trim_mod.trim_directory(
+        str(d), remove_original=True,
+        on_skip=lambda path, why: skips.append((path, why)))
+    assert n == 0 and len(skips) == 1
+    assert 'No space left' in skips[0][1]
+    leftovers = [f for f in os.listdir(d) if f != 'x_buzzdetect.csv']
+    assert not leftovers, f'debris left behind: {leftovers}'
+    assert (d / 'x_buzzdetect.csv').exists()
+
+
+def test_trim_results_cli_all_skipped_is_a_data_error(tmp_path):
+    """CSVs found but every one skipped (non-finite activations): the tool
+    must say so — claiming 'no finalized CSVs' would send the operator
+    chasing a path problem instead of the data problem already reported."""
+    import subprocess
+    import sys as _sys
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'trim_results.py')
+    d = tmp_path / 'results'
+    d.mkdir()
+    with open(d / 'bad_buzzdetect.csv', 'w') as f:
+        f.write('start,activation_ins_buzz\n0.0,nan\n')
+    proc = subprocess.run(
+        [_sys.executable, tool, '--dir_results', str(d)],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode != 0
+    assert 'skipping' in proc.stderr and 'non-finite' in proc.stderr
+    assert 'were skipped' in proc.stderr
+    assert 'no finalized' not in proc.stderr

@@ -44,12 +44,23 @@ def main():
 
     from buzzdetect_tpu.write.trim import trim_directory
     classes = 'all' if args.classes == ['all'] else tuple(args.classes)
+    skipped = []
+
+    def on_skip(path, why):
+        skipped.append(path)
+        print(f'skipping {path}: {why}', file=sys.stderr)
+
     n, before, after = trim_directory(
         args.dir_results, classes_keep=classes, decimals=args.decimals,
-        remove_original=args.remove_original,
-        on_skip=lambda path, why: print(f'skipping {path}: {why}',
-                                        file=sys.stderr))
+        remove_original=args.remove_original, on_skip=on_skip)
     if not n:
+        # found-but-all-skipped is a DATA problem (reported above, file by
+        # file) — claiming no CSVs exist would send the operator chasing a
+        # path/glob phantom instead
+        if skipped:
+            sys.exit(f'error: all {len(skipped)} finalized CSV(s) under '
+                     f'{args.dir_results} were skipped (reasons above); '
+                     f'nothing trimmed')
         sys.exit(f'error: no finalized *_buzzdetect.csv under '
                  f'{args.dir_results}')
     ratio = before / after if after else float('inf')
