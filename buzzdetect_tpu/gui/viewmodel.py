@@ -174,6 +174,14 @@ class SettingsModel:
                 and not self._field_is_set('precision'):
             return ArgValid(False, 'needs alert_threshold (or precision, '
                                    'to calibrate one)')
+        # Orphaned results: the folder holds result files but no manifest,
+        # so their settings cannot be verified and analyze() will refuse
+        # admission — fail inline rather than after the child launches.
+        if name == 'dir_out' and self._orphan_results():
+            return ArgValid(False, 'holds results but no '
+                                   f'{FNAME_MANIFEST} — their settings '
+                                   'cannot be verified; restore the '
+                                   'manifest or pick a fresh folder')
         return result
 
     def validate_all(self):
@@ -227,6 +235,19 @@ class SettingsModel:
                     value = 'all'
                 locked[key] = value
         return locked
+
+    def _orphan_results(self) -> bool:
+        """True when the resolved output folder holds result files but no
+        manifest — analyze() refuses admission then (provenance
+        unattestable), so the form should too. The walk is BOUNDED
+        (max_entries) because this runs from per-keystroke validation;
+        the run-time admission guard re-checks unbounded."""
+        self.locked_fields()  # refreshes the cached manifest read
+        if self._manifest_cache is not None:
+            return False  # manifest present: provenance attested
+        from buzzdetect_tpu.manifest import find_orphan_results
+        return bool(find_orphan_results(self.resolved_dir_out(), limit=1,
+                                        max_entries=4000))
 
     def apply_manifest_lock(self):
         """Adopt locked values from the existing manifest into the form.

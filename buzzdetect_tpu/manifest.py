@@ -122,13 +122,18 @@ def diff_manifests(existing: dict, current: dict):
     return Manifest(**current).conflicts_with(existing)
 
 
-def find_orphan_results(dir_out, limit=3):
+def find_orphan_results(dir_out, limit=3, max_entries=None):
     """Up to ``limit`` result files (partial or finalized) under a folder,
     as paths relative to it. Used to detect orphaned results: result files
-    in a folder with no manifest."""
+    in a folder with no manifest.
+
+    ``max_entries`` bounds the number of directory entries visited —
+    per-keystroke GUI validation must not walk a huge unrelated folder to
+    exhaustion (the run-time admission guard re-checks unbounded)."""
     from buzzdetect_tpu import config as cfg
     suffixes = (cfg.SUFFIX_RESULT_PARTIAL, cfg.SUFFIX_RESULT_COMPLETE)
     found = []
+    seen = 0
     for root, _dirs, files in os.walk(dir_out):
         for fname in files:
             if fname.endswith(suffixes):
@@ -136,6 +141,9 @@ def find_orphan_results(dir_out, limit=3):
                                              dir_out))
                 if len(found) >= limit:
                     return found
+            seen += 1
+            if max_entries is not None and seen >= max_entries:
+                return found
     return found
 
 

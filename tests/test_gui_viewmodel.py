@@ -72,6 +72,32 @@ def test_no_manifest_no_lock(tmp_path):
     assert m.apply_manifest_lock() == {}
 
 
+def test_orphan_results_fail_dir_out_inline(tmp_path):
+    """A dir_out holding result files but no manifest will be refused by
+    analyze() (provenance unattestable) — the form must fail the field
+    inline instead of letting the child process launch and die."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+
+    d = tmp_path / 'out'
+    d.mkdir()
+    (d / ('rec' + cfg.SUFFIX_RESULT_COMPLETE)).write_text(
+        'start,activation_ins_buzz\n0.0,-1.2\n')
+
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['dir_out'] = str(d)
+    res = m.validate_field('dir_out')
+    assert not res.valid and 'manifest' in res.message
+
+    # restoring the manifest clears the inline error (and locks fields)
+    write_manifest(str(d), build_manifest('m1', 1.0, None, ['ins_buzz']))
+    assert m.validate_field('dir_out').valid
+
+    # a genuinely fresh folder is never flagged
+    m.values['dir_out'] = str(tmp_path / 'fresh')
+    assert m.validate_field('dir_out').valid
+
+
 def test_analyze_kwargs_classes_parsing(tmp_path):
     m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
     m.values['classes_out'] = 'ins_buzz, human'
