@@ -550,3 +550,41 @@ def test_watch_startup_warnings_announce_once(patched_models, tmp_path):
     assert text.count('not archived in the result files') == 1
     # the alert itself still fires every cycle that lands new audio
     assert 'DETECTED ins_buzz in rec' in text
+
+
+def test_watch_stops_when_manifest_vanishes(patched_models, tmp_path):
+    """The manifest disappearing mid-watch (operator cleanup, rsync
+    mishap) turns the output folder into orphaned results — the next
+    pass refuses admission, and the watch loop must STOP on that
+    refusal instead of retrying the identical failure every cycle."""
+    import threading as _threading
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.manifest import FNAME_MANIFEST
+
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    dir_out = tmp_path / 'out'
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 220), 16000)
+
+    done = os.path.join(dir_out, 'rec_buzzdetect.csv')
+    stop = _threading.Event()
+
+    def saboteur():
+        deadline = time.monotonic() + 120
+        while not os.path.exists(done):
+            if time.monotonic() > deadline:
+                stop.set()
+                return
+            time.sleep(0.02)
+        os.remove(os.path.join(dir_out, FNAME_MANIFEST))
+
+    t = _threading.Thread(target=saboteur, daemon=True)
+    t.start()
+    a = analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                dir_out=str(dir_out), chunklength=2.0,
+                verbosity_print='CRITICAL', watch=True, watch_cycles=10,
+                watch_interval=0.05, watch_stop=stop)
+    t.join(timeout=10)
+    assert a.coordinator.end_reason == 'manifest mismatch'
+    # the finalized result from the healthy pass is untouched
+    assert os.path.exists(done)
