@@ -155,7 +155,12 @@ class AnalysisSettings(tk.Tk):
         'needs alert_classes' on the threshold widget after the user just
         typed the classes in would show a false invalid state until the
         next Analyze click."""
-        for name in ('alert_classes', 'alert_threshold', 'alert_command'):
+        # dir_out is in the live set for the orphan-results check (results
+        # present, manifest missing/unreadable): browsing to such a folder
+        # must flag the field immediately, not on the Analyze click — the
+        # view-model bounds and caches the underlying directory walk
+        for name in ('alert_classes', 'alert_threshold', 'alert_command',
+                     'dir_out'):
             w = self.entries.get(name)
             if w is None or not w.validate():
                 continue  # the per-field error owns the message line

@@ -174,13 +174,15 @@ class SettingsModel:
                 and not self._field_is_set('precision'):
             return ArgValid(False, 'needs alert_threshold (or precision, '
                                    'to calibrate one)')
-        # Orphaned results: the folder holds result files but no manifest,
-        # so their settings cannot be verified and analyze() will refuse
-        # admission — fail inline rather than after the child launches.
+        # Orphaned results: the folder holds result files but no readable
+        # manifest, so their settings cannot be verified and analyze()
+        # will refuse admission — fail inline rather than after the child
+        # launches.
         if name == 'dir_out' and self._orphan_results():
-            return ArgValid(False, 'holds results but no '
-                                   f'{FNAME_MANIFEST} — their settings '
-                                   'cannot be verified; restore the '
+            return ArgValid(False, 'holds results but its '
+                                   f'{FNAME_MANIFEST} is missing or '
+                                   'unreadable — their settings cannot '
+                                   'be verified; repair/restore the '
                                    'manifest or pick a fresh folder')
         return result
 
@@ -238,16 +240,27 @@ class SettingsModel:
 
     def _orphan_results(self) -> bool:
         """True when the resolved output folder holds result files but no
-        manifest — analyze() refuses admission then (provenance
-        unattestable), so the form should too. The walk is BOUNDED
-        (max_entries) because this runs from per-keystroke validation;
-        the run-time admission guard re-checks unbounded."""
+        readable manifest — analyze() refuses admission then (provenance
+        unattestable), so the form should too. This runs per keystroke
+        (the settings window's cross-field sync), so the walk is BOUNDED
+        (max_entries, counting directories too) and CACHED by (path,
+        manifest signature, folder mtime); the run-time admission guard
+        re-checks unbounded."""
         self.locked_fields()  # refreshes the cached manifest read
         if self._manifest_cache is not None:
             return False  # manifest present: provenance attested
-        from buzzdetect_tpu.manifest import find_orphan_results
-        return bool(find_orphan_results(self.resolved_dir_out(), limit=1,
-                                        max_entries=4000))
+        path = self.resolved_dir_out()
+        try:
+            mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            return False  # nonexistent/fresh folder: nothing to attest
+        sig = (self._manifest_sig, mtime)
+        if getattr(self, '_orphan_sig', None) != sig:
+            self._orphan_sig = sig
+            from buzzdetect_tpu.manifest import find_orphan_results
+            self._orphan_cache = bool(find_orphan_results(
+                path, limit=1, max_entries=4000))
+        return self._orphan_cache
 
     def apply_manifest_lock(self):
         """Adopt locked values from the existing manifest into the form.

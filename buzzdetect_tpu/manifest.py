@@ -129,21 +129,25 @@ def find_orphan_results(dir_out, limit=3, max_entries=None):
 
     ``max_entries`` bounds the number of directory entries visited —
     per-keystroke GUI validation must not walk a huge unrelated folder to
-    exhaustion (the run-time admission guard re-checks unbounded)."""
+    exhaustion (the run-time admission guard re-checks unbounded).
+    Directories count toward the bound too: a tree of many nested,
+    mostly file-less folders (a per-site/per-date dataset mirror) costs
+    an opendir+stat per directory, and a files-only bound would walk
+    all of them."""
     from buzzdetect_tpu import config as cfg
     suffixes = (cfg.SUFFIX_RESULT_PARTIAL, cfg.SUFFIX_RESULT_COMPLETE)
     found = []
     seen = 0
-    for root, _dirs, files in os.walk(dir_out):
+    for root, dirs, files in os.walk(dir_out):
+        seen += len(dirs) + len(files)
         for fname in files:
             if fname.endswith(suffixes):
                 found.append(os.path.relpath(os.path.join(root, fname),
                                              dir_out))
                 if len(found) >= limit:
                     return found
-            seen += 1
-            if max_entries is not None and seen >= max_entries:
-                return found
+        if max_entries is not None and seen >= max_entries:
+            return found
     return found
 
 
@@ -167,14 +171,33 @@ def check_or_write_manifest(dir_out, manifest: dict):
     if existing is None:
         orphans = find_orphan_results(dir_out)
         if orphans:
-            return False, (
+            shared = (
                 f"'{dir_out}' already contains result files (e.g. "
-                f"{', '.join(sorted(orphans))}) but no {FNAME_MANIFEST}, "
+                f"{', '.join(sorted(orphans))}) {{cause}}, "
                 f"so the settings that produced them cannot be verified. "
                 f"Resuming could silently mix rows from incompatible "
                 f"settings: a different detection threshold or frame "
                 f"stride produces the SAME column header, so the files "
-                f"themselves cannot prove compatibility.\n"
+                f"themselves cannot prove compatibility.\n")
+            if os.path.lexists(_manifest_path(dir_out)):
+                # the manifest EXISTS but didn't parse (truncated external
+                # copy, permissions, hand-edit). Do NOT hand the user
+                # overwrite-ready JSON here: the damaged file likely
+                # recorded DIFFERENT settings, and pasting this run's over
+                # it would re-attest wrong provenance — the exact hole
+                # this guard closes.
+                return False, (
+                    shared.format(cause=f'but its {FNAME_MANIFEST} is '
+                                        f'unreadable') +
+                    f"Inspect and repair "
+                    f"{os.path.join(dir_out, FNAME_MANIFEST)} (expected: "
+                    f"a JSON object with keys {', '.join(KEYS_LOCKED)}) — "
+                    f"do NOT overwrite it with this run's settings unless "
+                    f"you are certain the results were produced with "
+                    f"them. Otherwise move the old results aside or "
+                    f"choose a different output folder.")
+            return False, (
+                shared.format(cause=f'but no {FNAME_MANIFEST}') +
                 f"If (and only if) the existing results were produced "
                 f"with this run's exact settings, restore the manifest "
                 f"by writing this to "

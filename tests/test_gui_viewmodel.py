@@ -98,6 +98,24 @@ def test_orphan_results_fail_dir_out_inline(tmp_path):
     assert m.validate_field('dir_out').valid
 
 
+def test_orphan_check_cache_notices_cleanup(tmp_path):
+    """The cached directory walk must clear the inline error once the
+    offending result files are moved aside (the folder's mtime bumps),
+    not stay stale-invalid until the manifest changes."""
+    from buzzdetect_tpu import config as cfg
+
+    d = tmp_path / 'out'
+    d.mkdir()
+    bad = d / ('rec' + cfg.SUFFIX_RESULT_PARTIAL)
+    bad.write_text('start,detections_ins_buzz\n0.0,1\n')
+
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['dir_out'] = str(d)
+    assert not m.validate_field('dir_out').valid
+    bad.unlink()  # the user moves the old results aside
+    assert m.validate_field('dir_out').valid
+
+
 def test_analyze_kwargs_classes_parsing(tmp_path):
     m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
     m.values['classes_out'] = 'ins_buzz, human'

@@ -1,5 +1,7 @@
 """Unit tests for the output-folder manifest (schema-compatibility guard)."""
 
+import os
+
 from buzzdetect_tpu.manifest import (
     build_manifest, read_manifest, write_manifest, diff_manifests,
     check_or_write_manifest)
@@ -121,3 +123,54 @@ def test_orphan_results_refuse_admission(tmp_path):
     (d3 / ('rec' + cfg.SUFFIX_RESULT_PARTIAL + '.corrupt')).write_text('x')
     ok, msg = check_or_write_manifest(str(d3), m)
     assert ok and msg is None
+
+
+def test_unreadable_manifest_with_results_says_so(tmp_path):
+    """Results plus a manifest that EXISTS but doesn't parse (truncated
+    external copy) must refuse with an inspect-and-repair message — not
+    claim the file is absent and hand the user overwrite-ready JSON
+    that would re-attest wrong provenance."""
+    import json
+
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.manifest import FNAME_MANIFEST
+
+    d = tmp_path / 'out'
+    d.mkdir()
+    (d / ('rec' + cfg.SUFFIX_RESULT_COMPLETE)).write_text(
+        'start,activation_a\n0.0,0.5\n')
+    (d / FNAME_MANIFEST).write_text('{"modelname": "m", "frameh')  # torn
+
+    m = build_manifest('m1', 1.0, None, ['a'])
+    ok, msg = check_or_write_manifest(str(d), m)
+    assert not ok
+    assert 'unreadable' in msg
+    assert 'repair' in msg.lower()
+    assert f'but no {FNAME_MANIFEST}' not in msg
+    # no overwrite-ready JSON for this run's settings
+    assert json.dumps(m, indent=2) not in msg
+    # the damaged file is left untouched for inspection
+    assert (d / FNAME_MANIFEST).read_text().startswith('{"modelname"')
+
+
+def test_find_orphan_results_bound_counts_directories(tmp_path):
+    """max_entries must bound directory visits, not just files: a tree of
+    many nested file-less folders costs an opendir+stat per directory,
+    and a files-only bound would walk all of them (freezing per-keystroke
+    GUI validation — the caller this bound exists for)."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.manifest import find_orphan_results
+
+    root = tmp_path / 'out'
+    # 40 sibling dirs, then the only result file in the 41st
+    for k in range(40):
+        (root / f'site{k:02d}').mkdir(parents=True)
+    deep = root / 'zz_last'
+    deep.mkdir()
+    (deep / ('rec' + cfg.SUFFIX_RESULT_PARTIAL)).write_text('start\n')
+
+    # bounded walk gives up before reaching the file...
+    assert find_orphan_results(str(root), max_entries=10) == []
+    # ...the unbounded (run-time) walk finds it
+    assert find_orphan_results(str(root)) == [
+        os.path.join('zz_last', 'rec' + cfg.SUFFIX_RESULT_PARTIAL)]
