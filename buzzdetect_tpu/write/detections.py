@@ -105,9 +105,12 @@ def call_detections_file(path, threshold, classes=('ins_buzz',),
     return out
 
 
-def _resolve_threshold(dir_results, threshold, precision, modelname):
-    if (threshold is None) == (precision is None):
-        raise ValueError('pass exactly one of threshold= or precision=')
+def _resolve_threshold(dir_results, threshold, precision, modelname,
+                       recall=None):
+    n_given = sum(x is not None for x in (threshold, precision, recall))
+    if n_given != 1:
+        raise ValueError(
+            'pass exactly one of threshold=, precision= or recall=')
     if threshold is not None:
         return float(threshold)
     if modelname is None:
@@ -115,24 +118,31 @@ def _resolve_threshold(dir_results, threshold, precision, modelname):
         manifest = read_manifest(dir_results)
         if not manifest or 'modelname' not in manifest:
             raise ValueError(
-                'precision= needs the model whose metrics table calibrates '
-                'it; pass modelname= (no manifest found in the results '
-                'directory)')
+                'precision=/recall= needs the model whose metrics table '
+                'calibrates it; pass modelname= (no manifest found in the '
+                'results directory)')
         modelname = manifest['modelname']
+    if recall is not None:
+        from buzzdetect_tpu.write.thresholds import threshold_at_recall
+        return float(threshold_at_recall(modelname, recall)['threshold'])
     from buzzdetect_tpu.write.thresholds import calculate_threshold
     return float(calculate_threshold(modelname, precision))
 
 
 def call_detections_directory(dir_results, *, threshold=None,
-                              precision=None, modelname=None,
+                              precision=None, recall=None, modelname=None,
                               classes=('ins_buzz',),
                               framelength_s: float = 0.96,
                               merge_gap_s: float = None,
                               path_out=None, on_skip=None):
     """Call events for every archived result under ``dir_results``.
 
-    The threshold comes either explicitly (``threshold=``) or from a
-    requested ``precision=`` via the model's bundled metrics table (the
+    The threshold comes either explicitly (``threshold=``), from a
+    requested ``precision=`` ("detections at least this clean"), or from
+    a requested ``recall=`` ("catch at least this fraction of true
+    events" — the abundance-survey dual, resolved by
+    :func:`buzzdetect_tpu.write.thresholds.threshold_at_recall`), each
+    via the model's bundled metrics table (the
     model defaults to the one recorded in the directory's manifest).
     Reads finalized CSVs and trimmed npz archives; when both exist for an
     ident the CSV wins (full precision). Returns the combined event rows
@@ -143,7 +153,8 @@ def call_detections_directory(dir_results, *, threshold=None,
     batch: such files are SKIPPED and reported through ``on_skip(path,
     reason)`` (default: ``warnings.warn``).
     """
-    thr = _resolve_threshold(dir_results, threshold, precision, modelname)
+    thr = _resolve_threshold(dir_results, threshold, precision, modelname,
+                             recall=recall)
     paths = {}
     for root, _dirs, files in os.walk(dir_results):
         for fname in sorted(files):

@@ -92,6 +92,44 @@ def calculate_threshold(modelname: str, precision_requested: float,
         f'[{metrics["precision"].min():.3f}, {metrics["precision"].max():.3f}]')
 
 
+def threshold_at_recall(modelname: str, recall_requested: float) -> dict:
+    """Most precise operating point that still catches the requested
+    fraction of true events: the HIGHEST threshold whose measured
+    sensitivity (recall) meets ``recall_requested``.
+
+    The precision calibrations above answer "how clean must the
+    detections be"; abundance surveys need the dual — "miss at most X%
+    of buzzes" (undercounting visits is worse than reviewing extra
+    clips). Sensitivity is monotone non-increasing in threshold up to
+    evaluation noise, so the best qualifying point is simply the largest
+    qualifying threshold. Deliberately no interpolation between rows: a
+    recall between measured rows is not guaranteed attainable, and
+    promising an unmeasured recall would be the same lie the precision
+    path refuses to tell (see calculate_threshold).
+
+    Returns ``{'threshold', 'sensitivity', 'precision'}`` — the chosen
+    row, unrounded (callers round for display). Raises when no measured
+    row reaches the requested recall. Superset capability: the reference
+    calibrates precision only (`src/write/thresholds.py:29-41`).
+    """
+    if not 0.0 < recall_requested <= 1.0:
+        raise ValueError(f'recall must be in (0, 1], got {recall_requested}')
+    metrics = load_metrics(modelname)
+    if metrics['sensitivity'].size == 0:
+        raise ValueError(f'metrics table for "{modelname}" has no rows; '
+                         f're-run evaluation before calibrating thresholds')
+    ok = np.flatnonzero(metrics['sensitivity'] >= recall_requested)
+    if ok.size == 0:
+        raise ValueError(
+            f'no measured operating point reaches recall '
+            f'{recall_requested}; the highest measured sensitivity for '
+            f'"{modelname}" is {metrics["sensitivity"].max():.3f}')
+    i = ok[np.argmax(metrics['threshold'][ok])]
+    return {'threshold': float(metrics['threshold'][i]),
+            'sensitivity': float(metrics['sensitivity'][i]),
+            'precision': float(metrics['precision'][i])}
+
+
 def threshold_at_precision(modelname: str, precision_requested: float) -> dict:
     """Bracketing threshold lookup (the reference's `sx`,
     `src/write/thresholds.py:9-26`): midpoint of the nearest thresholds

@@ -211,6 +211,77 @@ def test_call_detections_threshold_from_manifest_precision(tmp_path,
         call_detections_directory(d)
 
 
+METRICS_SYNTH = """threshold,precision,sensitivity,fpr
+-2.0,0.50,0.99,0.5
+-1.0,0.70,0.90,0.3
+0.0,0.85,0.75,0.1
+1.0,0.95,0.50,0.02
+2.0,0.99,0.20,0.001
+"""
+
+
+def _install_metrics(tmp_path, monkeypatch, modelname='recmodel'):
+    from buzzdetect_tpu import config as cfg
+    d = tmp_path / 'models' / modelname / 'tests'
+    os.makedirs(d, exist_ok=True)
+    (d / 'metrics.csv').write_text(METRICS_SYNTH)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+
+
+def test_threshold_at_recall_picks_most_precise_qualifying_row(
+        tmp_path, monkeypatch):
+    """The recall calibration returns the HIGHEST threshold whose measured
+    sensitivity still meets the floor — maximum precision subject to the
+    recall constraint, with the achieved numbers from that measured row
+    (no interpolation: an unmeasured recall is not a promise to make)."""
+    from buzzdetect_tpu.write.thresholds import threshold_at_recall
+    _install_metrics(tmp_path, monkeypatch)
+
+    got = threshold_at_recall('recmodel', 0.90)
+    assert got == {'threshold': -1.0, 'sensitivity': 0.90,
+                   'precision': 0.70}
+    # a floor between rows resolves DOWN the threshold axis (the next row
+    # that still meets it), never up to a row that would miss events
+    got = threshold_at_recall('recmodel', 0.80)
+    assert got['threshold'] == -1.0 and got['sensitivity'] == 0.90
+    # the loosest floor picks the table's most precise row
+    got = threshold_at_recall('recmodel', 0.20)
+    assert got == {'threshold': 2.0, 'sensitivity': 0.20,
+                   'precision': 0.99}
+
+
+def test_threshold_at_recall_rejects_unattainable_and_invalid(
+        tmp_path, monkeypatch):
+    from buzzdetect_tpu.write.thresholds import threshold_at_recall
+    _install_metrics(tmp_path, monkeypatch)
+    with pytest.raises(ValueError, match='highest measured sensitivity'):
+        threshold_at_recall('recmodel', 0.995)
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match='recall must be'):
+            threshold_at_recall('recmodel', bad)
+
+
+def test_call_detections_recall_from_manifest(tmp_path, monkeypatch):
+    """recall= resolves the threshold via the manifest's model like
+    precision= does, and joins the exactly-one-of contract."""
+    from buzzdetect_tpu.manifest import build_manifest, write_manifest
+    _install_metrics(tmp_path, monkeypatch)
+
+    d = str(tmp_path / 'out')
+    # threshold resolves to -1.0 (recall 0.9): frame at 5.0 detected,
+    # frame at -1.5 not
+    _write_result(os.path.join(d, 'a_buzzdetect.csv'),
+                  [0.0, 0.96], [5.0, -1.5])
+    write_manifest(d, build_manifest('recmodel', 1.0, None, CLASSES))
+    rows = call_detections_directory(d, recall=0.9)
+    assert len(rows) == 1 and rows[0]['n_frames'] == 1
+
+    with pytest.raises(ValueError, match='exactly one'):
+        call_detections_directory(d, recall=0.9, precision=0.95)
+    with pytest.raises(ValueError, match='exactly one'):
+        call_detections_directory(d, recall=0.9, threshold=-1.0)
+
+
 def _event(ident, start, end, cls='ins_buzz'):
     return {'ident': ident, 'class': cls, 'start': start, 'end': end,
             'duration': end - start, 'n_frames': 1,
@@ -417,7 +488,11 @@ def test_call_detections_cli_rejects_ambiguous_threshold(tmp_path):
     import sys
     tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
                         'call_detections.py')
-    for extra in ([], ['--threshold', '-1', '--precision', '0.9']):
+    for extra in ([], ['--threshold', '-1', '--precision', '0.9'],
+                  ['--precision', '0.9', '--recall', '0.9'],
+                  ['--threshold', '-1', '--recall', '0.9'],
+                  ['--threshold', '-1', '--precision', '0.9',
+                   '--recall', '0.9']):
         proc = subprocess.run(
             [sys.executable, tool, '--dir_results', str(tmp_path)] + extra,
             capture_output=True, text=True, timeout=120)

@@ -32,6 +32,11 @@ def main():
     ap.add_argument('--precision', type=float, default=None,
                     help='requested precision; the threshold comes from '
                          'the model\'s metrics table')
+    ap.add_argument('--recall', type=float, default=None,
+                    help='requested recall floor ("miss at most this '
+                         'fraction of true events"): the most precise '
+                         'measured operating point still catching this '
+                         'fraction, from the model\'s metrics table')
     ap.add_argument('--modelname', default=None,
                     help='model whose metrics calibrate --precision '
                          '(default: the results directory\'s manifest)')
@@ -61,9 +66,14 @@ def main():
                          'view the detector heard; 0 keeps the '
                          'recording\'s native rate (clips only)')
     args = ap.parse_args()
-    if (args.threshold is None) == (args.precision is None):
+    n_given = sum(x is not None
+                  for x in (args.threshold, args.precision, args.recall))
+    if n_given != 1:
         # mirror the library's contract as a parser error, not a traceback
-        ap.error('pass exactly one of --threshold or --precision')
+        ap.error('pass exactly one of --threshold, --precision or --recall')
+    if args.recall is not None and not 0.0 < args.recall <= 1.0:
+        # the only calibration bound knowable without the metrics table
+        ap.error(f'--recall must be in (0, 1], got {args.recall}')
     if args.format != 'csv' and args.out is None:
         ap.error(f'--format {args.format} requires --out')
     if args.format == 'clips' and args.dir_audio is None:
@@ -75,7 +85,8 @@ def main():
                                                  write_raven_tables)
     rows = call_detections_directory(
         args.dir_results, threshold=args.threshold,
-        precision=args.precision, modelname=args.modelname,
+        precision=args.precision, recall=args.recall,
+        modelname=args.modelname,
         classes=args.classes, merge_gap_s=args.merge_gap,
         path_out=args.out if args.format == 'csv' else None,
         on_skip=lambda path, why: print(f'skipping {path}: {why}',
