@@ -116,6 +116,22 @@ def test_activity_report_tool_end_to_end(tmp_path):
     assert out_svg.exists() and out_svg.stat().st_size > 0
 
 
+def test_activity_report_tool_threshold_flag_contract(tmp_path):
+    """Same parser-level calibration contract as call_detections.py:
+    exactly one of --threshold/--precision/--recall, recall in (0, 1]."""
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'activity_report.py')
+    base = [sys.executable, tool, '--dir_results', str(tmp_path)]
+    for extra, msg in (([], 'exactly one of'),
+                       (['--threshold', '0', '--recall', '0.9'],
+                        'exactly one of'),
+                       (['--recall', '1.2'], 'must be in (0, 1]')):
+        proc = subprocess.run(base + extra, capture_output=True, text=True,
+                              timeout=120)
+        assert proc.returncode == 2, proc.stderr
+        assert msg in proc.stderr and 'Traceback' not in proc.stderr
+
+
 def test_activity_report_tool_missing_timestamps(tmp_path):
     """Unparseable names fail with guidance, or skip with --allow_missing."""
     d_res = tmp_path / 'out'

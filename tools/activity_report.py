@@ -31,6 +31,12 @@ def main():
     ap.add_argument('--precision', type=float, default=None,
                     help='requested precision; threshold from the model '
                          'metrics (manifest-resolved like call_detections)')
+    ap.add_argument('--recall', type=float, default=None,
+                    help='requested recall floor: the most precise '
+                         'measured operating point still catching this '
+                         'fraction of true events (abundance surveys '
+                         'prefer this dual — undercounting visits is '
+                         'worse than overcounting)')
     ap.add_argument('--modelname', default=None)
     ap.add_argument('--classes', nargs='+', default=['ins_buzz'])
     ap.add_argument('--merge_gap', type=float, default=None)
@@ -56,6 +62,13 @@ def main():
                  f"(got {args.bin!r})")
     if bin_s <= 0:
         ap.error(f'--bin must be positive (got {args.bin!r})')
+    n_given = sum(x is not None
+                  for x in (args.threshold, args.precision, args.recall))
+    if n_given != 1:
+        # same parser-level contract as call_detections.py
+        ap.error('pass exactly one of --threshold, --precision or --recall')
+    if args.recall is not None and not 0.0 < args.recall <= 1.0:
+        ap.error(f'--recall must be in (0, 1], got {args.recall}')
 
     from buzzdetect_tpu.write.activity import (parse_ident_timestamp,
                                                bin_events,
@@ -64,7 +77,8 @@ def main():
 
     rows = call_detections_directory(
         args.dir_results, threshold=args.threshold,
-        precision=args.precision, modelname=args.modelname,
+        precision=args.precision, recall=args.recall,
+        modelname=args.modelname,
         classes=args.classes, merge_gap_s=args.merge_gap,
         on_skip=lambda path, why: print(f'skipping {path}: {why}',
                                         file=sys.stderr))
