@@ -732,6 +732,72 @@ class Analyzer:
             f.write('\n'.join([header] + rows) + '\n')
         os.remove(a.path_results_complete)
 
+    def _write_run_summary(self):
+        """Machine-readable run outcome: ``buzzdetect_run_summary.json``
+        in dir_out, atomically replaced on EVERY end path.
+
+        The supervisor-facing counterpart of the CLI's exit-code
+        contract (cli.py scripting contract): an unattended deployment reacts
+        to HOW a run ended — and to its counts — without parsing the
+        human log (the reference offers only the log text). Best-effort
+        by design: a full disk or read-only dir_out must not replace the
+        run's real outcome with a summary IOError, so failures log a
+        WARNING and nothing more. In watch mode each pass atomically
+        re-replaces the file, so it always describes the latest pass.
+        """
+        import json
+        from datetime import datetime
+
+        from buzzdetect_tpu import __version__
+        from buzzdetect_tpu.runtime.coordination import HEALTHY_END_REASONS
+        reason = self.coordinator.end_reason or 'unknown'
+        wall = self.timer_total.get_total()
+        if wall <= 0:  # early end paths never call timer.stop()
+            wall = round(self.timer_total.get_current(), 2)
+        audio_s = self.coordinator.audio_seconds_done
+        record = {
+            'schema': 'buzzdetect_run_summary/1',
+            'buzzdetect_version': __version__,
+            'modelname': self.modelname,
+            'framehop_prop': self.framehop_prop,
+            'precision': self.precision,
+            'classes_out': list(self.classes_out),
+            'dir_audio': self.dir_audio,
+            'host_shard': (list(self.host_shard)
+                           if self.host_shard is not None else None),
+            'watch': self.watch_state is not None,
+            'end_reason': reason,
+            'ok': reason in HEALTHY_END_REASONS,
+            'started': self.timer_total.time_start.isoformat(
+                sep=' ', timespec='seconds'),
+            'finished': datetime.now().isoformat(sep=' ',
+                                                 timespec='seconds'),
+            'wall_s': wall,
+            'audio_seconds': round(audio_s, 2),
+            'rate_realtime': round(audio_s / wall, 2) if wall > 0 else 0.0,
+            'chunks': self.coordinator.chunks_done,
+            'files_finalized': self.coordinator.files_finalized,
+            'files_failed': sorted(self.coordinator.failed_streams),
+        }
+        path = os.path.join(self.dir_out, cfg.FNAME_RUN_SUMMARY)
+        tmp = path + '.tmp'
+        try:
+            os.makedirs(self.dir_out, exist_ok=True)
+            with open(tmp, 'w') as f:
+                json.dump(record, f, indent=2)
+                f.write('\n')
+            os.replace(tmp, path)
+        except OSError as e:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            # the logger worker is still up (callers summarize BEFORE
+            # shutting it down), so this reaches the run log and console
+            self.coordinator.q_log.put(AssignLog(
+                message=f'could not write {cfg.FNAME_RUN_SUMMARY}: {e}',
+                level_str='WARNING'))
+
     # --- run ------------------------------------------------------------------
     def run(self):
         if self.profile_dir:
@@ -754,6 +820,7 @@ class Analyzer:
 
         try:
             if not self._check_manifest() or not self.queue_assignments():
+                self._write_run_summary()
                 shutdown_logger()
                 return
 
@@ -806,6 +873,7 @@ class Analyzer:
                          f' ({audio_s:,.0f} audio-seconds, overall rate '
                          f'{rate:,.1f}x realtime)'),
                 level_str='INFO'))
+        self._write_run_summary()
         shutdown_logger()
 
 

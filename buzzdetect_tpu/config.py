@@ -27,6 +27,7 @@ SUBDIR_TESTS = 'tests'
 FNAME_METRICS = 'metrics.csv'
 
 # --- results --------------------------------------------------------------
+FNAME_RUN_SUMMARY = 'buzzdetect_run_summary.json'
 SUFFIX_RESULT_COMPLETE = '_buzzdetect.csv'
 SUFFIX_RESULT_PARTIAL = '_buzzpart.csv'
 PREFIX_COLUMN_ACTIVATION = 'activation_'

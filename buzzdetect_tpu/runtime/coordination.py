@@ -114,6 +114,8 @@ class Coordinator:
         self.q_earlyexit = q_earlyexit if q_earlyexit is not None else queue.Queue()
 
         self.end_reason = None
+        self.chunks_done = 0
+        self.files_finalized = 0
         # aggregate progress (audio-seconds landed in result files)
         self.audio_seconds_done = 0.0
 
@@ -191,6 +193,13 @@ class Coordinator:
     def record_written(self, seconds: float):
         with self._lock:
             self.audio_seconds_done += seconds
+            self.chunks_done += 1
+
+    def record_finalized(self):
+        """Writer promoted one partial to a complete result this run
+        (feeds the machine-readable run summary's files_finalized)."""
+        with self._lock:
+            self.files_finalized += 1
 
     def mark_stream_finished(self, ident: str):
         """Called by a streamer that ends a file without a final chunk

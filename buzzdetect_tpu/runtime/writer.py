@@ -297,6 +297,7 @@ class WorkerWriter:
                 and os.path.exists(a_chunk.file.path_results_partial)):
             finalize_partial(a_chunk.file.path_results_partial,
                              a_chunk.file.path_results_complete)
+            self.coordinator.record_finalized()
             self.log(f'finalized {a_chunk.file.shortpath_results_complete}',
                      'DEBUG')
 

@@ -139,6 +139,9 @@ def _writer(coordinator=None):
         def record_written(self, seconds):
             pass
 
+        def record_finalized(self):
+            pass
+
         def stream_failed(self, ident):
             return False
 

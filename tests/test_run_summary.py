@@ -1,0 +1,136 @@
+"""Machine-readable run outcome: ``buzzdetect_run_summary.json``.
+
+The supervisor-facing counterpart of the CLI exit-code contract: every
+end path — completed, fully analyzed, manifest mismatch, failed files —
+must atomically leave a summary describing HOW the run ended and what it
+did, so unattended deployments react without parsing the human log.
+(Superset capability: the reference offers only the log text.)
+"""
+
+import json
+import os
+
+import pytest
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.models.convert import build_model_bundle
+from tests.audio_fixtures import make_tone, write_wav
+
+CLASSES = ['ins_buzz', 'ambient_noise', 'mech_hum']
+
+
+@pytest.fixture(scope='module')
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp('sumenv')
+    build_model_bundle(str(root / 'models' / 'summodel'), classes=CLASSES,
+                       seed=11)
+    dir_audio = root / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'tone.wav', make_tone(4.0, 16000, 220), 16000)
+    return {'models': str(root / 'models'), 'audio': str(dir_audio)}
+
+
+@pytest.fixture()
+def patched(env, monkeypatch):
+    monkeypatch.setattr(cfg, 'DIR_MODELS', env['models'])
+    return env
+
+
+def _read_summary(dir_out):
+    with open(os.path.join(dir_out, cfg.FNAME_RUN_SUMMARY)) as f:
+        return json.load(f)
+
+
+def test_summary_on_completed_run(patched, tmp_path):
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='summodel', dir_audio=patched['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    s = _read_summary(dir_out)
+    assert s['schema'] == 'buzzdetect_run_summary/1'
+    assert s['end_reason'] == 'completed' and s['ok'] is True
+    assert s['modelname'] == 'summodel'
+    assert s['classes_out'] == CLASSES
+    assert s['files_finalized'] == 1
+    assert s['files_failed'] == []
+    assert s['chunks'] >= 2  # 4 s at 2 s (-> 1.92 s) chunks
+    assert s['audio_seconds'] > 0
+    assert s['rate_realtime'] > 0 and s['wall_s'] > 0
+    assert s['started'] <= s['finished']  # ISO strings sort temporally
+    assert s['watch'] is False and s['host_shard'] is None
+    # no tmp residue from the atomic replace
+    assert not os.path.exists(
+        os.path.join(dir_out, cfg.FNAME_RUN_SUMMARY + '.tmp'))
+
+
+def test_summary_fully_analyzed_rerun(patched, tmp_path):
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    kw = dict(modelname='summodel', dir_audio=patched['audio'],
+              dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    analyze(**kw)
+    analyze(**kw)
+    s = _read_summary(dir_out)
+    # the rerun's outcome replaced the first run's
+    assert s['end_reason'] in ('fully analyzed', 'completed')
+    assert s['ok'] is True
+    assert s['files_finalized'] == 0 and s['chunks'] == 0
+
+
+def test_summary_records_failed_files(patched, tmp_path):
+    """A garbage container doesn't end the run abnormally (other files
+    complete), but the summary must name it — files_failed is the
+    per-file health signal the end_reason deliberately isn't."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(dir_audio)
+    write_wav(os.path.join(dir_audio, 'good.wav'), make_tone(2.0, 16000),
+              16000)
+    with open(os.path.join(dir_audio, 'garbage.wav'), 'wb') as f:
+        f.write(os.urandom(20000))
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='summodel', dir_audio=dir_audio, dir_out=dir_out,
+            chunklength=2.0, verbosity_print='ERROR')
+    s = _read_summary(dir_out)
+    assert s['end_reason'] == 'completed' and s['ok'] is True
+    assert s['files_failed'] == ['garbage']
+    assert s['files_finalized'] == 1
+
+
+def test_summary_on_manifest_mismatch(patched, tmp_path):
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    kw = dict(modelname='summodel', dir_audio=patched['audio'],
+              dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    analyze(**kw)
+    analyze(framehop_prop=0.5, **kw)
+    s = _read_summary(dir_out)
+    # the summary describes the most recent run ATTEMPT (telemetry),
+    # while the manifest remains the archive's provenance record
+    assert s['end_reason'] == 'manifest mismatch' and s['ok'] is False
+    assert s['files_finalized'] == 0
+    assert s['framehop_prop'] == 0.5
+
+
+def test_summary_write_failure_never_masks_the_run(patched, tmp_path,
+                                                   monkeypatch):
+    """A summary that cannot be written (full disk, read-only dir_out)
+    logs a warning; it must never replace the run's real outcome with
+    an IOError."""
+    from buzzdetect_tpu.analysis import analyze
+    monkeypatch.setattr(cfg, 'FNAME_RUN_SUMMARY', 'x' * 300 + '.json')
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='summodel', dir_audio=patched['audio'],
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'completed'
+    assert os.path.exists(os.path.join(dir_out, 'tone_buzzdetect.csv'))
+
+
+def test_summary_each_watch_cycle(patched, tmp_path):
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='summodel', dir_audio=patched['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+            watch=True, watch_interval=0.0, watch_cycles=2)
+    s = _read_summary(dir_out)
+    assert s['watch'] is True and s['ok'] is True

@@ -28,6 +28,9 @@ class FakeCoordinator:
     def record_written(self, seconds):
         self.audio += seconds
 
+    def record_finalized(self):
+        pass
+
     def stream_failed(self, ident):
         return False
 
