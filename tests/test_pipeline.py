@@ -322,6 +322,34 @@ def test_corrupt_container_isolated(patched_models, tmp_path):
     assert not os.path.exists(os.path.join(dir_out, 'garbage_buzzdetect.csv'))
 
 
+def test_awkward_filenames_end_to_end(patched_models, tmp_path):
+    """Field recordings carry spaces, unicode site names, quotes and
+    leading dashes; the whole path — native decode, ident construction,
+    result naming, offline event calling — must handle them verbatim."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.write.detections import call_detections_directory
+    dir_audio = str(tmp_path / 'audio')
+    os.makedirs(os.path.join(dir_audio, 'Sítio Caché'))
+    names = ['Hive 3 morning.wav', "o'brien's site.wav",
+             os.path.join('Sítio Caché', 'día 1.wav'), '-leading-dash.wav']
+    for i, n in enumerate(names):
+        write_wav(os.path.join(dir_audio, n), make_tone(2.0, 16000,
+                                                        220 + 40 * i), 16000)
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='testmodel', dir_audio=dir_audio, dir_out=dir_out,
+                chunklength=2.0, verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'completed'
+    for n in names:
+        ident = os.path.splitext(n)[0]
+        path = os.path.join(dir_out, ident + '_buzzdetect.csv')
+        assert os.path.exists(path), f'missing result for {n!r}'
+    # offline event calling walks the same names back out
+    rows = call_detections_directory(dir_out, threshold=-1e9)
+    assert {r['ident'] for r in rows} == {
+        os.path.splitext(n)[0].replace(os.sep, '/') if os.sep != '/'
+        else os.path.splitext(n)[0] for n in names}
+
+
 def test_framehop_half_end_to_end(patched_models, tmp_path):
     """framehop 0.5 (the reference's yamnet_halfhop capability): twice the
     rows, 0.48 s stride, clean finalize."""
