@@ -8,6 +8,7 @@ the end-of-run wall-time report.
 """
 
 import os
+import sys
 import threading
 import warnings
 
@@ -732,54 +733,80 @@ class Analyzer:
             f.write('\n'.join([header] + rows) + '\n')
         os.remove(a.path_results_complete)
 
-    def _write_run_summary(self):
+    def _write_run_summary(self, running=False, crash_reason=None):
         """Machine-readable run outcome: ``buzzdetect_run_summary.json``
-        in dir_out, atomically replaced on EVERY end path.
+        in dir_out, atomically replaced at run START and on EVERY end
+        path.
 
         The supervisor-facing counterpart of the CLI's exit-code
         contract (cli.py scripting contract): an unattended deployment reacts
         to HOW a run ended — and to its counts — without parsing the
-        human log (the reference offers only the log text). Best-effort
-        by design: a full disk or read-only dir_out must not replace the
-        run's real outcome with a summary IOError, so failures log a
-        WARNING and nothing more. In watch mode each pass atomically
-        re-replaces the file, so it always describes the latest pass.
+        human log (the reference offers only the log text).
+
+        The start-of-run write (``running=True``: ``end_reason
+        'running'``, ``ok false``) exists for the paths that never reach
+        a normal end write — SIGKILL, power loss — so a previous
+        attempt's ``ok: true`` can never masquerade as the outcome of a
+        crashed rerun. ``crash_reason`` covers the in-process analog: an
+        unexpected exception escaping the run loop stamps ``crashed:
+        <type>`` on the way out (the finally in ``_run``).
+
+        Multi-host runs share dir_out, so the filename carries the host
+        tag (``buzzdetect_run_summary_host<N>.json``) exactly like the
+        per-run log — hosts must not clobber each other's outcome.
+
+        Best-effort by design: a full disk, a read-only dir_out, or an
+        unserializable field must not replace the run's real outcome
+        with a summary error, so ANY failure here logs a WARNING and
+        nothing more. In watch mode each pass atomically re-replaces the
+        file, so it always describes the latest pass.
         """
         import json
         from datetime import datetime
 
         from buzzdetect_tpu import __version__
         from buzzdetect_tpu.runtime.coordination import HEALTHY_END_REASONS
-        reason = self.coordinator.end_reason or 'unknown'
+        if running:
+            reason, finished = 'running', None
+        else:
+            reason = crash_reason or self.coordinator.end_reason or 'unknown'
+            finished = datetime.now().isoformat(sep=' ', timespec='seconds')
         wall = self.timer_total.get_total()
         if wall <= 0:  # early end paths never call timer.stop()
             wall = round(self.timer_total.get_current(), 2)
-        audio_s = self.coordinator.audio_seconds_done
+        audio_s = float(self.coordinator.audio_seconds_done)
         record = {
             'schema': 'buzzdetect_run_summary/1',
             'buzzdetect_version': __version__,
-            'modelname': self.modelname,
-            'framehop_prop': self.framehop_prop,
-            'precision': self.precision,
-            'classes_out': list(self.classes_out),
-            'dir_audio': self.dir_audio,
-            'host_shard': (list(self.host_shard)
+            'modelname': str(self.modelname),
+            # float()/str() coercions throughout: callers hand in numpy
+            # scalars (np.float64 framehop from a sweep script), which
+            # json.dump rejects
+            'framehop_prop': float(self.framehop_prop),
+            'precision': (None if self.precision is None
+                          else float(self.precision)),
+            'classes_out': [str(c) for c in self.classes_out],
+            'dir_audio': str(self.dir_audio),
+            'host_shard': (list(map(int, self.host_shard))
                            if self.host_shard is not None else None),
             'watch': self.watch_state is not None,
             'end_reason': reason,
             'ok': reason in HEALTHY_END_REASONS,
             'started': self.timer_total.time_start.isoformat(
                 sep=' ', timespec='seconds'),
-            'finished': datetime.now().isoformat(sep=' ',
-                                                 timespec='seconds'),
-            'wall_s': wall,
+            'finished': finished,
+            'wall_s': float(wall),
             'audio_seconds': round(audio_s, 2),
             'rate_realtime': round(audio_s / wall, 2) if wall > 0 else 0.0,
-            'chunks': self.coordinator.chunks_done,
-            'files_finalized': self.coordinator.files_finalized,
+            'chunks': int(self.coordinator.chunks_done),
+            'files_finalized': int(self.coordinator.files_finalized),
             'files_failed': sorted(self.coordinator.failed_streams),
         }
-        path = os.path.join(self.dir_out, cfg.FNAME_RUN_SUMMARY)
+        fname = cfg.FNAME_RUN_SUMMARY
+        if self.host_shard is not None:
+            stem, ext = os.path.splitext(fname)
+            fname = f'{stem}_host{self.host_shard[0]}{ext}'
+        path = os.path.join(self.dir_out, fname)
         tmp = path + '.tmp'
         try:
             os.makedirs(self.dir_out, exist_ok=True)
@@ -787,7 +814,7 @@ class Analyzer:
                 json.dump(record, f, indent=2)
                 f.write('\n')
             os.replace(tmp, path)
-        except OSError as e:
+        except Exception as e:
             try:
                 os.unlink(tmp)
             except OSError:
@@ -795,7 +822,8 @@ class Analyzer:
             # the logger worker is still up (callers summarize BEFORE
             # shutting it down), so this reaches the run log and console
             self.coordinator.q_log.put(AssignLog(
-                message=f'could not write {cfg.FNAME_RUN_SUMMARY}: {e}',
+                message=f'could not write {fname}: '
+                        f'{type(e).__name__}: {e}',
                 level_str='WARNING'))
 
     # --- run ------------------------------------------------------------------
@@ -812,6 +840,11 @@ class Analyzer:
     def _run(self):
         self._log_startup()
         self._launch_logger()
+        # start-of-run marker (end_reason 'running', ok false): a SIGKILL
+        # or power loss never reaches the end-path write below, and the
+        # PREVIOUS attempt's ok:true must not survive as this attempt's
+        # apparent outcome
+        self._write_run_summary(running=True)
 
         def shutdown_logger():
             self.coordinator.q_log.put(
@@ -819,9 +852,21 @@ class Analyzer:
             self.thread_logger.join()
 
         try:
+            self._run_body()
+        finally:
+            # EVERY in-process end path lands here — normal completion,
+            # early refusals, interrupts, and unexpected exceptions (which
+            # stamp 'crashed: <type>' and then propagate)
+            exc = sys.exc_info()[1]
+            crash = (f'crashed: {type(exc).__name__}'
+                     if exc is not None
+                     and self.coordinator.end_reason is None else None)
+            self._write_run_summary(crash_reason=crash)
+            shutdown_logger()
+
+    def _run_body(self):
+        try:
             if not self._check_manifest() or not self.queue_assignments():
-                self._write_run_summary()
-                shutdown_logger()
                 return
 
             for _ in range(self.coordinator.streamers_total):
@@ -873,8 +918,6 @@ class Analyzer:
                          f' ({audio_s:,.0f} audio-seconds, overall rate '
                          f'{rate:,.1f}x realtime)'),
                 level_str='INFO'))
-        self._write_run_summary()
-        shutdown_logger()
 
 
 def analyze(modelname: str,

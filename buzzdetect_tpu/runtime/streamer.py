@@ -154,6 +154,9 @@ class WorkerStreamer:
                             finalize_partial
                         finalize_partial(a_file.path_results_partial,
                                          a_file.path_results_complete)
+                        # counts in the run summary like any other
+                        # finalization — this run DID produce the file
+                        self.coordinator.record_finalized()
                         a_file.chunklist = []
                         return
 

@@ -105,6 +105,35 @@ def call_detections_file(path, threshold, classes=('ins_buzz',),
     return out
 
 
+def add_calibration_args(ap):
+    """The one shared definition of the offline-calling calibration flags
+    (--threshold/--precision/--recall) for the tools built on
+    :func:`call_detections_directory` — call_detections.py and
+    activity_report.py must not drift apart."""
+    ap.add_argument('--threshold', type=float, default=None,
+                    help='explicit activation threshold')
+    ap.add_argument('--precision', type=float, default=None,
+                    help='requested precision; the threshold comes from '
+                         'the model\'s metrics table')
+    ap.add_argument('--recall', type=float, default=None,
+                    help='requested recall floor ("miss at most this '
+                         'fraction of true events"): the most precise '
+                         'measured operating point still catching this '
+                         'fraction, from the model\'s metrics table')
+
+
+def check_calibration_args(ap, args):
+    """Enforce the calibration contract at the PARSER (clean error, not a
+    library traceback): exactly one of the three flags, recall in (0, 1]
+    — the only bound knowable without the metrics table."""
+    n_given = sum(x is not None
+                  for x in (args.threshold, args.precision, args.recall))
+    if n_given != 1:
+        ap.error('pass exactly one of --threshold, --precision or --recall')
+    if args.recall is not None and not 0.0 < args.recall <= 1.0:
+        ap.error(f'--recall must be in (0, 1], got {args.recall}')
+
+
 def _resolve_threshold(dir_results, threshold, precision, modelname,
                        recall=None):
     n_given = sum(x is not None for x in (threshold, precision, recall))

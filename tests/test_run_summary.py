@@ -126,6 +126,79 @@ def test_summary_write_failure_never_masks_the_run(patched, tmp_path,
     assert os.path.exists(os.path.join(dir_out, 'tone_buzzdetect.csv'))
 
 
+def test_summary_host_tagged_in_multi_host_runs(patched, tmp_path):
+    """Hosts share one dir_out (the host_shard deployment), so each must
+    write its OWN summary — a late healthy host clobbering an unhealthy
+    one's outcome would blind the supervisor to the unanalyzed shard."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    for host in (0, 1):
+        analyze(modelname='summodel', dir_audio=patched['audio'],
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+                host_shard=(host, 2))
+    assert not os.path.exists(os.path.join(dir_out, cfg.FNAME_RUN_SUMMARY))
+    for host in (0, 1):
+        with open(os.path.join(
+                dir_out, f'buzzdetect_run_summary_host{host}.json')) as f:
+            s = json.load(f)
+        assert s['host_shard'] == [host, 2] and s['ok'] is True
+
+
+def test_summary_running_marker_survives_a_kill(patched, tmp_path,
+                                                monkeypatch):
+    """SIGKILL/power loss never reach the end-path write; the start-of-run
+    marker (end_reason 'running', ok false) must already have replaced
+    the previous attempt's ok:true so it can't masquerade as this
+    attempt's outcome. Simulated in-process: a crash mid-run leaves
+    'crashed: <type>' via the finally; a kill BEFORE that leaves
+    'running' — both are not-ok."""
+    from buzzdetect_tpu import analysis as analysis_mod
+    dir_out = str(tmp_path / 'out')
+    kw = dict(modelname='summodel', dir_audio=patched['audio'],
+              dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    analysis_mod.analyze(**kw)
+    assert _read_summary(dir_out)['ok'] is True
+
+    # wipe the result so the rerun has real work, then crash it mid-run
+    os.remove(os.path.join(dir_out, 'tone_buzzdetect.csv'))
+
+    marker_seen = {}
+
+    def crashing_launch(self):
+        marker_seen['summary'] = _read_summary(dir_out)
+        raise RuntimeError('device fell off')
+
+    monkeypatch.setattr(analysis_mod.Analyzer, '_launch_writer',
+                        crashing_launch)
+    with pytest.raises(RuntimeError, match='device fell off'):
+        analysis_mod.analyze(**kw)
+    # at crash time the running marker had replaced the stale ok:true
+    assert marker_seen['summary']['end_reason'] == 'running'
+    assert marker_seen['summary']['ok'] is False
+    assert marker_seen['summary']['finished'] is None
+    # and the finally stamped the in-process crash on the way out
+    s = _read_summary(dir_out)
+    assert s['end_reason'] == 'crashed: RuntimeError' and s['ok'] is False
+
+
+def test_summary_counts_self_healed_finalization(patched, tmp_path):
+    """A rerun that self-heals a finished-but-never-finalized partial
+    (SIGKILL between the last append and finalize) produced a complete
+    result this run — files_finalized must say so."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    kw = dict(modelname='summodel', dir_audio=patched['audio'],
+              dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    analyze(**kw)
+    # un-finalize: a complete partial that never got promoted
+    os.rename(os.path.join(dir_out, 'tone_buzzdetect.csv'),
+              os.path.join(dir_out, 'tone_buzzpart.csv'))
+    analyze(**kw)
+    s = _read_summary(dir_out)
+    assert os.path.exists(os.path.join(dir_out, 'tone_buzzdetect.csv'))
+    assert s['files_finalized'] == 1 and s['ok'] is True
+
+
 def test_summary_each_watch_cycle(patched, tmp_path):
     from buzzdetect_tpu.analysis import analyze
     dir_out = str(tmp_path / 'out')

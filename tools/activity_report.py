@@ -27,16 +27,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--dir_results', required=True,
                     help='directory of archived results (CSV or trimmed)')
-    ap.add_argument('--threshold', type=float, default=None)
-    ap.add_argument('--precision', type=float, default=None,
-                    help='requested precision; threshold from the model '
-                         'metrics (manifest-resolved like call_detections)')
-    ap.add_argument('--recall', type=float, default=None,
-                    help='requested recall floor: the most precise '
-                         'measured operating point still catching this '
-                         'fraction of true events (abundance surveys '
-                         'prefer this dual — undercounting visits is '
-                         'worse than overcounting)')
+    from buzzdetect_tpu.write.detections import (add_calibration_args,
+                                                 check_calibration_args)
+    add_calibration_args(ap)
     ap.add_argument('--modelname', default=None)
     ap.add_argument('--classes', nargs='+', default=['ins_buzz'])
     ap.add_argument('--merge_gap', type=float, default=None)
@@ -62,13 +55,7 @@ def main():
                  f"(got {args.bin!r})")
     if bin_s <= 0:
         ap.error(f'--bin must be positive (got {args.bin!r})')
-    n_given = sum(x is not None
-                  for x in (args.threshold, args.precision, args.recall))
-    if n_given != 1:
-        # same parser-level contract as call_detections.py
-        ap.error('pass exactly one of --threshold, --precision or --recall')
-    if args.recall is not None and not 0.0 < args.recall <= 1.0:
-        ap.error(f'--recall must be in (0, 1], got {args.recall}')
+    check_calibration_args(ap, args)
 
     from buzzdetect_tpu.write.activity import (parse_ident_timestamp,
                                                bin_events,

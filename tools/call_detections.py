@@ -27,16 +27,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--dir_results', required=True,
                     help='directory of archived results (CSV or trimmed)')
-    ap.add_argument('--threshold', type=float, default=None,
-                    help='explicit activation threshold')
-    ap.add_argument('--precision', type=float, default=None,
-                    help='requested precision; the threshold comes from '
-                         'the model\'s metrics table')
-    ap.add_argument('--recall', type=float, default=None,
-                    help='requested recall floor ("miss at most this '
-                         'fraction of true events"): the most precise '
-                         'measured operating point still catching this '
-                         'fraction, from the model\'s metrics table')
+    from buzzdetect_tpu.write.detections import (add_calibration_args,
+                                                 check_calibration_args)
+    add_calibration_args(ap)
     ap.add_argument('--modelname', default=None,
                     help='model whose metrics calibrate --precision '
                          '(default: the results directory\'s manifest)')
@@ -66,14 +59,7 @@ def main():
                          'view the detector heard; 0 keeps the '
                          'recording\'s native rate (clips only)')
     args = ap.parse_args()
-    n_given = sum(x is not None
-                  for x in (args.threshold, args.precision, args.recall))
-    if n_given != 1:
-        # mirror the library's contract as a parser error, not a traceback
-        ap.error('pass exactly one of --threshold, --precision or --recall')
-    if args.recall is not None and not 0.0 < args.recall <= 1.0:
-        # the only calibration bound knowable without the metrics table
-        ap.error(f'--recall must be in (0, 1], got {args.recall}')
+    check_calibration_args(ap, args)
     if args.format != 'csv' and args.out is None:
         ap.error(f'--format {args.format} requires --out')
     if args.format == 'clips' and args.dir_audio is None:
