@@ -73,6 +73,8 @@ class AnalysisWindow(tk.Toplevel):
 
     # --- process lifecycle ---------------------------------------------------
     def launch_analysis(self):
+        import time
+        self._launched_at = time.time()
         ctx = multiprocessing.get_context('spawn')
         self.q_gui = ctx.Queue()
         self.event_stop = ctx.Event()
@@ -162,11 +164,64 @@ class AnalysisWindow(tk.Toplevel):
             # keep polling until it stays empty for a few cycles
             self._dead_polls += 1
             if self._dead_polls > 3:
+                self._append_outcome()
                 self.btn_stop.configure(state='disabled')
                 self.btn_rerun.configure(state='normal')
                 return
         self._poll_handle = self.after(gui_cfg.POLL_INTERVAL_MS,
                                        self.poll_queue)
+
+    def _append_outcome(self):
+        """One structured line once the child is done: the run summary's
+        outcome, colored by its ok flag — after a long run the decisive
+        log lines are buried under thousands of PROGRESS rows, and a
+        child that died without logging (OOM-killed) leaves the box
+        trailing off mid-progress with no verdict at all."""
+        import json
+        import os
+
+        from buzzdetect_tpu import config as cfg
+        dir_out = self.analyze_kwargs.get('dir_out')
+        if not dir_out:
+            return
+        try:
+            with open(os.path.join(dir_out, cfg.FNAME_RUN_SUMMARY)) as f:
+                s = json.load(f)
+        except Exception:
+            return  # pre-run crash: its traceback is already in the box
+        try:
+            # a child that crashed BEFORE the Analyzer existed wrote no
+            # marker; the file then belongs to a PREVIOUS attempt and
+            # reporting it as this run's outcome would contradict the
+            # traceback above it (5 s slack: the summary stamps its
+            # 'started' at Analyzer init, shortly after process spawn)
+            from datetime import datetime
+            started = datetime.fromisoformat(s['started']).timestamp()
+            if started < self._launched_at - 5:
+                return
+        except (KeyError, ValueError, TypeError):
+            pass  # unparseable: report rather than silently drop
+        from buzzdetect_tpu.runtime.assignments import AssignLog
+        failed = s.get('files_failed') or []
+        if s.get('end_reason') == 'running':
+            # the start-of-run marker was never replaced: the child died
+            # without reaching any end path (killed, OOM)
+            msg = ('[run summary] the analysis process exited without '
+                   'finishing (killed?); finished chunks are saved — '
+                   'rerun to resume')
+            level = 'ERROR'
+        else:
+            level = ('WARNING' if failed else 'INFO') if s.get('ok') \
+                else 'ERROR'
+            names = ', '.join(failed[:5]) + (', ...' if len(failed) > 5
+                                             else '')
+            msg = (f"[run summary] {s.get('end_reason')}: "
+                   f"{s.get('files_finalized', 0)} file(s) finalized, "
+                   f"{len(failed)} failed"
+                   + (f' ({names})' if failed else '')
+                   + f"; {s.get('audio_seconds', 0):,.0f} audio-seconds "
+                     f"at {s.get('rate_realtime', 0):g}x realtime")
+        self._append(AssignLog(message=msg, level_str=level))
 
     def _append(self, a_log):
         self.textbox.configure(state='normal')

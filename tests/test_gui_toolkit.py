@@ -150,6 +150,8 @@ def test_full_run_stop_rerun_cycle(gui, env, tmp_path):
     assert _pump_until(gui, lambda: awin.btn_rerun.kw.get('state') == 'normal')
     text = awin.textbox.get_text()
     assert 'Analysis complete' in text
+    # the structured outcome line from buzzdetect_run_summary.json
+    assert '[run summary] completed: 1 file(s) finalized, 0 failed' in text
     assert awin.btn_stop.kw.get('state') == 'disabled'
     assert os.path.exists(os.path.join(str(tmp_path / 'out'),
                                        'tone_buzzdetect.csv'))
