@@ -58,6 +58,7 @@ class Analyzer:
                  model=None,
                  replica_models=None,
                  watch_state: dict = None,
+                 watch_cycle: int = None,
                  quiet_startup: bool = False,
                  path_log: str = None,
                  alert_classes=None,
@@ -93,6 +94,7 @@ class Analyzer:
         # mapping audio path -> os.stat signature, used to re-examine
         # finalized files only when the recording actually changed on disk
         self.watch_state = watch_state
+        self.watch_cycle = watch_cycle
         self.quiet_startup = quiet_startup
         self.path_log = path_log
 
@@ -790,6 +792,11 @@ class Analyzer:
             'host_shard': (list(map(int, self.host_shard))
                            if self.host_shard is not None else None),
             'watch': self.watch_state is not None,
+            # which polling pass this file describes (they all replace the
+            # same path, so without the counter a supervisor can't tell a
+            # fresh pass from a wedged watcher re-reporting pass 1)
+            'watch_cycle': (None if self.watch_cycle is None
+                            else int(self.watch_cycle)),
             'end_reason': reason,
             'ok': reason in HEALTHY_END_REASONS,
             'started': self.timer_total.time_start.isoformat(
@@ -1162,6 +1169,7 @@ def analyze(modelname: str,
     state, cycles, analyzer, path_log = {}, 0, None, None
     while not stop.is_set():
         analyzer = one_pass(event=threading.Event(), watch_state=state,
+                            watch_cycle=cycles + 1,
                             quiet_startup=cycles > 0, path_log=path_log,
                             **shared)
         # every cycle appends to the first cycle's log file (the Analyzer

@@ -207,3 +207,5 @@ def test_summary_each_watch_cycle(patched, tmp_path):
             watch=True, watch_interval=0.0, watch_cycles=2)
     s = _read_summary(dir_out)
     assert s['watch'] is True and s['ok'] is True
+    # each pass replaces the file; the counter says which one this is
+    assert s['watch_cycle'] == 2
