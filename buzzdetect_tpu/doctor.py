@@ -3,8 +3,16 @@
 Verifies everything an analysis run needs — the accelerator, the native
 decode stage, the model bundle, and a tiny end-to-end inference — and prints
 one line per check so field deployments can triage quickly.
+
+``--json`` emits one machine-readable object instead (schema
+``buzzdetect_doctor/1``: overall ``ok``, per-check results, warnings), the
+fleet-health counterpart of the run's ``buzzdetect_run_summary.json`` — a
+supervisor probing N field boxes parses this instead of scraping the human
+lines. The exit code is the same contract in both modes (0 = all checks
+passed).
 """
 
+import json
 import os
 import sys
 import traceback
@@ -22,23 +30,54 @@ def _backend_reachable(timeout: float):
     return backend_preflight(timeout, code=_PREFLIGHT_CODE)
 
 
-def _check(name, fn):
+def _check(name, fn, results, quiet=False):
     try:
         detail = fn()
-        print(f'  [ok]   {name}' + (f' — {detail}' if detail else ''))
+        if not quiet:
+            print(f'  [ok]   {name}' + (f' — {detail}' if detail else ''))
+        results.append({'name': name, 'ok': True, 'detail': detail or ''})
         return True
     except Exception as e:
-        print(f'  [FAIL] {name} — {e.__class__.__name__}: {e}')
-        if os.environ.get('BUZZDETECT_DOCTOR_TRACE'):
-            traceback.print_exc()
+        err = f'{e.__class__.__name__}: {e}'
+        if not quiet:
+            print(f'  [FAIL] {name} — {err}')
+            if os.environ.get('BUZZDETECT_DOCTOR_TRACE'):
+                traceback.print_exc()
+        results.append({'name': name, 'ok': False, 'error': err})
         return False
 
 
-def main(modelname: str = None):
+def _skip(name, why, results, quiet=False):
+    if not quiet:
+        print(f'  [skip] {name} — {why}')
+    results.append({'name': name, 'ok': None, 'skipped': True,
+                    'detail': why})
+
+
+def main(modelname: str = None, json_mode: bool = False):
     from buzzdetect_tpu import config as cfg
     modelname = modelname or cfg.DEFAULT_MODEL
-    print('buzzdetect-tpu doctor')
+    results, warnings_out = [], []
+    if not json_mode:
+        print('buzzdetect-tpu doctor')
     ok = True
+
+    def finish():
+        if json_mode:
+            print(json.dumps({
+                'schema': 'buzzdetect_doctor/1',
+                'modelname': modelname,
+                'ok': ok,
+                'warnings': warnings_out,
+                'checks': results,
+            }))
+        elif not ok:
+            print('SOME CHECKS FAILED')
+        elif warnings_out:
+            print('all checks passed — WITH WARNINGS (see above)')
+        else:
+            print('all checks passed')
+        return 0 if ok else 1
 
     # importing the classifier applies the JAX_PLATFORMS pin before any
     # check initializes a backend (the image's preloaded TPU plugin would
@@ -49,17 +88,22 @@ def main(modelname: str = None):
     def check_import():
         import buzzdetect_tpu.models.classifier  # noqa: F401
         return 'jax + classifier importable'
-    if not _check('jax import', check_import):
-        print('cannot continue without jax; set BUZZDETECT_DOCTOR_TRACE=1 '
-              'for the full traceback')
-        return 1
+    if not _check('jax import', check_import, results, json_mode):
+        ok = False
+        if not json_mode:
+            print('cannot continue without jax; set BUZZDETECT_DOCTOR_TRACE=1 '
+                  'for the full traceback')
+        return finish()
 
     try:
         timeout_s = float(os.environ.get('BUZZDETECT_DOCTOR_TIMEOUT', '60'))
     except ValueError:
         # the triage tool must not die on a malformed env var before it
         # has diagnosed anything
-        print('WARN  BUZZDETECT_DOCTOR_TIMEOUT is not a number; using 60')
+        if not json_mode:
+            print('WARN  BUZZDETECT_DOCTOR_TIMEOUT is not a number; using 60')
+        warnings_out.append('BUZZDETECT_DOCTOR_TIMEOUT is not a number; '
+                            'used 60')
         timeout_s = 60.0
     reachable, why = _backend_reachable(timeout_s)
     if reachable:
@@ -67,24 +111,25 @@ def main(modelname: str = None):
             import jax
             devs = jax.devices()
             return f'{len(devs)} device(s): {devs[0].platform} {devs[0]}'
-        ok &= _check('jax backend', check_jax)
+        ok &= _check('jax backend', check_jax, results, json_mode)
     else:
         ok = False
-        print(f'  [FAIL] jax backend — {why}')
-        print('         skipping device-bound checks; host-side checks '
-              'continue below.\n'
-              '         To doctor the host stack alone: '
-              'JAX_PLATFORMS=cpu python -m buzzdetect_tpu.doctor')
+        results.append({'name': 'jax backend', 'ok': False, 'error': why})
+        if not json_mode:
+            print(f'  [FAIL] jax backend — {why}')
+            print('         skipping device-bound checks; host-side checks '
+                  'continue below.\n'
+                  '         To doctor the host stack alone: '
+                  'JAX_PLATFORMS=cpu python -m buzzdetect_tpu.doctor')
 
     def check_decoder():
         from buzzdetect_tpu.audio.ffi import get_lib
         get_lib()
         return 'libbuzz_decode.so loaded'
-    ok &= _check('native decoder (libav)', check_decoder)
+    ok &= _check('native decoder (libav)', check_decoder, results, json_mode)
 
     def check_decode_roundtrip():
         import tempfile
-        import numpy as np
         from buzzdetect_tpu.audio.ffi import encode_fixture
         from buzzdetect_tpu.audio import build_track
         with tempfile.TemporaryDirectory() as d:
@@ -94,14 +139,15 @@ def main(modelname: str = None):
             n = len(t.read(16000))
             t.close()
         return f'mp3 encode/decode round-trip ({n} samples)'
-    ok &= _check('codec round-trip', check_decode_roundtrip)
+    ok &= _check('codec round-trip', check_decode_roundtrip, results,
+                 json_mode)
 
     def check_model():
         from buzzdetect_tpu.models.registry import load_model
         model = load_model(modelname, initialize=False)
         return (f'{modelname}: {len(model.config["classes"])} classes, '
                 f'embedder {model.embeddername}')
-    ok &= _check('model bundle', check_model)
+    ok &= _check('model bundle', check_model, results, json_mode)
 
     def check_inference():
         import numpy as np
@@ -119,51 +165,56 @@ def main(modelname: str = None):
                  if clf is not None else '')
         return f'1 s inference -> {out.shape} scores{knobs}'
     if reachable:
-        ok &= _check('end-to-end inference', check_inference)
+        ok &= _check('end-to-end inference', check_inference, results,
+                     json_mode)
     else:
-        print('  [skip] end-to-end inference — backend unreachable')
+        _skip('end-to-end inference', 'backend unreachable', results,
+              json_mode)
 
     def check_threshold():
         from buzzdetect_tpu.write.thresholds import calculate_threshold
         thr = calculate_threshold(modelname, 0.95)
         return f'precision 0.95 -> threshold {thr:.3f}'
-    ok &= _check('threshold calibration (metrics table)', check_threshold)
+    ok &= _check('threshold calibration (metrics table)', check_threshold,
+                 results, json_mode)
 
-    warned = weights_warning(modelname)
+    warning = weights_warning(modelname, quiet=json_mode)
+    if warning:
+        warnings_out.append(warning)
 
-    if not ok:
-        print('SOME CHECKS FAILED')
-    elif warned:
-        print('all checks passed — WITH WARNINGS (see above)')
-    else:
-        print('all checks passed')
-    return 0 if ok else 1
+    return finish()
 
 
-def weights_warning(modelname) -> bool:
+def weights_warning(modelname, quiet=False):
     """WARN when the bundle's provenance says the embedder is untrained.
 
     A seeded-init embedder makes every downstream number (activations,
     detections, calibrated thresholds) semantically meaningless even though
     the pipeline is numerically healthy — a green doctor without this
-    warning would be a false 'ready for the field' light."""
+    warning would be a false 'ready for the field' light.
+
+    Returns the warning text (for the JSON record), or None."""
     try:
         from buzzdetect_tpu.models.registry import load_model
         model = load_model(modelname, initialize=False)
         provenance = model.config.get('provenance', '')
     except Exception:
-        return False
+        return None
     if 'seeded init' not in provenance:
-        return False
-    print(f'  [WARN] UNTRAINED WEIGHTS — bundle provenance says: '
-          f'"{provenance}".\n'
-          f'         Scores and detections from this bundle are NOT '
-          f'meaningful; install pretrained\n'
-          f'         weights (tools/fetch_yamnet_weights.py) before field '
-          f'use. The packed metrics\n'
-          f'         table describes the reference model, not this bundle.')
-    return True
+        return None
+    if not quiet:
+        print(f'  [WARN] UNTRAINED WEIGHTS — bundle provenance says: '
+              f'"{provenance}".\n'
+              f'         Scores and detections from this bundle are NOT '
+              f'meaningful; install pretrained\n'
+              f'         weights (tools/fetch_yamnet_weights.py) before field '
+              f'use. The packed metrics\n'
+              f'         table describes the reference model, not this bundle.')
+    return f'UNTRAINED WEIGHTS — bundle provenance: {provenance}'
 
 
 if __name__ == '__main__':
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else None))
+    argv = sys.argv[1:]
+    as_json = '--json' in argv
+    names = [a for a in argv if not a.startswith('--')]
+    sys.exit(main(names[0] if names else None, json_mode=as_json))

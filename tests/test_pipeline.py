@@ -457,6 +457,26 @@ def test_doctor_all_checks_pass(patched_models, monkeypatch, capsys):
     assert 'WITH WARNINGS' in out
 
 
+def test_doctor_json_mode(patched_models, capsys):
+    """--json emits ONE machine-readable object (fleet-health counterpart
+    of the run summary) with the same exit-code contract; human lines are
+    suppressed so the output parses as-is."""
+    from buzzdetect_tpu import doctor
+    ret = doctor.main('testmodel', json_mode=True)
+    out = capsys.readouterr().out
+    rec = json.loads(out)  # the whole stdout must be the one JSON object
+    assert ret == 0
+    assert rec['schema'] == 'buzzdetect_doctor/1'
+    assert rec['ok'] is True
+    names = {c['name'] for c in rec['checks']}
+    assert {'jax import', 'jax backend', 'native decoder (libav)',
+            'codec round-trip', 'model bundle', 'end-to-end inference',
+            'threshold calibration (metrics table)'} <= names
+    assert all(c['ok'] for c in rec['checks'] if not c.get('skipped'))
+    # the seeded-init bundle must surface in warnings, not vanish
+    assert any('UNTRAINED WEIGHTS' in w for w in rec['warnings'])
+
+
 def test_resume_reference_written_partial(patched_models, tmp_path):
     """Result folders written by the REFERENCE implementation must be
     resumable: its pandas-written partials carry full-precision floats and
