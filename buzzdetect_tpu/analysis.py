@@ -31,6 +31,23 @@ def run_worker(workerclass, **kwargs):
     worker()
 
 
+def _pid_alive(pid) -> bool:
+    """Is a process with this pid running on THIS machine? (signal 0 —
+    EPERM still means alive.) Non-numeric pids read as alive: refusing is
+    the safe direction for a lock we cannot attribute."""
+    try:
+        pid = int(pid)
+    except (TypeError, ValueError):
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 class Analyzer:
     """Audio-analysis orchestrator: wires the model, the coordinator, and the
     worker threads together and runs one analysis to completion."""
@@ -735,6 +752,91 @@ class Analyzer:
             f.write('\n'.join([header] + rows) + '\n')
         os.remove(a.path_results_complete)
 
+    def _lock_path(self):
+        fname = cfg.FNAME_LOCK
+        if self.host_shard is not None:
+            # hosts legitimately share dir_out (disjoint file shards), so
+            # each locks only against a second run of ITS OWN shard — the
+            # same per-host tagging as the log and the run summary
+            fname = f'{fname}_host{self.host_shard[0]}'
+        return os.path.join(self.dir_out, fname)
+
+    def _acquire_lock(self) -> bool:
+        """Claim dir_out for this run, or refuse loudly.
+
+        TWO live runs appending into the same output folder interleave
+        buffered rows in the partial CSVs — parseable-but-wrong data the
+        torn-row guards (built for KILLED writers, not live ones) cannot
+        detect. The reference has no guard here; this one is
+        liveness-checked so a SIGKILLed run's stale lock self-heals:
+
+        * O_EXCL creation is the claim (atomic on local filesystems and
+          modern NFS);
+        * an existing lock from THIS host whose pid is dead is stale —
+          removed and re-claimed (one retry: losing the re-claim race
+          means someone live got there first);
+        * an existing lock from another host can't be liveness-checked,
+          so it refuses with the owner's identity and what to do.
+
+        On refusal the run ends with end_reason 'already running' and —
+        deliberately — writes NO run summary: the folder's summary marker
+        belongs to the live owner, and clobbering it would corrupt the
+        telemetry of the run that actually holds the lock.
+        """
+        import json
+        import socket
+        path = self._lock_path()
+        me = {'pid': os.getpid(), 'host': socket.gethostname(),
+              'started': self.timer_total.time_start.isoformat(
+                  sep=' ', timespec='seconds')}
+        for attempt in (0, 1):
+            try:
+                os.makedirs(self.dir_out, exist_ok=True)
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, 'w') as f:
+                    json.dump(me, f)
+                self._lock_held = True
+                return True
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        owner = json.load(f)
+                except Exception:
+                    # unreadable/corrupt lock: its writer died mid-json
+                    # (crash between O_EXCL and dump) — stale by definition
+                    owner = None
+                stale = (owner is None
+                         or (owner.get('host') == me['host']
+                             and not _pid_alive(owner.get('pid'))))
+                if stale and attempt == 0:
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass
+                    continue  # re-claim; a live racer wins the O_EXCL
+                who = (f"pid {owner.get('pid')} on {owner.get('host')}, "
+                       f"started {owner.get('started')}"
+                       if owner else 'unreadable lock')
+                self.coordinator.exit_analysis(ExitSignal(
+                    message=(f'another analysis ({who}) is already writing '
+                             f'into {self.dir_out}; two live runs would '
+                             f'interleave rows in the same result files. '
+                             f'Wait for it, stop it, or — if you are '
+                             f'CERTAIN it is dead (a crashed run on '
+                             f'another machine) — delete {path} and '
+                             f'rerun.'),
+                    level='ERROR', end_reason='already running'))
+                return False
+        return False
+
+    def _release_lock(self):
+        if getattr(self, '_lock_held', False):
+            try:
+                os.unlink(self._lock_path())
+            except OSError:
+                pass
+            self._lock_held = False
+
     def _write_run_summary(self, running=False, crash_reason=None):
         """Machine-readable run outcome: ``buzzdetect_run_summary.json``
         in dir_out, atomically replaced at run START and on EVERY end
@@ -847,16 +949,22 @@ class Analyzer:
     def _run(self):
         self._log_startup()
         self._launch_logger()
-        # start-of-run marker (end_reason 'running', ok false): a SIGKILL
-        # or power loss never reaches the end-path write below, and the
-        # PREVIOUS attempt's ok:true must not survive as this attempt's
-        # apparent outcome
-        self._write_run_summary(running=True)
 
         def shutdown_logger():
             self.coordinator.q_log.put(
                 AssignLog(message='', level_str='INFO', terminate=True))
             self.thread_logger.join()
+
+        # the lock comes BEFORE the summary marker: when another run owns
+        # this folder, writing our marker would clobber ITS telemetry
+        if not self._acquire_lock():
+            shutdown_logger()
+            return
+        # start-of-run marker (end_reason 'running', ok false): a SIGKILL
+        # or power loss never reaches the end-path write below, and the
+        # PREVIOUS attempt's ok:true must not survive as this attempt's
+        # apparent outcome
+        self._write_run_summary(running=True)
 
         try:
             self._run_body()
@@ -869,6 +977,7 @@ class Analyzer:
                      if exc is not None
                      and self.coordinator.end_reason is None else None)
             self._write_run_summary(crash_reason=crash)
+            self._release_lock()
             shutdown_logger()
 
     def _run_body(self):

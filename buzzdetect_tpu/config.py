@@ -28,6 +28,7 @@ FNAME_METRICS = 'metrics.csv'
 
 # --- results --------------------------------------------------------------
 FNAME_RUN_SUMMARY = 'buzzdetect_run_summary.json'
+FNAME_LOCK = '.buzzdetect_lock'
 SUFFIX_RESULT_COMPLETE = '_buzzdetect.csv'
 SUFFIX_RESULT_PARTIAL = '_buzzpart.csv'
 PREFIX_COLUMN_ACTIVATION = 'activation_'

@@ -1,0 +1,144 @@
+"""Concurrent-run lock: two LIVE runs must never share an output folder.
+
+Interleaved buffered appends from two live writers produce
+parseable-but-wrong rows the torn-row guards (built for killed writers)
+cannot detect — so the second run refuses up front. The lock is
+liveness-checked: SIGKILL debris self-heals, a live owner refuses, a
+foreign host (liveness unknowable) refuses with instructions.
+"""
+
+import json
+import os
+
+import pytest
+
+from buzzdetect_tpu import config as cfg
+from buzzdetect_tpu.models.convert import build_model_bundle
+from tests.audio_fixtures import make_tone, write_wav
+
+CLASSES = ['ins_buzz', 'ambient_noise']
+DEAD_PID = 2 ** 22 + 12345  # beyond default pid_max; never a live process
+
+
+@pytest.fixture(scope='module')
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp('lockenv')
+    build_model_bundle(str(root / 'models' / 'lockmodel'), classes=CLASSES,
+                       seed=5)
+    dir_audio = root / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'tone.wav', make_tone(2.0, 16000, 220), 16000)
+    return {'models': str(root / 'models'), 'audio': str(dir_audio)}
+
+
+@pytest.fixture()
+def patched(env, monkeypatch):
+    monkeypatch.setattr(cfg, 'DIR_MODELS', env['models'])
+    return env
+
+
+def _kw(patched, dir_out):
+    return dict(modelname='lockmodel', dir_audio=patched['audio'],
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+
+
+def _write_lock(dir_out, pid, host, name=None):
+    os.makedirs(dir_out, exist_ok=True)
+    path = os.path.join(dir_out, name or cfg.FNAME_LOCK)
+    with open(path, 'w') as f:
+        json.dump({'pid': pid, 'host': host, 'started': 'x'}, f)
+    return path
+
+
+def test_live_lock_refuses_and_preserves_owner_state(patched, tmp_path):
+    """A live same-host owner refuses the second run — and the refused
+    run must not touch the owner's lock or its summary marker."""
+    import socket
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    path = _write_lock(dir_out, os.getpid(), socket.gethostname())
+    before = open(path).read()
+
+    a = analyze(**_kw(patched, dir_out))
+    assert a.coordinator.end_reason == 'already running'
+    assert open(path).read() == before, 'refused run modified the lock'
+    assert not os.path.exists(os.path.join(dir_out, cfg.FNAME_RUN_SUMMARY)), \
+        'refused run clobbered the live owner\'s summary'
+    assert not os.path.exists(
+        os.path.join(dir_out, 'tone_buzzdetect.csv'))
+
+
+def test_stale_same_host_lock_self_heals(patched, tmp_path):
+    """SIGKILL debris: same host, dead pid — reclaim and run."""
+    import socket
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    _write_lock(dir_out, DEAD_PID, socket.gethostname())
+    a = analyze(**_kw(patched, dir_out))
+    assert a.coordinator.end_reason == 'completed'
+    assert not os.path.exists(os.path.join(dir_out, cfg.FNAME_LOCK)), \
+        'lock not released after completion'
+
+
+def test_corrupt_lock_is_stale(patched, tmp_path):
+    """A crash between O_EXCL and the json dump leaves garbage: stale."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    os.makedirs(dir_out)
+    with open(os.path.join(dir_out, cfg.FNAME_LOCK), 'w') as f:
+        f.write('\x00garbage')
+    a = analyze(**_kw(patched, dir_out))
+    assert a.coordinator.end_reason == 'completed'
+
+
+def test_foreign_host_lock_refuses(patched, tmp_path):
+    """Another machine's lock can't be liveness-checked — refuse with the
+    owner's identity and manual instructions, even if ITS pid happens to
+    be dead here."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    _write_lock(dir_out, DEAD_PID, 'some-other-fieldbox')
+    a = analyze(**_kw(patched, dir_out))
+    assert a.coordinator.end_reason == 'already running'
+
+
+def test_host_shard_locks_are_disjoint(patched, tmp_path):
+    """Hosts legitimately share dir_out: host 0's (live) lock must not
+    block host 1's shard."""
+    import socket
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    _write_lock(dir_out, os.getpid(), socket.gethostname(),
+                name=cfg.FNAME_LOCK + '_host0')
+    a = analyze(host_shard=(1, 2), **_kw(patched, dir_out))
+    assert a.coordinator.end_reason in ('completed', 'fully analyzed')
+    assert not os.path.exists(
+        os.path.join(dir_out, cfg.FNAME_LOCK + '_host1'))
+    # and a second host-1 run against a live host-1 lock refuses
+    _write_lock(dir_out, os.getpid(), socket.gethostname(),
+                name=cfg.FNAME_LOCK + '_host1')
+    a = analyze(host_shard=(1, 2), **_kw(patched, dir_out))
+    assert a.coordinator.end_reason == 'already running'
+
+
+def test_lock_released_on_crash(patched, tmp_path, monkeypatch):
+    """The finally releases the lock even when the run loop raises — an
+    in-process crash must not wedge the folder until manual cleanup."""
+    from buzzdetect_tpu import analysis as analysis_mod
+    dir_out = str(tmp_path / 'out')
+
+    def boom(self):
+        raise RuntimeError('upload failed')
+    monkeypatch.setattr(analysis_mod.Analyzer, '_launch_writer', boom)
+    with pytest.raises(RuntimeError):
+        analysis_mod.analyze(**_kw(patched, dir_out))
+    assert not os.path.exists(os.path.join(dir_out, cfg.FNAME_LOCK))
+
+
+def test_watch_cycles_reacquire_cleanly(patched, tmp_path):
+    """Per-pass acquire/release across watch cycles; nothing left behind."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(watch=True, watch_interval=0.0, watch_cycles=3,
+            **_kw(patched, dir_out))
+    assert not os.path.exists(os.path.join(dir_out, cfg.FNAME_LOCK))
