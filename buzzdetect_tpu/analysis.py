@@ -22,7 +22,7 @@ from buzzdetect_tpu.runtime.inferer import WorkerInferer
 from buzzdetect_tpu.runtime.logger import WorkerLogger
 from buzzdetect_tpu.runtime.streamer import WorkerStreamer
 from buzzdetect_tpu.runtime.writer import WorkerWriter
-from buzzdetect_tpu.utils import Timer, get_ext, search_dir
+from buzzdetect_tpu.utils import Timer, get_ext, pid_alive, search_dir
 from buzzdetect_tpu.write.thresholds import calculate_threshold
 
 
@@ -31,21 +31,6 @@ def run_worker(workerclass, **kwargs):
     worker()
 
 
-def _pid_alive(pid) -> bool:
-    """Is a process with this pid running on THIS machine? (signal 0 —
-    EPERM still means alive.) Non-numeric pids read as alive: refusing is
-    the safe direction for a lock we cannot attribute."""
-    try:
-        pid = int(pid)
-    except (TypeError, ValueError):
-        return True
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
 
 
 class Analyzer:
@@ -807,7 +792,7 @@ class Analyzer:
                     owner = None
                 stale = (owner is None
                          or (owner.get('host') == me['host']
-                             and not _pid_alive(owner.get('pid'))))
+                             and not pid_alive(owner.get('pid'))))
                 if stale and attempt == 0:
                     try:
                         os.unlink(path)

@@ -184,6 +184,15 @@ class SettingsModel:
                                    'unreadable — their settings cannot '
                                    'be verified; repair/restore the '
                                    'manifest or pick a fresh folder')
+        # Live run lock: analyze() will refuse admission while another
+        # run owns the folder — fail inline, not after the child launches.
+        if name == 'dir_out':
+            owner = self._live_lock()
+            if owner is not None:
+                return ArgValid(False,
+                                f'another analysis (pid {owner.get("pid")} '
+                                f'on {owner.get("host")}) is writing into '
+                                f'this folder; wait for it or stop it')
         return result
 
     def validate_all(self):
@@ -261,6 +270,39 @@ class SettingsModel:
             self._orphan_cache = bool(find_orphan_results(
                 path, limit=1, max_entries=4000))
         return self._orphan_cache
+
+    def _live_lock(self):
+        """The owning run's lock record when the resolved output folder is
+        claimed by a LIVE analysis (analyze() refuses admission then),
+        else None. The file READ is cached by the lock's stat signature
+        (per-keystroke like the checks above) but liveness is re-checked
+        on every call — a cheap signal-0 — so an owner that dies without
+        touching the file unblocks the form immediately, not on the next
+        mtime change."""
+        from buzzdetect_tpu import config as cfg
+        path = os.path.join(self.resolved_dir_out(), cfg.FNAME_LOCK)
+        try:
+            st = os.stat(path)
+            sig = (path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+        if getattr(self, '_lock_sig', None) != sig:
+            self._lock_sig = sig
+            import json
+            try:
+                with open(path) as f:
+                    self._lock_cache = json.load(f)
+            except Exception:
+                # corrupt lock = crashed owner; analyze() self-heals it
+                self._lock_cache = None
+        rec = self._lock_cache
+        if rec is None:
+            return None
+        import socket
+        from buzzdetect_tpu.utils import pid_alive
+        if rec.get('host') != socket.gethostname():
+            return rec  # liveness unknowable across machines: refuse-side
+        return rec if pid_alive(rec.get('pid')) else None
 
     def apply_manifest_lock(self):
         """Adopt locked values from the existing manifest into the form.

@@ -136,6 +136,23 @@ def build_ident(path: str, root_dir: str, tag: str = None) -> str:
     return ident
 
 
+def pid_alive(pid) -> bool:
+    """Is a process with this pid running on THIS machine? (signal 0 —
+    EPERM still means alive.) Non-numeric pids read as alive: refusing is
+    the safe direction for a run lock we cannot attribute."""
+    try:
+        pid = int(pid)
+    except (TypeError, ValueError):
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def write_wav(path, samples, rate: int = 16000):
     """Write float samples in [-1, 1] as a 16-bit mono WAV (stdlib only).
 

@@ -116,6 +116,40 @@ def test_orphan_check_cache_notices_cleanup(tmp_path):
     assert m.validate_field('dir_out').valid
 
 
+def test_live_run_lock_fails_dir_out_inline(tmp_path):
+    """analyze() refuses a folder another LIVE run owns — the form must
+    fail the field inline; a dead owner's debris must NOT block it (the
+    run-time guard self-heals that), re-checked per call even when the
+    file is unchanged."""
+    import json
+    import socket
+
+    from buzzdetect_tpu import config as cfg
+
+    d = tmp_path / 'out'
+    d.mkdir()
+    lock = d / cfg.FNAME_LOCK
+    lock.write_text(json.dumps({'pid': 1, 'host': socket.gethostname(),
+                                'started': 'x'}))
+    m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
+    m.values['dir_out'] = str(d)
+    res = m.validate_field('dir_out')
+    assert not res.valid and 'another analysis' in res.message
+
+    # same file, dead pid: the run-time guard will self-heal — unblock
+    lock.write_text(json.dumps({'pid': 2 ** 22 + 999, 'host':
+                                socket.gethostname(), 'started': 'x'}))
+    assert m.validate_field('dir_out').valid
+
+    # a foreign host's lock is unknowable: refuse-side
+    lock.write_text(json.dumps({'pid': 2 ** 22 + 999,
+                                'host': 'other-box', 'started': 'x'}))
+    assert not m.validate_field('dir_out').valid
+
+    lock.unlink()
+    assert m.validate_field('dir_out').valid
+
+
 def test_analyze_kwargs_classes_parsing(tmp_path):
     m = SettingsModel(path_cache=str(tmp_path / 'g.json'))
     m.values['classes_out'] = 'ins_buzz, human'
