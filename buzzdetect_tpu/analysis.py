@@ -895,6 +895,8 @@ class Analyzer:
             'chunks': int(self.coordinator.chunks_done),
             'files_finalized': int(self.coordinator.files_finalized),
             'files_failed': sorted(self.coordinator.failed_streams),
+            # final notification-hook counters (None without alert_command)
+            'alerts': getattr(self.coordinator, 'alert_stats', None),
         }
         fname = cfg.FNAME_RUN_SUMMARY
         if self.host_shard is not None:

@@ -116,6 +116,9 @@ class Coordinator:
         self.end_reason = None
         self.chunks_done = 0
         self.files_finalized = 0
+        # set once by the writer at alert-runner close (final counters);
+        # None when the run had no alert_command
+        self.alert_stats = None
         # aggregate progress (audio-seconds landed in result files)
         self.audio_seconds_done = 0.0
 

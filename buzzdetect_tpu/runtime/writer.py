@@ -327,6 +327,15 @@ class WorkerWriter:
                     self.alert_runner.close()
                 except Exception:
                     pass  # never let notification teardown mask the exit
+                # after close the counters are final — hand them to the
+                # coordinator for the machine-readable run summary (the
+                # log lines above are the human copy)
+                r = self.alert_runner
+                self.coordinator.alert_stats = {
+                    'launched': int(r._launched),
+                    'failures': int(r._failures),
+                    'dropped': int(r._dropped),
+                }
             self.coordinator.worker_exited('writer')
 
     def _run(self):

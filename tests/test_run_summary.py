@@ -199,6 +199,25 @@ def test_summary_counts_self_healed_finalization(patched, tmp_path):
     assert s['files_finalized'] == 1 and s['ok'] is True
 
 
+def test_summary_alert_stats(patched, tmp_path):
+    """With a notification hook the summary carries the final dispatch
+    counters (the log lines are the human copy); without one it's null."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='summodel', dir_audio=patched['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+            alert_classes='ins_buzz', alert_threshold=-1e9,
+            alert_command='true')
+    s = _read_summary(dir_out)
+    assert s['alerts'] is not None and s['alerts']['launched'] >= 1
+    assert s['alerts']['failures'] == 0
+
+    d2 = str(tmp_path / 'out2')
+    analyze(modelname='summodel', dir_audio=patched['audio'],
+            dir_out=d2, chunklength=2.0, verbosity_print='ERROR')
+    assert _read_summary(d2)['alerts'] is None
+
+
 def test_summary_each_watch_cycle(patched, tmp_path):
     from buzzdetect_tpu.analysis import analyze
     dir_out = str(tmp_path / 'out')
