@@ -40,8 +40,30 @@ def _start_host_copy(results):
         pass
 
 
+def _describe_execution_target(model) -> str:
+    """Name where this worker's dispatches actually execute — the pinned
+    device in replica mode, the mesh devices under mesh= sharding, else the
+    ambient JAX backend. Plugin models without JAX report 'plugin model'."""
+    device = getattr(model, 'device', None)
+    if device is not None:
+        return str(device)
+    sharding = getattr(model, 'sharding', None)
+    if sharding is not None:
+        try:
+            devs = sharding.mesh.devices.ravel()
+            return (f'{len(devs)}-device mesh '
+                    f'({devs[0].platform.upper()})')
+        except AttributeError:
+            return str(sharding)
+    try:
+        import jax
+        return jax.default_backend().upper()
+    except Exception:
+        return 'plugin model'
+
+
 class WorkerInferer:
-    def __init__(self, id_analyzer, model, coordinator, processor='TPU',
+    def __init__(self, id_analyzer, model, coordinator, processor=None,
                  batch_chunks: int = 1, warmup_samples: int = None,
                  warmup_rate: int = None):
         self.id_analyzer = id_analyzer
@@ -216,7 +238,10 @@ class WorkerInferer:
     def _run(self):
         self.log('launching', 'INFO')
         self.model.initialize()
-        self.log(f'processing on {self.processor}', 'INFO')
+        # after initialize: plugin models may only pick a backend on init
+        self.log(f'processing on '
+                 f'{self.processor or _describe_execution_target(self.model)}',
+                 'INFO')
         self._warmup()
 
         batching = (self.batch_chunks > 1

@@ -622,3 +622,31 @@ def test_stall_timeout_stops_hung_device_mid_run(tmp_path):
     assert final.exists() and not partial.exists()
     rows = final.read_text().strip().splitlines()
     assert len(rows) - 1 >= 6, f'resume left holes: {rows}'
+
+
+def test_execution_target_label_reports_real_backend():
+    """The 'processing on ...' line must name where dispatches actually run,
+    not a hardcoded 'TPU': under the test env's forced-CPU JAX it reports
+    CPU; a replica-mode device pin reports that device; mesh= reports the
+    mesh; a jax-free plugin model falls back to the ambient backend."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from buzzdetect_tpu.runtime.inferer import _describe_execution_target
+
+    class Bare:
+        pass
+
+    # no pin, no sharding: the ambient backend (CPU in the test env)
+    assert _describe_execution_target(Bare()) == 'CPU'
+
+    pinned = Bare()
+    pinned.device = jax.devices()[0]
+    assert _describe_execution_target(pinned) == str(jax.devices()[0])
+
+    meshed = Bare()
+    mesh = Mesh(np.array(jax.devices()), ('data',))
+    meshed.device = None
+    meshed.sharding = NamedSharding(mesh, PartitionSpec('data'))
+    label = _describe_execution_target(meshed)
+    assert label == f'{len(jax.devices())}-device mesh (CPU)', label
