@@ -10,6 +10,7 @@ the end-of-run wall-time report.
 import os
 import sys
 import threading
+import time
 import warnings
 
 from buzzdetect_tpu import config as cfg
@@ -726,15 +727,23 @@ class Analyzer:
         # embedders with different DSP stay safe (their tail is unknown,
         # but it is bounded by one spectrogram hop of the patch grid)
         tail = framelength / 16
-        with open(a.path_results_complete) as f:
-            lines = f.read().splitlines()
-        header, rows = lines[0], lines[1:]
-        starts = [float(r.split(',', 1)[0]) for r in rows]
+        # the ONE definition of a valid row (write/coverage.py) — a blank
+        # or hand-damaged line in a finalized CSV must be skipped like
+        # resume itself would skip it, not raise out of the demotion (the
+        # stat signature is only recorded after success, so a raise here
+        # re-warned on the identical file every watch cycle forever)
+        from buzzdetect_tpu.write.coverage import read_result_rows
+        header, rows, _torn = read_result_rows(a.path_results_complete)
+        if header is None:
+            raise ValueError('finalized result has no parseable header')
+        idx = header.index('start')
+        starts = [float(r[idx]) for r in rows]
         if starts:
             cutoff = max(starts) - framelength - tail + 1e-9
             rows = [r for r, s in zip(rows, starts) if s < cutoff]
         with open(a.path_results_partial, 'w') as f:
-            f.write('\n'.join([header] + rows) + '\n')
+            f.write('\n'.join([','.join(header)]
+                              + [','.join(r) for r in rows]) + '\n')
         os.remove(a.path_results_complete)
 
     def _lock_path(self):
@@ -755,11 +764,16 @@ class Analyzer:
         detect. The reference has no guard here; this one is
         liveness-checked so a SIGKILLed run's stale lock self-heals:
 
-        * O_EXCL creation is the claim (atomic on local filesystems and
-          modern NFS);
-        * an existing lock from THIS host whose pid is dead is stale —
-          removed and re-claimed (one retry: losing the re-claim race
-          means someone live got there first);
+        * the claim is ``os.link(tmp, path)`` of a fully-written temp
+          file (atomic like O_EXCL, but the lock NAME never appears
+          without its json content — with create-then-write, a racer
+          reading the empty window would judge a live lock "corrupt
+          stale" and delete it);
+        * an existing lock from THIS host whose pid is dead is stale.
+          Stale removal is serialized by an flock on the dir_out
+          directory and RE-JUDGED under it: two racers that both read
+          the same stale lock would otherwise both unlink — the second
+          unlink landing on the first racer's fresh live lock;
         * an existing lock from another host can't be liveness-checked,
           so it refuses with the owner's identity and what to do.
 
@@ -774,45 +788,101 @@ class Analyzer:
         me = {'pid': os.getpid(), 'host': socket.gethostname(),
               'started': self.timer_total.time_start.isoformat(
                   sep=' ', timespec='seconds')}
-        for attempt in (0, 1):
-            try:
-                os.makedirs(self.dir_out, exist_ok=True)
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, 'w') as f:
-                    json.dump(me, f)
-                self._lock_held = True
-                return True
-            except FileExistsError:
+        os.makedirs(self.dir_out, exist_ok=True)
+        tmp = f'{path}.{os.getpid()}.tmp'  # pid-unique: racers never share
+        with open(tmp, 'w') as f:
+            json.dump(me, f)
+        try:
+            for attempt in (0, 1):
                 try:
-                    with open(path) as f:
-                        owner = json.load(f)
-                except Exception:
-                    # unreadable/corrupt lock: its writer died mid-json
-                    # (crash between O_EXCL and dump) — stale by definition
-                    owner = None
-                stale = (owner is None
-                         or (owner.get('host') == me['host']
-                             and not pid_alive(owner.get('pid'))))
-                if stale and attempt == 0:
                     try:
-                        os.unlink(path)
+                        os.link(tmp, path)
+                    except FileExistsError:
+                        raise
                     except OSError:
-                        pass
-                    continue  # re-claim; a live racer wins the O_EXCL
-                who = (f"pid {owner.get('pid')} on {owner.get('host')}, "
-                       f"started {owner.get('started')}"
-                       if owner else 'unreadable lock')
-                self.coordinator.exit_analysis(ExitSignal(
-                    message=(f'another analysis ({who}) is already writing '
-                             f'into {self.dir_out}; two live runs would '
-                             f'interleave rows in the same result files. '
-                             f'Wait for it, stop it, or — if you are '
-                             f'CERTAIN it is dead (a crashed run on '
-                             f'another machine) — delete {path} and '
-                             f'rerun.'),
-                    level='ERROR', end_reason='already running'))
-                return False
-        return False
+                        # filesystem without hard links: O_EXCL fallback
+                        # (re-opens the content-less window, but only
+                        # where link() itself is unavailable)
+                        fd = os.open(path,
+                                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        with os.fdopen(fd, 'w') as f, open(tmp) as t:
+                            f.write(t.read())
+                    self._lock_held = True
+                    return True
+                except FileExistsError:
+                    owner = self._read_lock_owner(path)
+                    stale = (owner is None
+                             or (owner.get('host') == me['host']
+                                 and not pid_alive(owner.get('pid'))))
+                    if stale and attempt == 0:
+                        self._reclaim_stale_lock(path, me)
+                        continue  # re-claim; a live racer wins the link
+                    who = (f"pid {owner.get('pid')} on {owner.get('host')}, "
+                           f"started {owner.get('started')}"
+                           if owner else 'unreadable lock')
+                    self.coordinator.exit_analysis(ExitSignal(
+                        message=(f'another analysis ({who}) is already '
+                                 f'writing into {self.dir_out}; two live '
+                                 f'runs would interleave rows in the same '
+                                 f'result files. Wait for it, stop it, or '
+                                 f'— if you are CERTAIN it is dead (a '
+                                 f'crashed run on another machine) — '
+                                 f'delete {path} and rerun.'),
+                        level='ERROR', end_reason='already running'))
+                    return False
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    @staticmethod
+    def _read_lock_owner(path):
+        """The lock's json, or None for unreadable/corrupt (stale by
+        definition: link-based claiming never publishes a content-less
+        lock, so no LIVE owner can present as unreadable)."""
+        import json
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except Exception:
+            return None
+
+    def _reclaim_stale_lock(self, path, me):
+        """Unlink a lock judged stale — serialized and re-judged.
+
+        The judge-then-unlink sequence is the classic TOCTOU: two racers
+        both read the same dead owner; the first unlinks and claims; the
+        second's unlink then removes the first's LIVE lock and both runs
+        proceed. An exclusive flock on the dir_out directory serializes
+        same-host reclaimers (the only ones that can judge liveness), and
+        the staleness verdict is recomputed under it, so the second racer
+        sees the first's fresh lock and leaves it alone. Cross-host locks
+        never reach here (they refuse above). Best-effort on filesystems
+        without directory flock: falls back to blind unlink, no worse
+        than the unserialized behavior.
+        """
+        try:
+            import fcntl
+            dfd = os.open(self.dir_out, os.O_RDONLY)
+        except OSError:
+            dfd = None
+        try:
+            if dfd is not None:
+                fcntl.flock(dfd, fcntl.LOCK_EX)
+            owner = self._read_lock_owner(path)
+            if os.path.exists(path) and (
+                    owner is None
+                    or (owner.get('host') == me['host']
+                        and not pid_alive(owner.get('pid')))):
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        finally:
+            if dfd is not None:
+                os.close(dfd)  # releases the flock
 
     def _release_lock(self):
         if getattr(self, '_lock_held', False):
@@ -850,6 +920,22 @@ class Analyzer:
         nothing more. In watch mode each pass atomically re-replaces the
         file, so it always describes the latest pass.
         """
+        try:
+            self._write_run_summary_inner(running=running,
+                                          crash_reason=crash_reason)
+        except Exception as e:
+            # the whole summary is best-effort: it runs in _run's finally,
+            # where an escaping exception would mask the run's real error
+            # AND skip the lock release + logger shutdown after it
+            try:
+                self.coordinator.q_log.put(AssignLog(
+                    message=f'could not build the run summary: '
+                            f'{type(e).__name__}: {e}',
+                    level_str='WARNING'))
+            except Exception:
+                pass
+
+    def _write_run_summary_inner(self, running=False, crash_reason=None):
         import json
         from datetime import datetime
 
@@ -894,7 +980,7 @@ class Analyzer:
             'rate_realtime': round(audio_s / wall, 2) if wall > 0 else 0.0,
             'chunks': int(self.coordinator.chunks_done),
             'files_finalized': int(self.coordinator.files_finalized),
-            'files_failed': sorted(self.coordinator.failed_streams),
+            'files_failed': self.coordinator.failed_streams_snapshot(),
             # final notification-hook counters (None without alert_command)
             'alerts': getattr(self.coordinator, 'alert_stats', None),
         }
@@ -994,6 +1080,14 @@ class Analyzer:
                 message='keyboard interrupt — stopping; finished chunks are '
                         'saved, rerun to resume', level='WARNING',
                 end_reason='interrupted'))
+            # The interrupt may also land AFTER the workers launched but
+            # BEFORE wait_for_exit started its watcher threads — then
+            # nobody else poisons the queues, the writer blocks forever on
+            # q_write.get(), and its queued chunks are never checkpointed
+            # (the join below would burn its full timeout for nothing).
+            # poison_all is idempotent, so the overlap with a watcher that
+            # DID start is harmless.
+            self.coordinator.poison_all()
             # writer drain handled by the generic non-completed join below
             # (end_reason is 'interrupted' unless the run already finished,
             # in which case wait_for_exit joined the writer)
@@ -1021,6 +1115,30 @@ class Analyzer:
                          f' ({audio_s:,.0f} audio-seconds, overall rate '
                          f'{rate:,.1f}x realtime)'),
                 level_str='INFO'))
+
+
+def _run_stop_forwarder(external_event, stop, current_pass,
+                        poll_s: float = 0.1):
+    """Forward an external stop (GUI stop button) into the watch loop.
+
+    Blocks until the external event fires, sets the loop's ``stop`` flag,
+    then keeps signaling whichever pass is CURRENT until the loop reports
+    done — not one-shot, because the stop can land while the next pass's
+    Analyzer is still being constructed (threshold calibration, alert
+    setup): a single signal would hit the PREVIOUS pass's already-set
+    event and the fresh pass would then run its full corpus sweep before
+    the loop re-checks ``stop``. Re-signaling is idempotent
+    (Event.set), and the post-stop poll ends as soon as the loop's
+    finally marks ``current_pass['done']``, so the thread leaves no
+    residue beyond the stop itself.
+    """
+    external_event.wait()
+    stop.set()
+    while not current_pass.get('done'):
+        coordinator = current_pass.get('coordinator')
+        if coordinator is not None:
+            coordinator.event_exitanalysis.set()
+        time.sleep(poll_s)
 
 
 def analyze(modelname: str,
@@ -1253,35 +1371,34 @@ def analyze(modelname: str,
     # external stop (e.g. the GUI stop button) the moment it arrives: it
     # ends the loop and interrupts whatever pass is running.
     if event_stopanalysis is not None:
-        def _forward_external_stop():
-            event_stopanalysis.wait()
-            stop.set()
-            coordinator = _current_pass.get('coordinator')
-            if coordinator is not None:
-                coordinator.event_exitanalysis.set()
-        threading.Thread(target=_forward_external_stop, daemon=True,
-                         name='watch_stop_forwarder').start()
+        threading.Thread(target=_run_stop_forwarder, daemon=True,
+                         name='watch_stop_forwarder',
+                         args=(event_stopanalysis, stop, _current_pass)).start()
 
     state, cycles, analyzer, path_log = {}, 0, None, None
-    while not stop.is_set():
-        analyzer = one_pass(event=threading.Event(), watch_state=state,
-                            watch_cycle=cycles + 1,
-                            quiet_startup=cycles > 0, path_log=path_log,
-                            **shared)
-        # every cycle appends to the first cycle's log file (the Analyzer
-        # stores the path it actually resolved)
-        path_log = path_log or analyzer.path_log
-        cycles += 1
-        # keep watching only after HEALTHY pass outcomes — interrupts,
-        # manifest mismatches, and fatal worker failures would otherwise
-        # retry forever, failing identically every cycle
-        from buzzdetect_tpu.runtime.coordination import HEALTHY_END_REASONS
-        if analyzer.coordinator.end_reason not in HEALTHY_END_REASONS:
-            break
-        if watch_cycles is not None and cycles >= watch_cycles:
-            break
-        try:
-            stop.wait(watch_interval)
-        except KeyboardInterrupt:
-            break
+    try:
+        while not stop.is_set():
+            analyzer = one_pass(event=threading.Event(), watch_state=state,
+                                watch_cycle=cycles + 1,
+                                quiet_startup=cycles > 0, path_log=path_log,
+                                **shared)
+            # every cycle appends to the first cycle's log file (the Analyzer
+            # stores the path it actually resolved)
+            path_log = path_log or analyzer.path_log
+            cycles += 1
+            # keep watching only after HEALTHY pass outcomes — interrupts,
+            # manifest mismatches, and fatal worker failures would otherwise
+            # retry forever, failing identically every cycle
+            from buzzdetect_tpu.runtime.coordination import \
+                HEALTHY_END_REASONS
+            if analyzer.coordinator.end_reason not in HEALTHY_END_REASONS:
+                break
+            if watch_cycles is not None and cycles >= watch_cycles:
+                break
+            try:
+                stop.wait(watch_interval)
+            except KeyboardInterrupt:
+                break
+    finally:
+        _current_pass['done'] = True  # releases the stop forwarder
     return analyzer

@@ -224,6 +224,14 @@ class Coordinator:
         with self._lock:
             return ident in self.failed_streams
 
+    def failed_streams_snapshot(self):
+        """Sorted copy under the lock — the run summary reads this while
+        streamers may still be draining (early exit returns before their
+        joins), and iterating the live set concurrently with an add()
+        raises 'Set changed size during iteration'."""
+        with self._lock:
+            return sorted(self.failed_streams)
+
     # --- exit protocol -----------------------------------------------------
     def _poison(self, q, n, consumers_done=None):
         """Enqueue n EXIT sentinels. For bounded queues the put can block
@@ -255,6 +263,21 @@ class Coordinator:
             # leftover in an already-abandoned queue.
             self.q_earlyexit.put(EXIT)
 
+    def poison_all(self):
+        """Wake every blocked worker with EXIT sentinels. Idempotent and
+        over-poison-safe (workers take one sentinel each and exit;
+        leftovers sit in abandoned queues; _poison bails once a stage's
+        consumers are done). Callable from OUTSIDE wait_for_exit: a
+        KeyboardInterrupt can land after the workers launch but before
+        wait_for_exit starts its watcher threads, and exit_analysis alone
+        only sets the event — a writer blocked on q_write.get() (no
+        timeout) would never wake, leaving its queued chunks undrained."""
+        self._poison(self.q_stream, self.streamers_total,
+                     consumers_done=self.streamers_done)
+        self._poison(self.q_analyze, self.analyzers_total,
+                     consumers_done=self.analyzers_done)
+        self._poison(self.q_write, 1, consumers_done=self.writer_done)
+
     def wait_for_exit(self, threads_streamers, threads_analyzers,
                       thread_writer):
         def watch_workers():
@@ -279,12 +302,7 @@ class Coordinator:
                                           level='INFO',
                                           end_reason='completed'))
 
-        def poison_all():
-            self._poison(self.q_stream, self.streamers_total,
-                         consumers_done=self.streamers_done)
-            self._poison(self.q_analyze, self.analyzers_total,
-                         consumers_done=self.analyzers_done)
-            self._poison(self.q_write, 1, consumers_done=self.writer_done)
+        poison_all = self.poison_all
 
         def watch_earlyexit():
             # message-based stop channel (used by embedding front-ends)

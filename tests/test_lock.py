@@ -142,3 +142,73 @@ def test_watch_cycles_reacquire_cleanly(patched, tmp_path):
     analyze(watch=True, watch_interval=0.0, watch_cycles=3,
             **_kw(patched, dir_out))
     assert not os.path.exists(os.path.join(dir_out, cfg.FNAME_LOCK))
+
+
+def _stub_acquirer(dir_out):
+    """A minimal object exposing exactly what _acquire_lock needs — the
+    full Analyzer constructor loads a model, which these concurrency
+    tests neither need nor want."""
+    import types
+    from buzzdetect_tpu.analysis import Analyzer
+    from buzzdetect_tpu.utils import Timer
+    a = Analyzer.__new__(Analyzer)
+    a.dir_out = dir_out
+    a.host_shard = None
+    a.timer_total = Timer()
+    a.refusals = []
+    a.coordinator = types.SimpleNamespace(
+        exit_analysis=lambda sig: a.refusals.append(sig.end_reason))
+    return a
+
+
+def test_lock_name_never_appears_without_content(tmp_path):
+    """The claim must publish the lock atomically WITH its json — a
+    create-then-write claim has an empty-file window a racer reads as
+    'corrupt stale' and deletes, letting two live runs share the dir."""
+    dir_out = str(tmp_path / 'out')
+    a = _stub_acquirer(dir_out)
+    assert a._acquire_lock() is True
+    path = os.path.join(dir_out, cfg.FNAME_LOCK)
+    with open(path) as f:
+        owner = json.load(f)  # parseable immediately after the claim
+    assert owner['pid'] == os.getpid()
+    # and the claim leaves no temp debris behind
+    leftovers = [n for n in os.listdir(dir_out) if n != cfg.FNAME_LOCK]
+    assert leftovers == [], leftovers
+    a._release_lock()
+    assert not os.path.exists(path)
+
+
+def test_stale_reclaim_is_single_winner_under_contention(tmp_path):
+    """N racers observing the same stale lock: exactly ONE may win the
+    reclaim. The unserialized judge-then-unlink sequence let a second
+    racer unlink the first racer's FRESH lock (both saw the same dead
+    owner before either claimed) — the exact two-live-runs corruption
+    the lock exists to prevent."""
+    import socket
+    import threading
+    host = socket.gethostname()
+    for _ in range(10):
+        dir_out = str(tmp_path / 'out')
+        os.makedirs(dir_out, exist_ok=True)
+        _write_lock(dir_out, DEAD_PID, host)
+        acquirers = [_stub_acquirer(dir_out) for _ in range(8)]
+        barrier = threading.Barrier(len(acquirers))
+        results = [None] * len(acquirers)
+
+        def race(i):
+            barrier.wait()
+            results[i] = acquirers[i]._acquire_lock()
+
+        threads = [threading.Thread(target=race, args=(i,))
+                   for i in range(len(acquirers))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert sum(results) == 1, results
+        # the surviving lock belongs to the winner, not the dead pid
+        with open(os.path.join(dir_out, cfg.FNAME_LOCK)) as f:
+            assert json.load(f)['pid'] == os.getpid()
+        import shutil
+        shutil.rmtree(dir_out)

@@ -228,3 +228,31 @@ def test_summary_each_watch_cycle(patched, tmp_path):
     assert s['watch'] is True and s['ok'] is True
     # each pass replaces the file; the counter says which one this is
     assert s['watch_cycle'] == 2
+
+
+def test_summary_build_failure_never_masks_the_run(patched, tmp_path,
+                                                   monkeypatch):
+    """A failure while BUILDING the record — e.g. the failed-streams set
+    mutating under a concurrently-draining streamer on an early exit —
+    must warn and continue like a write failure, not raise out of _run's
+    finally (which would mask the run's real outcome AND skip the lock
+    release and logger shutdown after it)."""
+    from buzzdetect_tpu.analysis import analyze
+    from buzzdetect_tpu.runtime.coordination import Coordinator
+
+    def exploding_snapshot(self):
+        raise RuntimeError('Set changed size during iteration')
+
+    monkeypatch.setattr(Coordinator, 'failed_streams_snapshot',
+                        exploding_snapshot)
+    dir_out = str(tmp_path / 'out')
+    a = analyze(modelname='summodel', dir_audio=patched['audio'],
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    assert a.coordinator.end_reason == 'completed'
+    assert os.path.exists(os.path.join(dir_out, 'tone_buzzdetect.csv'))
+    # the lock was released despite the summary failure
+    assert not os.path.exists(os.path.join(dir_out, cfg.FNAME_LOCK))
+    # the warning reached the run log
+    logs = [f for f in os.listdir(dir_out) if f.endswith('.log')]
+    text = open(os.path.join(dir_out, logs[0])).read()
+    assert 'could not build the run summary' in text

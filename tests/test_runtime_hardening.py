@@ -650,3 +650,62 @@ def test_execution_target_label_reports_real_backend():
     meshed.sharding = NamedSharding(mesh, PartitionSpec('data'))
     label = _describe_execution_target(meshed)
     assert label == f'{len(jax.devices())}-device mesh (CPU)', label
+
+
+def test_poison_all_wakes_a_blocked_writer():
+    """Coordinator.poison_all must be callable outside wait_for_exit: a
+    KeyboardInterrupt landing after the workers launch but before
+    wait_for_exit starts its watchers has no other poison path, and a
+    writer blocked on q_write.get() (no timeout) would never wake."""
+    from buzzdetect_tpu.runtime.coordination import EXIT
+    coord = Coordinator(streamers_total=1, analyzers_cpu=1)
+    got = []
+    t = threading.Thread(target=lambda: got.append(coord.q_write.get()),
+                         daemon=True)
+    t.start()
+    coord.poison_all()
+    t.join(timeout=10)
+    assert not t.is_alive() and got == [EXIT]
+    # idempotent: a second call must not block or raise
+    coord.poison_all()
+
+
+def test_keyboard_interrupt_before_watchers_drains_the_writer(
+        tmp_path, monkeypatch):
+    """Ctrl-C in the window after _launch_writer() but before
+    wait_for_exit() starts its watcher threads: the writer used to stay
+    blocked forever on q_write.get() (nothing poisons the queues outside
+    wait_for_exit), burning the full 30 s shutdown join and discarding
+    its queued chunks instead of checkpointing them."""
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.analysis import Analyzer
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from tests.audio_fixtures import make_tone, write_wav
+
+    root = tmp_path
+    build_model_bundle(str(root / 'models' / 'kimodel'),
+                       classes=['ins_buzz', 'ambient_noise'], seed=3)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(root / 'models'))
+    dir_audio = root / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 220), 16000)
+    dir_out = root / 'out'
+
+    def interrupt(self):
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(Analyzer, '_launch_stall_watchdog', interrupt)
+    coord = Coordinator(streamers_total=1, analyzers_cpu=1)
+    an = Analyzer(modelname='kimodel', dir_audio=str(dir_audio),
+                  dir_out=str(dir_out), chunklength=2.0,
+                  coordinator=coord, verbosity_print='CRITICAL')
+    t0 = time.monotonic()
+    an.run()
+    elapsed = time.monotonic() - t0
+    assert coord.end_reason == 'interrupted'
+    # the writer was woken and joined promptly, not abandoned to the
+    # 30 s timeout
+    assert elapsed < 25, f'shutdown took {elapsed:.1f}s (writer not woken?)'
+    assert an.thread_writer is not None
+    an.thread_writer.join(timeout=5)
+    assert not an.thread_writer.is_alive()

@@ -588,3 +588,68 @@ def test_watch_stops_when_manifest_vanishes(patched_models, tmp_path):
     assert a.coordinator.end_reason == 'manifest mismatch'
     # the finalized result from the healthy pass is untouched
     assert os.path.exists(done)
+
+
+def test_stop_forwarder_catches_a_pass_registered_after_the_stop():
+    """The external-stop forwarder must keep signaling until the watch
+    loop exits: a stop landing while the NEXT pass's Analyzer is still
+    being constructed used to signal the PREVIOUS pass's already-set
+    event exactly once and die — the fresh pass then ran its full corpus
+    sweep before the loop re-checked the stop flag."""
+    from buzzdetect_tpu.analysis import _run_stop_forwarder
+    from buzzdetect_tpu.runtime.coordination import Coordinator
+
+    external, stop, current = threading.Event(), threading.Event(), {}
+    t = threading.Thread(target=_run_stop_forwarder,
+                         args=(external, stop, current),
+                         kwargs={'poll_s': 0.02}, daemon=True)
+    t.start()
+    external.set()
+    deadline = time.time() + 5
+    while not stop.is_set() and time.time() < deadline:
+        time.sleep(0.01)
+    assert stop.is_set()
+
+    # a pass that registers AFTER the one-shot signal fired
+    coord = Coordinator(streamers_total=1)
+    current['coordinator'] = coord
+    assert coord.event_exitanalysis.wait(timeout=5), \
+        'late-registered pass was never signaled'
+
+    current['done'] = True  # the loop's finally
+    t.join(timeout=5)
+    assert not t.is_alive(), 'forwarder left a thread behind'
+
+
+def test_demote_tolerates_debris_rows(patched_models, tmp_path):
+    """A finalized CSV carrying a blank or hand-damaged line (the result
+    contract allows files the reference wrote or a human touched) must
+    still demote when its recording grows — the hand-rolled parser used
+    to raise on float(''), and because the stat signature is recorded
+    only after success, the watcher re-warned on the identical file
+    every cycle forever while never analyzing the new tail."""
+    from buzzdetect_tpu.analysis import analyze
+    full = make_tone(6.0, 16000, 330)
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    dir_out = str(tmp_path / 'out')
+    write_wav(dir_audio / 'rec.wav', full[:3 * 16000], 16000)
+    analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    path_result = os.path.join(dir_out, 'rec_buzzdetect.csv')
+    _, rows_short = _read_rows(path_result)
+
+    # debris: a blank line and a non-numeric line mid-file
+    lines = open(path_result).read().splitlines()
+    lines.insert(2, '')
+    lines.insert(3, 'not,a,result,row')
+    with open(path_result, 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+
+    write_wav(dir_audio / 'rec.wav', full, 16000)
+    a = analyze(modelname='watchmodel', dir_audio=str(dir_audio),
+                dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR',
+                watch=True, watch_cycles=1)
+    assert a.coordinator.end_reason == 'completed'
+    _, rows_watch = _read_rows(path_result)
+    assert len(rows_watch) > len(rows_short), 'tail was not analyzed'
