@@ -27,6 +27,36 @@ from buzzdetect_tpu.utils import Timer, get_ext, pid_alive, search_dir
 from buzzdetect_tpu.write.thresholds import calculate_threshold
 
 
+_MSG_DEVICES_MESH_EXCLUSIVE = (
+    'devices= (independent per-chip replicas) and mesh= (sharding one '
+    'chunk across chips) are mutually exclusive — pick one scale-out '
+    'layout')
+
+
+def _load_serving_models(modelname, framehop_prop, compute_dtype,
+                         transfer_dtype, *, mesh=None, replica_devices=None):
+    """The ONE place a run's serving model(s) are constructed.
+
+    Analyzer.__init__ (single-pass runs) and analyze()'s watch-mode
+    shared block (models built once, reused every polling cycle) must
+    configure models identically — a load_model kwarg threaded through
+    one site but not the other would silently give watch runs a
+    differently-configured model than single-pass runs. Returns
+    ``{'replica_models': [...]}`` when ``replica_devices`` is given
+    (one device-pinned replica per chip), else ``{'model': m}``.
+    """
+    kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
+    if replica_devices:
+        return {'replica_models': [
+            load_model(modelname, framehop_prop=framehop_prop,
+                       initialize=False, compute_dtype=compute_dtype,
+                       device=d, **kw) for d in replica_devices]}
+    return {'model': load_model(modelname, framehop_prop=framehop_prop,
+                                initialize=False,
+                                compute_dtype=compute_dtype,
+                                mesh=mesh, **kw)}
+
+
 def run_worker(workerclass, **kwargs):
     worker = workerclass(**kwargs)
     worker()
@@ -101,7 +131,6 @@ class Analyzer:
         self.quiet_startup = quiet_startup
         self.path_log = path_log
 
-        kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
         self.replica_models = None
         if devices is not None:
             # per-chip replica data parallelism: one classifier replica
@@ -111,19 +140,15 @@ class Analyzer:
             # (docs/source/tuning.rst:110-117). Zero collectives; for a
             # ~3 M-param model this is the throughput-max layout.
             if mesh is not None:
-                raise ValueError(
-                    'devices= (independent per-chip replicas) and mesh= '
-                    '(sharding one chunk across chips) are mutually '
-                    'exclusive — pick one scale-out layout')
+                raise ValueError(_MSG_DEVICES_MESH_EXCLUSIVE)
             from buzzdetect_tpu.parallel import resolve_replica_devices
             devs = resolve_replica_devices(devices)
             if replica_models is not None:
                 models = replica_models  # watch cycles share the replicas
             else:
-                models = [load_model(modelname, framehop_prop=framehop_prop,
-                                     initialize=False,
-                                     compute_dtype=compute_dtype,
-                                     device=d, **kw) for d in devs]
+                models = _load_serving_models(
+                    modelname, framehop_prop, compute_dtype, transfer_dtype,
+                    replica_devices=devs)['replica_models']
             for m in models:
                 if not hasattr(m, '_device'):
                     raise ValueError(
@@ -150,10 +175,9 @@ class Analyzer:
             # upload once, not once per polling cycle
             self.model = model
         else:
-            self.model = load_model(modelname, framehop_prop=framehop_prop,
-                                    initialize=False,
-                                    compute_dtype=compute_dtype,
-                                    mesh=mesh, **kw)
+            self.model = _load_serving_models(
+                modelname, framehop_prop, compute_dtype, transfer_dtype,
+                mesh=mesh)['model']
         if resample_on_device and not getattr(
                 self.model, 'supports_device_resample', False):
             raise ValueError(
@@ -1300,10 +1324,7 @@ def analyze(modelname: str,
     replica_devices = None
     if devices is not None:
         if mesh is not None:
-            raise ValueError(
-                'devices= (independent per-chip replicas) and mesh= '
-                '(sharding one chunk across chips) are mutually exclusive '
-                '— pick one scale-out layout')
+            raise ValueError(_MSG_DEVICES_MESH_EXCLUSIVE)
         from buzzdetect_tpu.parallel import resolve_replica_devices
         replica_devices = resolve_replica_devices(devices)
 
@@ -1348,19 +1369,12 @@ def analyze(modelname: str,
     if not watch:
         return one_pass()
 
-    kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
-    if replica_devices:
-        # watch cycles share the replica set so each device's params and
-        # compiled programs upload once, not once per polling cycle
-        shared = {'replica_models': [
-            load_model(modelname, framehop_prop=framehop_prop,
-                       initialize=False, compute_dtype=compute_dtype,
-                       device=d, **kw) for d in replica_devices]}
-    else:
-        shared = {'model': load_model(modelname, framehop_prop=framehop_prop,
-                                      initialize=False,
-                                      compute_dtype=compute_dtype,
-                                      mesh=mesh, **kw)}
+    # watch cycles share the model(s) so each device's params and compiled
+    # programs upload once, not once per polling cycle; built by the same
+    # helper Analyzer.__init__ uses so the two sites cannot drift apart
+    shared = _load_serving_models(modelname, framehop_prop, compute_dtype,
+                                  transfer_dtype, mesh=mesh,
+                                  replica_devices=replica_devices)
     stop = watch_stop if watch_stop is not None else threading.Event()
     # The pipeline sets event_stopanalysis at the END of every pass to
     # signal 'analysis done' (the GUI contract), so the caller's event
