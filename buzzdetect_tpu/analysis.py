@@ -813,7 +813,11 @@ class Analyzer:
               'started': self.timer_total.time_start.isoformat(
                   sep=' ', timespec='seconds')}
         os.makedirs(self.dir_out, exist_ok=True)
-        tmp = f'{path}.{os.getpid()}.tmp'  # pid-unique: racers never share
+        # pid+tid-unique: racing PROCESSES never share a temp name, and
+        # neither do racing THREADS in one process (same pid!) — a
+        # thread's finally-unlink must never land on a sibling's temp
+        # while the sibling sits between open() and link().
+        tmp = f'{path}.{os.getpid()}.{threading.get_ident()}.tmp'
         with open(tmp, 'w') as f:
             json.dump(me, f)
         try:
