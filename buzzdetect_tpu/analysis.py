@@ -894,11 +894,18 @@ class Analyzer:
         try:
             import fcntl
             dfd = os.open(self.dir_out, os.O_RDONLY)
-        except OSError:
+        except (OSError, ImportError):
+            # no fcntl (non-POSIX) or an unopenable directory: blind path
             dfd = None
         try:
             if dfd is not None:
-                fcntl.flock(dfd, fcntl.LOCK_EX)
+                try:
+                    fcntl.flock(dfd, fcntl.LOCK_EX)
+                except OSError:
+                    # filesystem refuses the flock (e.g. NFS mounted
+                    # nolock, ENOLCK): proceed unserialized rather than
+                    # crash the self-heal the docstring promises
+                    pass
             owner = self._read_lock_owner(path)
             if os.path.exists(path) and (
                     owner is None
@@ -1114,8 +1121,15 @@ class Analyzer:
             # q_write.get(), and its queued chunks are never checkpointed
             # (the join below would burn its full timeout for nothing).
             # poison_all is idempotent, so the overlap with a watcher that
-            # DID start is harmless.
-            self.coordinator.poison_all()
+            # DID start is harmless. Pass the LAUNCHED counts: a stage
+            # whose workers never started never drains its queue, and
+            # poisoning it past the queue bound would spin forever (e.g.
+            # 8 replicas over a 4-slot q_analyze, interrupted before
+            # _launch_analyzers).
+            self.coordinator.poison_all(
+                streamers=len(self.threads_streamers),
+                analyzers=len(self.threads_analyzers),
+                writer=1 if self.thread_writer is not None else 0)
             # writer drain handled by the generic non-completed join below
             # (end_reason is 'interrupted' unless the run already finished,
             # in which case wait_for_exit joined the writer)

@@ -156,6 +156,23 @@ class AlertCommandRunner:
             self.log(f'alert command failed ({detail}); counting further '
                      f'failures silently — see the run summary', 'WARNING')
 
+    def stats(self) -> dict:
+        """Counter snapshot for the machine-readable run summary.
+
+        Call after ``close()``. The counts are final EXCEPT when close
+        abandoned dispatch with a command still in flight: that command
+        resolves on the daemon thread up to ``timeout_s`` later and may
+        add one more failure after this snapshot — ``final: False`` marks
+        the summary as a lower bound in exactly that case (the log lines
+        remain the complete record either way)."""
+        with self._drop_lock:
+            dropped = self._dropped
+        in_flight = self._abandoned.is_set() and self._thread.is_alive()
+        return {'launched': int(self._launched),
+                'failures': int(self._failures),
+                'dropped': int(dropped),
+                'final': not in_flight}
+
     def close(self, timeout: float = 5.0):
         """Stop accepting, drain briefly, abandon what's left, summarize.
 

@@ -263,7 +263,7 @@ class Coordinator:
             # leftover in an already-abandoned queue.
             self.q_earlyexit.put(EXIT)
 
-    def poison_all(self):
+    def poison_all(self, streamers=None, analyzers=None, writer=None):
         """Wake every blocked worker with EXIT sentinels. Idempotent and
         over-poison-safe (workers take one sentinel each and exit;
         leftovers sit in abandoned queues; _poison bails once a stage's
@@ -271,12 +271,26 @@ class Coordinator:
         KeyboardInterrupt can land after the workers launch but before
         wait_for_exit starts its watcher threads, and exit_analysis alone
         only sets the event — a writer blocked on q_write.get() (no
-        timeout) would never wake, leaving its queued chunks undrained."""
-        self._poison(self.q_stream, self.streamers_total,
-                     consumers_done=self.streamers_done)
-        self._poison(self.q_analyze, self.analyzers_total,
-                     consumers_done=self.analyzers_done)
-        self._poison(self.q_write, 1, consumers_done=self.writer_done)
+        timeout) would never wake, leaving its queued chunks undrained.
+
+        The optional counts say how many workers of each stage actually
+        LAUNCHED (None = all of them). A caller interrupted mid-launch
+        must pass them: a stage with zero launched consumers never sets
+        its done-event and never drains, so poisoning its bounded queue
+        with more sentinels than capacity would spin ``_poison``'s
+        put-retry loop forever — hanging the orderly-stop path it exists
+        to serve. Never-launched workers need no waking."""
+        n_s = self.streamers_total if streamers is None else streamers
+        n_a = self.analyzers_total if analyzers is None else analyzers
+        n_w = 1 if writer is None else writer
+        if n_s:
+            self._poison(self.q_stream, n_s,
+                         consumers_done=self.streamers_done)
+        if n_a:
+            self._poison(self.q_analyze, n_a,
+                         consumers_done=self.analyzers_done)
+        if n_w:
+            self._poison(self.q_write, n_w, consumers_done=self.writer_done)
 
     def wait_for_exit(self, threads_streamers, threads_analyzers,
                       thread_writer):

@@ -43,18 +43,27 @@ def _start_host_copy(results):
 def _describe_execution_target(model) -> str:
     """Name where this worker's dispatches actually execute — the pinned
     device in replica mode, the mesh devices under mesh= sharding, else the
-    ambient JAX backend. Plugin models without JAX report 'plugin model'."""
-    device = getattr(model, 'device', None)
+    ambient JAX backend. Plugin models without JAX report 'plugin model'.
+
+    Runs after ``model.initialize()``, so the built-in bundle's placement
+    is read off its (now-built) ``.classifier``, whose ``device`` /
+    ``mesh`` / ``sharding`` are public; the bundle object itself keeps
+    them private. Plugin models may expose the same names directly."""
+    target = getattr(model, 'classifier', None) or model
+    device = getattr(target, 'device', None)
     if device is not None:
         return str(device)
-    sharding = getattr(model, 'sharding', None)
-    if sharding is not None:
+    # mesh= mode stores the Mesh itself; an explicit sharding carries one
+    mesh = getattr(target, 'mesh', None)
+    if mesh is None:
+        mesh = getattr(getattr(target, 'sharding', None), 'mesh', None)
+    if mesh is not None:
         try:
-            devs = sharding.mesh.devices.ravel()
+            devs = mesh.devices.ravel()
             return (f'{len(devs)}-device mesh '
                     f'({devs[0].platform.upper()})')
         except AttributeError:
-            return str(sharding)
+            return str(mesh)
     try:
         import jax
         return jax.default_backend().upper()

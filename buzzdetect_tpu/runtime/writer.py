@@ -327,15 +327,13 @@ class WorkerWriter:
                     self.alert_runner.close()
                 except Exception:
                     pass  # never let notification teardown mask the exit
-                # after close the counters are final — hand them to the
-                # coordinator for the machine-readable run summary (the
-                # log lines above are the human copy)
-                r = self.alert_runner
-                self.coordinator.alert_stats = {
-                    'launched': int(r._launched),
-                    'failures': int(r._failures),
-                    'dropped': int(r._dropped),
-                }
+                # hand the counters to the coordinator for the
+                # machine-readable run summary (the log lines above are
+                # the human copy). stats() snapshots under the runner's
+                # lock and flags the one case where a count can still
+                # move — an abandoned in-flight command resolving on the
+                # daemon thread after close returned ('final': False).
+                self.coordinator.alert_stats = self.alert_runner.stats()
             self.coordinator.worker_exited('writer')
 
     def _run(self):

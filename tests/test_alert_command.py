@@ -231,6 +231,37 @@ def test_close_is_bounded_and_abandons(tmp_path):
     assert sum('abandoning' in m for _, m in log) == 1
 
 
+def test_stats_snapshot_flags_unfinal_counts(tmp_path):
+    """stats() is the summary's authoritative source: after a clean close
+    the counts are final; after an ABANDONED close (a command still in
+    flight on the daemon thread) that command may add one more failure
+    after the snapshot — stats() must say so ('final': False) instead of
+    letting the run summary silently undercount."""
+    log = []
+    runner = AlertCommandRunner('true', _logger(log), depth=4,
+                                timeout_s=5.0)
+    runner.submit(FIELDS)
+    assert _wait_for(lambda: runner._launched == 1)
+    runner.close()
+    s = runner.stats()
+    assert s == {'launched': 1, 'failures': 0, 'dropped': 0, 'final': True}
+
+    log2 = []
+    started = tmp_path / 'started'
+    cmd = f'echo x >> "{started}"; exec sleep 600'
+    # kill-timeout long enough that the command is still in flight at the
+    # snapshot, short enough that the drain thread reaps it soon after
+    hung = AlertCommandRunner(cmd, _logger(log2), depth=4, timeout_s=3.0)
+    hung.submit(FIELDS)
+    assert _wait_for(started.exists)  # command in flight
+    hung.close(timeout=0.3)  # abandons: the sleep outlives the grace
+    s2 = hung.stats()
+    assert s2['launched'] == 1 and s2['final'] is False
+    # after the in-flight command resolves the counts become final
+    assert _wait_for(lambda: hung.stats()['final'], timeout=15.0)
+    assert hung.stats()['failures'] == 1  # the kill counted, post-snapshot
+
+
 def test_validator_accepts_blank_as_no_hook():
     """`--alert_command "$HOOK"` with HOOK unset must pass validation —
     blank means "no hook" everywhere the engine reads it, and the CLI

@@ -179,6 +179,27 @@ def test_lock_name_never_appears_without_content(tmp_path):
     assert not os.path.exists(path)
 
 
+def test_stale_reclaim_survives_flock_refusal(tmp_path, monkeypatch):
+    """dir_out on a filesystem that refuses directory flocks (NFS mounted
+    nolock: ENOLCK): the reclaim must fall back to the documented
+    unserialized blind unlink, not crash lock acquisition — the OSError
+    used to propagate out of _acquire_lock, killing the run a stale lock
+    should have self-healed."""
+    import fcntl
+    import socket
+
+    def no_flock(fd, op):
+        raise OSError(37, 'No locks available')
+
+    monkeypatch.setattr(fcntl, 'flock', no_flock)
+    dir_out = str(tmp_path / 'out')
+    os.makedirs(dir_out)
+    _write_lock(dir_out, DEAD_PID, socket.gethostname())
+    a = _stub_acquirer(dir_out)
+    assert a._acquire_lock() is True, a.refusals
+    a._release_lock()
+
+
 def test_stale_reclaim_is_single_winner_under_contention(tmp_path):
     """N racers observing the same stale lock: exactly ONE may win the
     reclaim. The unserialized judge-then-unlink sequence let a second

@@ -652,6 +652,62 @@ def test_execution_target_label_reports_real_backend():
     assert label == f'{len(jax.devices())}-device mesh (CPU)', label
 
 
+def test_execution_target_label_reads_the_built_classifier(tmp_path,
+                                                           monkeypatch):
+    """The REAL bundle model keeps its placement on model.classifier
+    (public device/mesh there; private _device/_sharding on the bundle
+    itself) — the label must read the classifier, or replica- and
+    mesh-mode inferers log the ambient backend instead of the real
+    execution target (the stub-only test above cannot catch that)."""
+    import jax
+
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.convert import build_model_bundle
+    from buzzdetect_tpu.models.registry import load_model
+    from buzzdetect_tpu.parallel import make_mesh
+    from buzzdetect_tpu.runtime.inferer import _describe_execution_target
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'xtm'), classes=['a', 'b'], seed=3)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+
+    # replica mode: the pinned device, not 'CPU'
+    dev = jax.devices()[1]
+    pinned = load_model('xtm', device=dev)
+    pinned.initialize()
+    assert _describe_execution_target(pinned) == str(dev)
+
+    # mesh mode: the classifier stores the Mesh itself (sharding is None)
+    mesh = make_mesh()
+    sharded = load_model('xtm', mesh=mesh)
+    sharded.initialize()
+    label = _describe_execution_target(sharded)
+    assert label == f'{mesh.devices.size}-device mesh (CPU)', label
+
+
+def test_poison_all_zero_launched_stage_returns_promptly():
+    """Interrupted mid-launch: a stage whose workers never started can
+    never drain its queue nor signal done, so poisoning it with more
+    sentinels than queue capacity spins _poison's put-retry forever —
+    e.g. 8 replica analyzers over a 4-slot q_analyze, Ctrl-C during
+    queue_assignments. poison_all must take the LAUNCHED counts and skip
+    never-started stages."""
+    coord = Coordinator(streamers_total=2, analyzers_cpu=8, depth=4)
+    assert coord.q_analyze.maxsize < coord.analyzers_total  # the trap
+    done = threading.Event()
+
+    def interrupt_path():
+        coord.poison_all(streamers=0, analyzers=0, writer=0)
+        done.set()
+
+    t = threading.Thread(target=interrupt_path, daemon=True)
+    t.start()
+    assert done.wait(10), 'poison_all hung on a never-launched stage'
+    # never-launched stages get no sentinels (nobody would consume them)
+    assert coord.q_analyze.empty() and coord.q_stream.empty()
+    assert coord.q_write.empty()
+
+
 def test_poison_all_wakes_a_blocked_writer():
     """Coordinator.poison_all must be callable outside wait_for_exit: a
     KeyboardInterrupt landing after the workers launch but before
