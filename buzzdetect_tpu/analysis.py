@@ -1007,6 +1007,12 @@ class Analyzer:
                             else int(self.watch_cycle)),
             'end_reason': reason,
             'ok': reason in HEALTHY_END_REASONS,
+            # which process wrote this file: lets a supervisor (and the
+            # GUI's outcome line) tell ITS run's summary from a summary
+            # written by a DIFFERENT live run into the same folder — a
+            # lock-refused attempt must not read the owner's 'running'
+            # marker as its own death
+            'pid': os.getpid(),
             'started': self.timer_total.time_start.isoformat(
                 sep=' ', timespec='seconds'),
             'finished': finished,

@@ -216,5 +216,13 @@ def weights_warning(modelname, quiet=False):
 if __name__ == '__main__':
     argv = sys.argv[1:]
     as_json = '--json' in argv
+    # a typo like --jsn must error, not silently fall back to human
+    # output with exit 0 — a supervisor would then misread the parse
+    # failure of the non-JSON stdout as a broken machine
+    unknown = [a for a in argv if a.startswith('--') and a != '--json']
+    if unknown:
+        print(f"doctor: unknown flag(s): {' '.join(unknown)} "
+              f"(supported: --json)", file=sys.stderr)
+        sys.exit(2)
     names = [a for a in argv if not a.startswith('--')]
     sys.exit(main(names[0] if names else None, json_mode=as_json))

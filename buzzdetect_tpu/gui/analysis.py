@@ -189,6 +189,15 @@ class AnalysisWindow(tk.Toplevel):
                 s = json.load(f)
         except Exception:
             return  # pre-run crash: its traceback is already in the box
+        # a summary written by a DIFFERENT process is not this run's
+        # outcome: a lock-refused child deliberately writes nothing, so
+        # the file is the live OWNER's — reporting its 'running' marker
+        # here would claim our child was killed, contradicting the
+        # refusal message right above it
+        spid = s.get('pid')
+        if (spid is not None and self.process is not None
+                and spid != self.process.pid):
+            return
         try:
             # a child that crashed BEFORE the Analyzer existed wrote no
             # marker; the file then belongs to a PREVIOUS attempt and

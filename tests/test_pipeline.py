@@ -457,6 +457,19 @@ def test_doctor_all_checks_pass(patched_models, monkeypatch, capsys):
     assert 'WITH WARNINGS' in out
 
 
+def test_doctor_rejects_unknown_flags():
+    """A typo like --jsn must error (exit 2, named on stderr), not fall
+    back to human output with exit 0 — a supervisor would misread its
+    json.loads failure of the non-JSON stdout as a broken machine."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, '-m', 'buzzdetect_tpu.doctor', '--jsn'],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 2, (r.returncode, r.stdout, r.stderr)
+    assert 'unknown flag' in r.stderr and '--jsn' in r.stderr
+
+
 def test_doctor_json_mode(patched_models, capsys):
     """--json emits ONE machine-readable object (fleet-health counterpart
     of the run summary) with the same exit-code contract; human lines are

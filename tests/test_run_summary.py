@@ -256,3 +256,51 @@ def test_summary_build_failure_never_masks_the_run(patched, tmp_path,
     logs = [f for f in os.listdir(dir_out) if f.endswith('.log')]
     text = open(os.path.join(dir_out, logs[0])).read()
     assert 'could not build the run summary' in text
+
+
+def test_summary_carries_writer_pid(patched, tmp_path):
+    """The summary names the process that wrote it: a supervisor (and
+    the GUI outcome line) can tell ITS run's summary from one written by
+    a DIFFERENT live run sharing the folder — a lock-refused attempt
+    writes nothing, so the file it finds belongs to the live owner."""
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    analyze(modelname='summodel', dir_audio=patched['audio'],
+            dir_out=dir_out, chunklength=2.0, verbosity_print='ERROR')
+    assert _read_summary(dir_out)['pid'] == os.getpid()
+
+
+def test_gui_outcome_skips_a_foreign_summary(tmp_path):
+    """The GUI outcome line must ignore a summary written by a DIFFERENT
+    pid: when its child was refused by the dir_out lock (which writes no
+    summary), the folder holds the live OWNER's 'running' marker — and
+    reporting that as 'exited without finishing (killed?)' would
+    contradict the refusal message right above it."""
+    import time
+    import types
+
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.gui.analysis import AnalysisWindow
+
+    win = AnalysisWindow.__new__(AnalysisWindow)
+    win.analyze_kwargs = {'dir_out': str(tmp_path)}
+    win._launched_at = time.time()
+    win.process = types.SimpleNamespace(pid=12345)
+    lines = []
+    win._append = lambda a_log: lines.append(a_log.message)
+    path = os.path.join(str(tmp_path), cfg.FNAME_RUN_SUMMARY)
+    started = time.strftime('%Y-%m-%d %H:%M:%S')
+
+    # the live owner's start marker: foreign pid, fresh timestamp
+    with open(path, 'w') as f:
+        json.dump({'end_reason': 'running', 'pid': 99999,
+                   'started': started}, f)
+    win._append_outcome()
+    assert lines == [], lines
+
+    # the SAME file written by our own child: reported as before
+    with open(path, 'w') as f:
+        json.dump({'end_reason': 'running', 'pid': 12345,
+                   'started': started}, f)
+    win._append_outcome()
+    assert len(lines) == 1 and 'killed' in lines[0]
