@@ -97,7 +97,8 @@ class Analyzer:
                  alert_classes=None,
                  alert_threshold: float = None,
                  alert_command: str = None,
-                 stall_timeout: float = None):
+                 stall_timeout: float = None,
+                 session_lock=None):
         if stall_timeout is not None and stall_timeout <= 0:
             raise ValueError(
                 f'stall_timeout must be positive seconds (got '
@@ -130,6 +131,12 @@ class Analyzer:
         self.watch_cycle = watch_cycle
         self.quiet_startup = quiet_startup
         self.path_log = path_log
+        # watch mode: a SessionLock that holds the dir_out claim across ALL
+        # passes of the watch loop (None for single-pass runs, which claim
+        # and release per run). Without it, two concurrent watchers whose
+        # short passes never overlap in time would alternate the per-pass
+        # lock forever, both believing they own the folder.
+        self.session_lock = session_lock
 
         self.replica_models = None
         if devices is not None:
@@ -710,7 +717,8 @@ class Analyzer:
                     # than one patch window beyond it), so the seam is
                     # re-scored against the real audio — otherwise each
                     # grow/finalize cycle would bake in one padded row
-                    self._demote_to_partial(a, fl)
+                    self._demote_to_partial(
+                        a, fl, self.model.embedder.lookahead_s)
                     grown.append(a)
                     self.coordinator.q_log.put(AssignLog(
                         message=(f'{a.shortpath_audio} grew to '
@@ -732,25 +740,25 @@ class Analyzer:
         return grown
 
     @staticmethod
-    def _demote_to_partial(a, framelength):
+    def _demote_to_partial(a, framelength, lookahead_s=None):
         """Turn a finalized result back into a partial, dropping rows whose
         analysis window may have scored zero padding past the audio's
         then-EOF.
 
-        The margin is one patch window PLUS the STFT window-completion
-        tail (window - hop, 15 ms for YAMNet's 25 ms/10 ms): a patch
-        starting at t consumes audio through t + framelength + tail, so a
-        row up to that much before the old EOF can carry a padded final
-        STFT frame. Dropping a row costs nothing but its re-scoring — the
-        demoted gap re-analyzes it against the real audio — while keeping
-        one bakes the padded score into every later resume, diverging
-        from what a fresh non-watch run would produce.
+        The margin is one patch window PLUS the embedder's DECLARED
+        look-ahead (``BaseEmbedder.lookahead_s``): a patch starting at t
+        consumes audio through t + framelength + lookahead, so a row up
+        to that much before the old EOF can carry padded DSP input (for
+        YAMNet, the STFT window-completion tail: window - hop = 15 ms,
+        declared as 60 ms for margin). A plugin embedder that does not
+        declare its tail gets a conservative FULL framelength — the
+        plugin contract nowhere bounds an undeclared DSP's look-ahead,
+        and a too-small margin silently bakes padded scores into every
+        watch-mode seam. Dropping a row costs nothing but its re-scoring
+        — the demoted gap re-analyzes it against the real audio — while
+        keeping one diverges from what a fresh non-watch run produces.
         """
-        # 6.25% of a patch window in the default geometry; computed from
-        # the frame grid rather than frontend constants so plugin
-        # embedders with different DSP stay safe (their tail is unknown,
-        # but it is bounded by one spectrogram hop of the patch grid)
-        tail = framelength / 16
+        tail = framelength if lookahead_s is None else float(lookahead_s)
         # the ONE definition of a valid row (write/coverage.py) — a blank
         # or hand-damaged line in a finalized CSV must be skipped like
         # resume itself would skip it, not raise out of the demotion (the
@@ -1070,8 +1078,18 @@ class Analyzer:
             self.thread_logger.join()
 
         # the lock comes BEFORE the summary marker: when another run owns
-        # this folder, writing our marker would clobber ITS telemetry
-        if not self._acquire_lock():
+        # this folder, writing our marker would clobber ITS telemetry.
+        # Watch sessions claim through their SessionLock, which holds the
+        # claim ACROSS passes (the lock's "TWO live runs" rationale applies
+        # at session granularity for watchers: per-pass locking would let
+        # two watchers with non-overlapping sub-second passes alternate the
+        # folder forever); each pass still re-verifies ownership for
+        # liveness (a hand-deleted or clobbered lock file is re-claimed).
+        if self.session_lock is not None:
+            acquired = self.session_lock.ensure(self)
+        else:
+            acquired = self._acquire_lock()
+        if not acquired:
             shutdown_logger()
             return
         # start-of-run marker (end_reason 'running', ok false): a SIGKILL
@@ -1132,10 +1150,19 @@ class Analyzer:
             # poisoning it past the queue bound would spin forever (e.g.
             # 8 replicas over a 4-slot q_analyze, interrupted before
             # _launch_analyzers).
+            # count only threads that actually STARTED (ident is assigned
+            # by Thread.start): the launch helpers append before start(),
+            # so an interrupt landing in that one-instruction window would
+            # over-count — and the extra sentinel can spin _poison forever
+            # on a stage whose queue still holds backlog after its real
+            # workers exited (the never-started thread never drains it)
             self.coordinator.poison_all(
-                streamers=len(self.threads_streamers),
-                analyzers=len(self.threads_analyzers),
-                writer=1 if self.thread_writer is not None else 0)
+                streamers=sum(1 for t in self.threads_streamers
+                              if t.ident is not None),
+                analyzers=sum(1 for t in self.threads_analyzers
+                              if t.ident is not None),
+                writer=1 if (self.thread_writer is not None
+                             and self.thread_writer.ident is not None) else 0)
             # writer drain handled by the generic non-completed join below
             # (end_reason is 'interrupted' unless the run already finished,
             # in which case wait_for_exit joined the writer)
@@ -1163,6 +1190,71 @@ class Analyzer:
                          f' ({audio_s:,.0f} audio-seconds, overall rate '
                          f'{rate:,.1f}x realtime)'),
                 level_str='INFO'))
+
+
+class SessionLock:
+    """Holds one dir_out claim across every pass of a watch session.
+
+    The per-pass lock (`Analyzer._acquire_lock`) is claimed at pass start
+    and released at pass end — correct for single runs, but a watch
+    session is idle most of the time (sub-second passes on a 30 s
+    interval), so two concurrent watchers on the same dir_out would
+    usually alternate the lock without ever colliding, each demoting and
+    re-finalizing the other's work and clobbering the other's run
+    summary every pass. The SessionLock claims through the SAME
+    liveness-checked protocol on the first pass and then keeps the claim
+    until `release()` in the watch loop's finally, so a second watcher
+    refuses at its FIRST pass regardless of timing. `ensure()` re-verifies
+    ownership each pass: a lock file hand-deleted mid-session (the
+    documented operator escape hatch for dead runs) is re-claimed rather
+    than silently assumed.
+    """
+
+    def __init__(self):
+        self.held = False
+        self.path = None
+
+    def ensure(self, analyzer) -> bool:
+        import socket
+        path = analyzer._lock_path()
+        if self.held and path == self.path:
+            owner = analyzer._read_lock_owner(path)
+            if (owner is not None and owner.get('pid') == os.getpid()
+                    and owner.get('host') == socket.gethostname()):
+                return True
+            # the file vanished or was clobbered between passes: fall
+            # through and re-claim (a live foreign owner refuses us, which
+            # ends the watch loop — its end_reason is not healthy)
+            self.held = False
+        if not analyzer._acquire_lock():
+            return False
+        # transfer the claim from the pass to the session: the pass's
+        # finally releases only when analyzer._lock_held is set
+        analyzer._lock_held = False
+        self.held, self.path = True, path
+        return True
+
+    def release(self):
+        if not self.held:
+            return
+        self.held = False
+        # verify ownership before unlinking: if the operator hand-deleted
+        # our lock mid-session and a foreign run claimed the folder, the
+        # file on disk is THEIRS — a blind unlink here would hand a third
+        # run the corruption window the lock exists to prevent
+        import json
+        import socket
+        try:
+            with open(self.path) as f:
+                owner = json.load(f)
+        except Exception:
+            return  # vanished or unreadable: nothing of ours to remove
+        if (owner.get('pid') == os.getpid()
+                and owner.get('host') == socket.gethostname()):
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
 
 
 def _run_stop_forwarder(external_event, stop, current_pass,
@@ -1414,11 +1506,16 @@ def analyze(modelname: str,
                          args=(event_stopanalysis, stop, _current_pass)).start()
 
     state, cycles, analyzer, path_log = {}, 0, None, None
+    # one dir_out claim for the WHOLE session (released in the finally):
+    # per-pass locking would let a second watcher slot its passes into
+    # this one's idle intervals and both would believe they own the folder
+    session_lock = SessionLock()
     try:
         while not stop.is_set():
             analyzer = one_pass(event=threading.Event(), watch_state=state,
                                 watch_cycle=cycles + 1,
                                 quiet_startup=cycles > 0, path_log=path_log,
+                                session_lock=session_lock,
                                 **shared)
             # every cycle appends to the first cycle's log file (the Analyzer
             # stores the path it actually resolved)
@@ -1439,4 +1536,5 @@ def analyze(modelname: str,
                 break
     finally:
         _current_pass['done'] = True  # releases the stop forwarder
+        session_lock.release()
     return analyzer

@@ -34,6 +34,14 @@ class BaseEmbedder:
     samplerate: int = None
     n_embeddings: int = None
     dtype_in = 'float32'
+    # How far past a frame's start the embedder's DSP reads audio, BEYOND
+    # framelength_s (e.g. an STFT window-completion tail). Watch mode uses
+    # it to decide which finalized rows near a grown file's old EOF may
+    # have scored zero padding and must be re-analyzed. ``None`` means
+    # "undeclared" and is treated as a conservative full framelength —
+    # plugin embedders with a tight tail should declare theirs to demote
+    # (and re-score) fewer rows per growth.
+    lookahead_s: float = None
 
     def __init__(self, framehop_prop: float = 1.0):
         self.framehop_prop = framehop_prop
@@ -84,6 +92,12 @@ class EmbedderYamnet(BaseEmbedder):
     digits_time = 2
     samplerate = 16000
     n_embeddings = 1024
+    # STFT window-completion tail: the last 25 ms spectrogram window of a
+    # patch reads window-hop = 15 ms past the patch's nominal end. 60 ms
+    # (framelength/16) keeps 4x margin while demoting only ~1 row per
+    # watch-mode growth; the BaseEmbedder default (a full framelength)
+    # would demote every row within 1.92 s of the old EOF instead.
+    lookahead_s = 0.06
 
     def __init__(self, framehop_prop: float = 1.0, arrays: dict = None):
         super().__init__(framehop_prop)

@@ -162,9 +162,12 @@ class AlertCommandRunner:
         Call after ``close()``. The counts are final EXCEPT when close
         abandoned dispatch with a command still in flight: that command
         resolves on the daemon thread up to ``timeout_s`` later and may
-        add one more failure after this snapshot — ``final: False`` marks
-        the summary as a lower bound in exactly that case (the log lines
-        remain the complete record either way)."""
+        add one more failure after this snapshot, and the thread then
+        drains any leftover queue entries into ``dropped`` — so while
+        ``final`` is False, BOTH ``failures`` and ``dropped`` may still
+        move (each is a lower bound; the direction of error is
+        conservative). ``final: False`` marks the summary in exactly that
+        case (the log lines remain the complete record either way)."""
         with self._drop_lock:
             dropped = self._dropped
         in_flight = self._abandoned.is_set() and self._thread.is_alive()

@@ -172,6 +172,32 @@ def test_full_run_stop_rerun_cycle(gui, env, tmp_path):
     assert awin._poll_handle is None
 
 
+def test_outcome_line_renders_for_default_output_run(gui, env, tmp_path):
+    """The structured outcome line must render when dir_out is left BLANK.
+
+    A blank dir_out field is legal (OPTIONAL_EMPTY_FIELDS): the child
+    resolves the model's default output folder (config.default_dir_out)
+    and writes its run summary there. _append_outcome used to return
+    early on the falsy kwarg, so the outcome feature was dead exactly in
+    the GUI's zero-config path — it must resolve the summary with the
+    same rule the child uses."""
+    win = _make_settings(env, tmp_path, 'defaultout.json')
+    win.entries['dir_out'].set('')
+    win.launch_button.invoke()
+
+    awin = win.children[-1]
+    from buzzdetect_tpu.gui.analysis import AnalysisWindow
+    assert isinstance(awin, AnalysisWindow)
+    assert _pump_until(gui, lambda: awin.btn_rerun.kw.get('state') == 'normal')
+    text = awin.textbox.get_text()
+    # the child really ran into the default folder...
+    default_out = cfg.default_dir_out('testmodel')
+    assert os.path.exists(os.path.join(default_out, 'tone_buzzdetect.csv'))
+    # ...and the outcome line found the summary there
+    assert '[run summary] completed: 1 file(s) finalized, 0 failed' in text
+    awin.kw['protocol:WM_DELETE_WINDOW']()
+
+
 def test_manifest_lock_no_trace_recursion_at_init(gui, env, tmp_path):
     """Stub-harness version of the DISPLAY-gated regression test: entry
     .set() inside _apply_lock fires the write trace (the stub reproduces

@@ -136,12 +136,109 @@ def test_lock_released_on_crash(patched, tmp_path, monkeypatch):
 
 
 def test_watch_cycles_reacquire_cleanly(patched, tmp_path):
-    """Per-pass acquire/release across watch cycles; nothing left behind."""
+    """The session claim spans all watch cycles; nothing left behind."""
     from buzzdetect_tpu.analysis import analyze
     dir_out = str(tmp_path / 'out')
     analyze(watch=True, watch_interval=0.0, watch_cycles=3,
             **_kw(patched, dir_out))
     assert not os.path.exists(os.path.join(dir_out, cfg.FNAME_LOCK))
+
+
+def test_watch_session_lock_spans_idle_intervals(patched, tmp_path):
+    """A watch session holds the dir_out claim BETWEEN passes.
+
+    With per-pass locking, a second run arriving during the watcher's
+    (long) idle interval found no lock and proceeded — two live runs
+    alternating ownership of the same folder, each demoting and
+    re-finalizing the other's work. The claim must now be session-scoped:
+    held through the idle interval, refusing both a one-shot run and a
+    second watcher at their FIRST pass, and released only when the watch
+    loop ends."""
+    import json
+    import threading
+    import time
+
+    from buzzdetect_tpu.analysis import analyze
+    dir_out = str(tmp_path / 'out')
+    path_lock = os.path.join(dir_out, cfg.FNAME_LOCK)
+    stop = threading.Event()
+
+    def watcher():
+        analyze(watch=True, watch_interval=60.0, watch_stop=stop,
+                **_kw(patched, dir_out))
+
+    t = threading.Thread(target=watcher, daemon=True)
+    t.start()
+    try:
+        # wait for pass 1 to finish (finalized result present) — the
+        # watcher is then parked in its 60 s stop.wait
+        done = os.path.join(dir_out, 'tone_buzzdetect.csv')
+        deadline = time.monotonic() + 120
+        while not os.path.exists(done):
+            assert time.monotonic() < deadline, 'watch pass never finished'
+            assert t.is_alive(), 'watcher died before finishing a pass'
+            time.sleep(0.02)
+        # give the pass's end path a moment, then: the lock must STILL be
+        # held even though no pass is running
+        time.sleep(0.2)
+        assert os.path.exists(path_lock), \
+            'watch session released the lock between passes'
+        with open(path_lock) as f:
+            assert json.load(f)['pid'] == os.getpid()
+
+        # a one-shot run into the watched folder refuses immediately
+        a = analyze(**_kw(patched, dir_out))
+        assert a.coordinator.end_reason == 'already running'
+
+        # a SECOND watcher refuses at its first pass and its loop ends —
+        # it must not retry forever or claim the folder
+        b = analyze(watch=True, watch_interval=0.01, watch_cycles=50,
+                    **_kw(patched, dir_out))
+        assert b.coordinator.end_reason == 'already running'
+        assert os.path.exists(path_lock), \
+            'refused watcher removed the live owner\'s lock'
+    finally:
+        stop.set()
+    t.join(timeout=60)
+    assert not t.is_alive(), 'watcher did not stop'
+    assert not os.path.exists(path_lock), \
+        'watch session left its lock behind after stopping'
+
+
+def test_session_lock_reclaims_hand_deleted_file(tmp_path):
+    """The documented operator escape hatch ('delete <lock> and rerun')
+    can fire mid-session: each pass re-verifies ownership, so a vanished
+    lock file is re-claimed rather than silently assumed held — and a
+    foreign LIVE lock that replaced it refuses the pass instead of being
+    clobbered."""
+    from buzzdetect_tpu.analysis import SessionLock
+    dir_out = str(tmp_path / 'out')
+    lock = SessionLock()
+    a = _stub_acquirer(dir_out)
+    assert lock.ensure(a) is True
+    path = os.path.join(dir_out, cfg.FNAME_LOCK)
+    assert os.path.exists(path)
+    # pass 2 with the claim intact: no re-acquisition churn, still held
+    assert lock.ensure(a) is True
+
+    # operator deletes the lock mid-session: the next pass re-claims
+    os.unlink(path)
+    assert lock.ensure(a) is True
+    assert os.path.exists(path), 'vanished lock was not re-claimed'
+
+    # a live foreign owner replaced our lock: the pass must refuse and
+    # leave the foreign lock untouched
+    os.unlink(path)
+    _write_lock(dir_out, os.getpid() + 1, 'some-other-fieldbox')
+    foreign = open(path).read()
+    b = _stub_acquirer(dir_out)
+    b_lock = SessionLock()
+    # (use a fresh stub whose refusals list we inspect)
+    assert b_lock.ensure(b) is False
+    assert b.refusals == ['already running']
+    assert open(path).read() == foreign
+    lock.release()  # releasing a lost claim must not remove the foreign lock
+    assert os.path.exists(path)
 
 
 def _stub_acquirer(dir_out):

@@ -621,6 +621,61 @@ def test_stop_forwarder_catches_a_pass_registered_after_the_stop():
     assert not t.is_alive(), 'forwarder left a thread behind'
 
 
+def test_demote_margin_follows_declared_lookahead(tmp_path):
+    """The demotion margin comes from the embedder's DECLARED
+    ``lookahead_s`` — and an embedder that declares none gets a
+    conservative FULL framelength, not YAMNet's 60 ms.
+
+    The old margin baked ``framelength / 16`` into the demotion for
+    every embedder, justified by YAMNet's STFT geometry — an assumption
+    the plugin contract nowhere states. A plugin DSP with a longer
+    look-ahead (e.g. a 250 ms analysis window) would have kept rows
+    whose input included zero padding, baking padded scores into every
+    watch-mode seam."""
+    import types
+
+    from buzzdetect_tpu.analysis import Analyzer
+    fl = 0.96
+    # a 0.3 s row grid (sparse-framehop-style) whose rows never land
+    # exactly ON a cutoff — the demotion keeps an exactly-at-cutoff row
+    # by design (its window ends at the old EOF; epsilon guard), so the
+    # margins are asserted through strictly-inside rows
+    starts = [round(i * 0.3, 2) for i in range(36)]  # 0.0 .. 10.5
+
+    def demote(lookahead):
+        path_complete = str(tmp_path / f'r_{lookahead}_buzzdetect.csv')
+        path_partial = str(tmp_path / f'r_{lookahead}_buzzpart.csv')
+        with open(path_complete, 'w') as f:
+            f.write('start,activation_x\n')
+            f.writelines(f'{s},0.5\n' for s in starts)
+        a = types.SimpleNamespace(path_results_complete=path_complete,
+                                  path_results_partial=path_partial)
+        Analyzer._demote_to_partial(a, fl, lookahead)
+        with open(path_partial) as f:
+            kept = [float(r.split(',')[0]) for r in f.read().splitlines()[1:]]
+        return kept
+
+    # YAMNet's declared 60 ms tail: cutoff = 10.5 - 0.96 - 0.06 = 9.48
+    # -> last kept row 9.3
+    assert demote(0.06) == starts[:32]
+
+    # undeclared (None): conservative full framelength — cutoff
+    # 10.5 - 1.92 = 8.58 -> last kept row 8.4 (the old margin's 9.48
+    # cutoff would have KEPT 8.7-9.3, rows a long-lookahead plugin DSP
+    # may have scored against zero padding)
+    assert demote(None) == starts[:29]
+
+    # a plugin declaring a LONG tail drops everything its DSP could have
+    # padded: cutoff 10.5 - 0.96 - 2.5 = 7.04 -> last kept row 6.9
+    assert demote(2.5) == starts[:24]
+
+    # and the builtin embedder actually declares the tight value while the
+    # base contract leaves it undeclared
+    from buzzdetect_tpu.models.registry import BaseEmbedder, EmbedderYamnet
+    assert BaseEmbedder.lookahead_s is None
+    assert EmbedderYamnet.lookahead_s == pytest.approx(0.06)
+
+
 def test_demote_tolerates_debris_rows(patched_models, tmp_path):
     """A finalized CSV carrying a blank or hand-damaged line (the result
     contract allows files the reference wrote or a human touched) must
