@@ -66,16 +66,22 @@ def test_bench_both_mode_full_record():
     """'both' (the driver's default) must carry the whole capability story:
     a device headline (compute slope preferred, link-bound fallback), the
     link number, and the pipeline at default AND tuned (mu-law) wire."""
-    rec = _run_bench('--chunklength', '2', '--chunks', '8', '--reps', '1',
-                     '--files', '1', '--seconds-per-file', '4')
+    rec = _run_bench('--chunklength', '2', '--chunks', '8', '--reps', '2',
+                     '--files', '1', '--seconds-per-file', '4',
+                     '--draws', '2')
     assert rec['metric'] in ('realtime_factor_device_compute',
                              'realtime_factor_device')
     assert rec['value'] > 0
     assert rec['vs_baseline'] == pytest.approx(
         round(rec['value'] / 100.0, 3), abs=5e-4)
-    assert rec['device_link'] > 0
-    assert rec['pipeline_default'] > 0
-    assert rec['pipeline_tuned_mulaw'] > 0
+    # link-bound rows are medians over >=2 draws with an honest spread —
+    # one draw of the tunnel's duty cycle is not a representative number
+    for key in ('device_link', 'pipeline_default', 'pipeline_tuned_mulaw'):
+        assert rec[key] > 0
+        sp = rec[f'{key}_spread']
+        assert sp['draws'] == 2
+        assert sp['min'] <= sp['median'] <= sp['max']
+        assert rec[key] == sp['median']
 
 
 def test_bench_preflight_failure_emits_honest_record():
