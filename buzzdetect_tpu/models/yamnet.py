@@ -141,7 +141,56 @@ def _conv2d(x, kernel, stride, *, depthwise=False):
 # occupancy in VMEM, and the 9-tap VPU cost on padded lanes would exceed
 # the HBM traffic the fusion saves.
 PALLAS_BLOCKS = ((4, 8, 8), (8, None, 32))
-PALLAS_TAIL_START = PALLAS_BLOCKS[0][0]  # first non-XLA layer
+PALLAS_TAIL_START = PALLAS_BLOCKS[0][0]  # first layer the blocks cover
+
+# Fused packed front block (ops/pallas_conv.py::fused_front): layers 2-3
+# with `groups` patches packed along the lane dim (full 128-lane occupancy
+# at the front's 32/64 channel counts), layer 1 as an XLA grouped conv
+# over the packed batch. MEASURED AND NOT SHIPPED (None): at the
+# whole-embed level the best variant is noise-neutral vs XLA layers 1-3
+# (interleaved A/B medians 0.97x and 1.08x; isolated front 4.06 ms vs
+# XLA's 3.49 ms). The front is compute/precision-bound, not
+# layout/bandwidth-bound like the tail: its pointwise dots have a
+# ~1.5 ms MXU floor at HIGHEST (6-pass f32) — 0.99 ms measured for the
+# layer-2 dot alone in plain XLA — and the 27-op masked 9-tap depthwise
+# runs at ~1.3 vreg-ops/cycle on this Mosaic toolchain (~1.4-2 ms), so
+# the kernel's compute alone matches XLA's entire front cost and fusion
+# has no traffic left to save. Full numbers: docs/tuning.md (round-4
+# front-block refutation). The implementation stays parity-tested
+# (tests/test_pallas_conv.py) so the knob is usable if a toolchain
+# shifts the VPU/MXU balance: set to e.g.
+# dict(groups=4, block_packed=1) — optionally fuse_mid=True (also
+# measured slower: 9.65 vs 9.05 ms embed).
+PALLAS_FRONT = None
+
+
+def packed_l1(params, x, groups: int, compute_dtype=jnp.float32):
+    """Patches (B, 96, 64, 1) -> packed layer-1 activations
+    (ceil(B/groups), 48, 32, groups*32).
+
+    The pack transpose happens at PATCH granularity — 25 KB/patch, the
+    smallest point in the whole stack (measured 0.15 ms at B=1000; the
+    same transpose on layer-2 activations would cost ~8x that) — and
+    layer 1 runs as ONE grouped conv over the packed batch, each lane
+    group convolving its own patch (feature_group_count=groups).
+    """
+    b = x.shape[0]
+    bo = -(-b // groups)
+    if bo * groups != b:
+        x = jnp.concatenate(
+            [x, jnp.zeros((bo * groups - b, *x.shape[1:]), x.dtype)], axis=0)
+    xp = x[..., 0].reshape(bo, groups, 96, 64).transpose(0, 2, 3, 1)
+    kernel = jnp.tile(params['layer1/conv/kernel'].astype(compute_dtype),
+                      (1, 1, 1, groups))
+    bias = jnp.tile(params['layer1/conv/bias'].astype(jnp.float32), (groups,))
+    precision = (jax.lax.Precision.HIGHEST if xp.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    y = jax.lax.conv_general_dilated(
+        xp, kernel, window_strides=(2, 2), padding='SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32, precision=precision)
+    return jax.nn.relu(y + bias).astype(compute_dtype)
 
 
 def _pallas_embed(params, x, compute_dtype, blocks):
@@ -174,6 +223,34 @@ def embed(params: dict, patches: jnp.ndarray,
     x = patches.astype(compute_dtype)
     if x.ndim == 3:
         x = x[..., None]
+
+    if conv == 'pallas' and PALLAS_FRONT is not None:
+        # packed front path: XLA does only the pack + grouped layer 1;
+        # layers 2-3 run packed in a fused kernel — with fuse_mid, the
+        # SAME kernel continues through layers 4-7 after an in-VMEM
+        # un-interleave, deleting the layer-3/4 HBM round trip
+        from buzzdetect_tpu.ops.pallas_conv import (fused_front,
+                                                    fused_front_tail,
+                                                    tail_specs)
+        b = x.shape[0]
+        g = PALLAS_FRONT['groups']
+        xp = packed_l1(params, x, g, compute_dtype)
+        if PALLAS_FRONT.get('fuse_mid'):
+            stop = PALLAS_BLOCKS[-1][0]  # the final block's start layer
+            y = fused_front_tail(params, xp, groups=g,
+                                 block_packed=PALLAS_FRONT['block_packed'],
+                                 stop_layer=stop,
+                                 compute_dtype=compute_dtype)[:b]
+            s = tail_specs(4, stop)[-1]
+            blocks = tuple(bl for bl in PALLAS_BLOCKS if bl[0] >= stop)
+        else:
+            y = fused_front(params, xp, groups=g,
+                            block_packed=PALLAS_FRONT['block_packed'],
+                            compute_dtype=compute_dtype)[:b]
+            s = tail_specs(2, 4)[-1]
+            blocks = PALLAS_BLOCKS
+        y = y.reshape(b, s.h_out, s.w_out, s.c_out)
+        return _pallas_embed(params, y, compute_dtype, blocks)
 
     stop = PALLAS_BLOCKS[0][0] if conv == 'pallas' else len(LAYER_DEFS) + 1
     for key, kind, stride, _shape in _conv_shapes():

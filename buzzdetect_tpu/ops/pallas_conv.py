@@ -106,16 +106,26 @@ def tail_specs(start_layer: int = 8, stop_layer: int = None):
 
 
 def _tap_masks(spec: SepSpec) -> np.ndarray:
-    """(9, H*W, 1) f32 edge-validity mask per tap: 1 where the tap's shifted
+    """(9, HWo, 1) f32 edge-validity mask per tap: 1 where the tap's shifted
     read stays inside the patch's spatial plane. Static per layer, so it is
     precomputed host-side and folded into the tap weights inside the kernel
-    ((HW,1)x(1,C) broadcast) instead of paying a full-size select per tap."""
-    pos = np.arange(spec.h * spec.w)
-    hpos, wpos = pos // spec.w, pos % spec.w
+    ((HWo,1)x(1,C) broadcast) instead of paying a full-size select per tap.
+
+    For stride-2 layers the masks are evaluated at the OUTPUT grid (input
+    positions (2ho+1, 2wo+1) — the odd offsets, see _subsample_rows): the
+    kernel subsamples each tap's rolled operand BEFORE the multiply-add,
+    so the tap math runs at 1/4 size instead of computing three quarters
+    of the depthwise output only to discard it."""
+    if spec.stride > 1:
+        hpos = np.repeat(2 * np.arange(spec.h_out) + 1, spec.w_out)
+        wpos = np.tile(2 * np.arange(spec.w_out) + 1, spec.h_out)
+    else:
+        pos = np.arange(spec.h * spec.w)
+        hpos, wpos = pos // spec.w, pos % spec.w
     return np.stack([
         ((hpos + dy >= 0) & (hpos + dy < spec.h)
          & (wpos + dx >= 0) & (wpos + dx < spec.w)).astype(np.float32)
-        for dy, dx in TAPS]).reshape(9, spec.h * spec.w, 1)
+        for dy, dx in TAPS]).reshape(9, spec.h_out * spec.w_out, 1)
 
 
 def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
@@ -147,6 +157,81 @@ def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
     return ops
 
 
+def front_specs(groups: int = 4, start_layer: int = 2, stop_layer: int = 4):
+    """Virtual SepSpecs for the packed front block: ``groups`` patches share
+    the lane dim, so every channel count is multiplied by ``groups``.
+
+    The front layers' true channel counts (32/64) fill less than half a
+    128-wide lane tile, which is why the plain tail layout LOSES there
+    (measured 10.3 vs 8.4 ms embed at pb=2 — the 4x lane padding taxes
+    every VPU op, and the padded activations VMEM-OOM above pb=2). Packing
+    g=4 patches side by side in the lane dim makes every layer a full
+    multiple of 128 lanes while keeping ALL kernel ops identical to the
+    proven tail kernel: the depthwise rolls ride the per-patch flattened
+    spatial axis (axis 1 — patches never mix), the masks depend only on
+    spatial position, and the pointwise contraction becomes block-diagonal
+    over groups — which costs NOTHING on the MXU versus the unpacked form,
+    because a K=32 dot pays the systolic array's K=128 minimum anyway
+    (the block-diagonal form simply spends the padding on real work).
+    """
+    specs = tail_specs(start_layer, stop_layer)
+    return tuple(SepSpec(s.index, s.h, s.w, s.c_in * groups,
+                         s.c_out * groups, s.stride) for s in specs)
+
+
+def front_pw_splits(groups: int, start_layer: int = 2, stop_layer: int = 4):
+    """Per-layer number of pointwise sub-dots for the packed front.
+
+    A single block-diagonal ``kron(I_g, W)`` dot is free ONLY while
+    g*C <= 128 (the MXU's systolic K minimum — the padding a K=C dot
+    would pay anyway is spent on real work). Past that, block-diagonal
+    zeros become real MXU passes: layer 3 at g=4, C=64 would contract
+    K=256 where K=128 suffices — 2x the pointwise MACs. So each layer
+    contracts in ``n = ceil(g*C / 128)`` sub-dots of q=g/n lane groups,
+    each a dense-K ``kron(I_q, W)``, concatenated along lanes (probed)."""
+    splits = []
+    for s in tail_specs(start_layer, stop_layer):
+        q = max(1, min(groups, 128 // s.c_in))
+        if groups % q:
+            raise ValueError(f'groups={groups} not divisible by q={q} '
+                             f'at layer {s.index}')
+        splits.append(groups // q)
+    return tuple(splits)
+
+
+def pack_front_params(params: dict, groups: int, compute_dtype=jnp.float32,
+                      start_layer: int = 2, stop_layer: int = 4):
+    """Folded yamnet params -> packed-front operand list.
+
+    Same five operands per layer as ``pack_tail_params``, built for the
+    packed layout: depthwise taps and biases tile ``groups`` times along
+    lanes (each patch's channels see the same per-channel tap weights);
+    the pointwise kernel becomes block-diagonal ``kron(I_q, W)`` over the
+    q groups of one sub-dot (front_pw_splits) so each lane group
+    contracts only its own patch's channels.
+    """
+    ops = []
+    splits = front_pw_splits(groups, start_layer, stop_layer)
+    for s, n in zip(tail_specs(start_layer, stop_layer), splits):
+        dw = jnp.asarray(params[f'{s.name}/depthwise_conv/kernel'])
+        pw = jnp.asarray(params[f'{s.name}/pointwise_conv/kernel'])
+        eye = jnp.eye(groups // n, dtype=jnp.float32)
+        ops += [
+            jnp.tile(dw.reshape(9, 1, s.c_in).astype(jnp.float32),
+                     (1, 1, groups)),
+            jnp.tile(jnp.asarray(params[f'{s.name}/depthwise_conv/bias'],
+                                 jnp.float32).reshape(1, s.c_in),
+                     (1, groups)),
+            jnp.asarray(_tap_masks(s)),
+            jnp.kron(eye, pw.reshape(s.c_in, s.c_out).astype(jnp.float32)
+                     ).astype(compute_dtype),
+            jnp.tile(jnp.asarray(params[f'{s.name}/pointwise_conv/bias'],
+                                 jnp.float32).reshape(1, s.c_out),
+                     (1, groups)),
+        ]
+    return ops
+
+
 def _subsample_rows(x, spec: SepSpec, pb: int):
     """(Pb, H*W, C) -> (Pb, Ho*Wo, C), keeping rows ((2ho+1)*W + 2wo+1).
 
@@ -165,7 +250,54 @@ def _subsample_rows(x, spec: SepSpec, pb: int):
     return y.reshape(pb, spec.h_out * spec.w_out, c)
 
 
-def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
+def _parity_planes(x, spec: SepSpec, pb: int):
+    """(Pb, H*W, C) -> {(ph, pw): (Pb, Ho*Wo, C)}: the four stride-2
+    parity subsamples, each flattened on the output grid.
+
+    Built ONCE per stride-2 layer and shared by all 9 taps: tap (dy, dx)
+    reads input rows (2ho+1+dy, 2wo+1+dx), which is parity plane
+    ((1+dy)%2, (1+dx)%2) realigned by a quarter-size sublane roll for the
+    +1 offsets (_tap_read). The naive alternatives both lose: a full
+    depthwise output subsampled at the end wastes 3/4 of the tap VPU work,
+    and per-tap full-size rolls keep full-size copies live on Mosaic's
+    kernel stack (a measured 17.3 MB scoped-vmem OOM at pbi=1)."""
+    c = x.shape[-1]
+    planes = {}
+    for ph in (0, 1):
+        y = x.reshape(pb, spec.h // 2, 2, spec.w, c)[:, :, ph]
+        y = y.reshape(pb, spec.h // 2, spec.w // 2, 2, c)
+        for pw_ in (0, 1):
+            planes[(ph, pw_)] = y[:, :, :, pw_].reshape(
+                pb, spec.h_out * spec.w_out, c)
+    return planes
+
+
+def _tap_read(planes, spec: SepSpec, dy: int, dx: int):
+    """The stride-2 tap operand at the output grid: parity plane +
+    quarter-size realign roll. Edge wrap garbage is zeroed by the
+    output-grid masks (_tap_masks)."""
+    y = planes[((1 + dy) % 2, (1 + dx) % 2)]
+    hwo = spec.h_out * spec.w_out
+    shift = (dy == 1) * spec.w_out + (dx == 1)
+    if shift:
+        y = pltpu.roll(y, (-shift) % hwo, 1)
+    return y
+
+
+def _unpack_lanes(x, pb, groups):
+    """(Pb, HW, g*C) packed -> (Pb*g, HW, C) per-patch rows.
+
+    Lane-tile split (minor stays a 128 multiple), non-minor swap, leading
+    merge — all probed PASS on this toolchain (swap_then_merge). Doing
+    this INSIDE the kernel is the point: outside, XLA charges a measured
+    ~0.63 ms relayout for the same unpack at B=1000."""
+    hw, c = x.shape[1], x.shape[2] // groups
+    y = x.reshape(pb, hw, groups, c)
+    return jnp.swapaxes(y, 1, 2).reshape(pb * groups, hw, c)
+
+
+def _tail_kernel(*refs, specs, pb, compute_dtype, gap, unpack=None,
+                 pw_splits=None, unpack_after=None):
     """refs = [x_ref, (dw, dw_b, masks, pw, pw_b) * len(specs), out_ref].
 
     Activations stay float32 on the VPU side regardless of compute_dtype:
@@ -173,45 +305,202 @@ def _tail_kernel(*refs, specs, pb, compute_dtype, gap):
     non-32-bit data" compile error on bf16), and the depthwise taps
     accumulate in f32 anyway. compute_dtype only selects the MXU dot
     operands' dtype/precision — where the bf16 throughput lives.
+
+    With ``unpack_after=i`` the first i+1 specs run in the packed-lane
+    layout (``unpack`` patches per row, virtual channel counts); the
+    activations are then un-interleaved in VMEM and the remaining specs
+    run per-patch — fusing the packed front into the plain mid-stack
+    without the layer-boundary HBM round trip. With ``unpack_after=None``
+    and ``unpack`` set, the un-interleave instead happens at the output
+    write (a front-only kernel).
     """
     x_ref, out_ref = refs[0], refs[-1]
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
     x = x_ref[:].astype(jnp.float32)
+    pb_now = pb
 
     for li, spec in enumerate(specs):
         dw_ref, dwb_ref, mask_ref, pw_ref, pwb_ref = \
             refs[1 + 5 * li: 6 + 5 * li]
         hw = spec.h * spec.w
 
+        # stride-2 layers read each tap at the OUTPUT grid via the four
+        # shared parity planes (_parity_planes + _tap_read; masks are
+        # precomputed at the output grid) so the tap math runs at 1/4
+        # size — the naive full-resolution depthwise-then-subsample both
+        # wastes 3/4 of the tap VPU work and OOMs Mosaic's scoped vmem
+        # with full-size rolled temporaries.
+        planes = (_parity_planes(x, spec, pb_now)
+                  if spec.stride > 1 else None)
         # center tap: valid everywhere, zero shift — it seeds the
         # accumulator, saving a zeros-init add and a mask multiply
-        acc = x * dw_ref[CENTER]
+        if planes is not None:
+            acc = planes[(1, 1)] * dw_ref[CENTER]
+        else:
+            acc = x * dw_ref[CENTER]
         for t, (dy, dx) in enumerate(TAPS):
             if t == CENTER:
                 continue
-            # circular roll bringing x[pos + shift] to pos (shift may be
-            # negative; pltpu.roll wants a non-negative amount, so wrap);
-            # wrapped-in garbage is zeroed by the masked weights
-            shift = (-(dy * spec.w + dx)) % hw
-            shifted = pltpu.roll(x, shift, 1)
+            if planes is not None:
+                shifted = _tap_read(planes, spec, dy, dx)
+            else:
+                # circular roll bringing x[pos + shift] to pos (shift may
+                # be negative; pltpu.roll wants a non-negative amount, so
+                # wrap); wrapped-in garbage is zeroed by the masked weights
+                shift = (-(dy * spec.w + dx)) % hw
+                shifted = pltpu.roll(x, shift, 1)
             acc = acc + shifted * (mask_ref[t] * dw_ref[t])
-        if spec.stride > 1:
-            acc = _subsample_rows(acc, spec, pb)
         y = jax.nn.relu(acc + dwb_ref[:])
 
         hwo = spec.h_out * spec.w_out
-        flat = y.reshape(pb * hwo, spec.c_in).astype(compute_dtype)
-        z = jax.lax.dot_general(
-            flat, pw_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        x = jax.nn.relu(z.reshape(pb, hwo, spec.c_out) + pwb_ref[:])
+        n = pw_splits[li] if pw_splits is not None else 1
+        if n == 1:
+            flat = y.reshape(pb_now * hwo, spec.c_in).astype(compute_dtype)
+            z = jax.lax.dot_general(
+                flat, pw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        else:
+            # packed front past g*C=128: contract in n dense-K sub-dots
+            # over lane-tile slices instead of one block-diagonal dot
+            # whose zero blocks would be real MXU passes (front_pw_splits)
+            kq = spec.c_in // n
+            y4 = y.reshape(pb_now, hwo, n, kq)
+            zs = [jax.lax.dot_general(
+                y4[:, :, i, :].reshape(pb_now * hwo, kq)
+                .astype(compute_dtype),
+                pw_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+                for i in range(n)]
+            z = jnp.concatenate(zs, axis=-1)
+        x = jax.nn.relu(z.reshape(pb_now, hwo, spec.c_out) + pwb_ref[:])
+
+        if unpack_after is not None and li == unpack_after:
+            x = _unpack_lanes(x, pb_now, unpack)
+            pb_now = pb_now * unpack
 
     if gap:
         out_ref[:] = jnp.mean(x.astype(jnp.float32), axis=1)
+    elif unpack and unpack_after is None:
+        # front-only kernel: un-interleave at the output write
+        out_ref[:] = _unpack_lanes(x.astype(jnp.float32), pb_now, unpack)
     else:
         out_ref[:] = x.astype(jnp.float32)
+
+
+def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
+                block_packed: int = 2, compute_dtype=jnp.float32,
+                start_layer: int = 2, stop_layer: int = 4,
+                unpack: bool = True,
+                interpret: bool = False) -> jnp.ndarray:
+    """Packed layer-1 activations -> layer-4 input, one fused kernel.
+
+    ``x``: (Bo, 48, 32, groups*32) — ``groups`` patches' layer-1 outputs
+    packed along the channel/lane dim (models/yamnet.py::packed_l1).
+    Returns (Bo*groups, 24*16, 128) per-patch activations entering layer 4
+    (flattened spatial; the un-interleave happens INSIDE the kernel, where
+    it is a probed lane-tile split + swap — outside, XLA charges a
+    measured ~0.63 ms relayout for the same unpack at B=1000).
+
+    Design (reference parity: embedders/yamnet/yamnet.py:77-106, layers
+    2-3): identical op set to the tail kernel — the packing makes layers
+    2-3 full-lane (see ``front_specs``) where the plain layout measured
+    SLOWER than XLA. Parity to f32 rounding vs the XLA path
+    (tests/test_pallas_conv.py).
+    """
+    specs = front_specs(groups, start_layer, stop_layer)
+    s0, sl = specs[0], specs[-1]
+    bo, h, w, c = x.shape
+    assert (h, w, c) == (s0.h, s0.w, s0.c_in), \
+        f'expected {(s0.h, s0.w, s0.c_in)} packed input, got {(h, w, c)}'
+    pbi = block_packed
+    bo_pad = -(-bo // pbi) * pbi
+    x = x.reshape(bo, h * w, c)
+    if bo_pad != bo:
+        x = jnp.concatenate(
+            [x, jnp.zeros((bo_pad - bo, h * w, c), x.dtype)], axis=0)
+
+    ops = pack_front_params(params, groups, compute_dtype,
+                            start_layer, stop_layer)
+    hwo = sl.h_out * sl.w_out
+    c_out = sl.c_out // groups if unpack else sl.c_out
+    kernel = partial(_tail_kernel, specs=specs, pb=pbi,
+                     compute_dtype=compute_dtype, gap=False,
+                     unpack=groups if unpack else None,
+                     pw_splits=front_pw_splits(groups, start_layer,
+                                               stop_layer))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bo_pad // pbi,),
+        in_specs=[pl.BlockSpec((pbi, h * w, c), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),
+        out_specs=pl.BlockSpec(
+            ((pbi * groups if unpack else pbi), hwo, c_out),
+            lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            ((bo_pad * groups if unpack else bo_pad), hwo, c_out),
+            jnp.float32),
+        interpret=interpret,
+    )(x, *ops)
+    return out[:bo * groups] if unpack else out[:bo]
+
+
+def fused_front_tail(params: dict, x: jnp.ndarray, *, groups: int = 4,
+                     block_packed: int = 1, stop_layer: int = 8,
+                     compute_dtype=jnp.float32,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Packed layer-1 activations -> layer-``stop_layer`` input, ONE kernel:
+    packed layers 2-3, in-kernel un-interleave, plain layers 4..stop-1.
+
+    Fusing the front INTO the mid-stack block is where the front's win
+    actually lives: a separate front kernel must write layer-3 output to
+    HBM for the 4..7 block to read back — 2 x 196 MB at B=1000, ~0.9 ms
+    of pure layer-boundary traffic that this kernel never pays. The
+    un-interleave between layer 3 and layer 4 happens on VMEM-resident
+    activations (_unpack_lanes).
+
+    ``x``: (Bo, 48, 32, groups*32) packed layer-1 activations
+    (models/yamnet.py::packed_l1). Returns (Bo*groups, Ho*Wo, C) per-patch
+    activations entering ``stop_layer`` (flattened spatial).
+    """
+    fspecs = front_specs(groups)
+    pspecs = tail_specs(4, stop_layer)
+    specs = fspecs + pspecs
+    s0, sl = fspecs[0], pspecs[-1]
+    bo, h, w, c = x.shape
+    assert (h, w, c) == (s0.h, s0.w, s0.c_in), \
+        f'expected {(s0.h, s0.w, s0.c_in)} packed input, got {(h, w, c)}'
+    pbi = block_packed
+    bo_pad = -(-bo // pbi) * pbi
+    x = x.reshape(bo, h * w, c)
+    if bo_pad != bo:
+        x = jnp.concatenate(
+            [x, jnp.zeros((bo_pad - bo, h * w, c), x.dtype)], axis=0)
+
+    ops = (pack_front_params(params, groups, compute_dtype)
+           + pack_tail_params(params, pspecs, compute_dtype))
+    pw_splits = front_pw_splits(groups) + (1,) * len(pspecs)
+    hwo, c_out = sl.h_out * sl.w_out, sl.c_out
+    kernel = partial(_tail_kernel, specs=specs, pb=pbi,
+                     compute_dtype=compute_dtype, gap=False,
+                     unpack=groups, pw_splits=pw_splits,
+                     unpack_after=len(fspecs) - 1)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bo_pad // pbi,),
+        in_specs=[pl.BlockSpec((pbi, h * w, c), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),
+        out_specs=pl.BlockSpec((pbi * groups, hwo, c_out),
+                               lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bo_pad * groups, hwo, c_out),
+                                       jnp.float32),
+        interpret=interpret,
+    )(x, *ops)
+    return out[:bo * groups]
 
 
 def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,

@@ -268,3 +268,81 @@ def test_classifier_conv_validation():
         ChunkClassifier(arrays, conv='pallas', mesh=mesh)
     # auto + mesh quietly stays on the portable path
     assert ChunkClassifier(arrays, mesh=mesh).conv == 'xla'
+
+
+# --- packed front block (layers 2-3) -----------------------------------------
+# Gated OFF by default (yamnet.PALLAS_FRONT is None): on the current
+# toolchain it measured noise-neutral at the whole-embed level
+# (docs/tuning.md round-4 front-block refutation). The implementation is
+# kept parity-tested so the knob stays usable when a toolchain shifts the
+# VPU/MXU balance.
+
+def xla_front(params, patches):
+    """Reference: layers 1-3 through the production XLA path."""
+    x = jnp.asarray(patches)[..., None]
+    for key, kind, stride, _shape in yam._conv_shapes():
+        if int(key.split('/')[0][len('layer'):]) >= 4:
+            break
+        k = jnp.asarray(params[f'{key}/kernel'])
+        b = jnp.asarray(params[f'{key}/bias'])
+        x = yam._conv2d(x, k, stride, depthwise=(kind == 'depthwise'))
+        x = jax.nn.relu(x + b)
+    return x
+
+
+@pytest.mark.parametrize('b', [1, 3, 8])
+def test_fused_front_matches_xla(b):
+    """packed_l1 + fused_front == XLA layers 1-3, including ragged
+    batches that pad to a group multiple."""
+    from buzzdetect_tpu.ops.pallas_conv import fused_front
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    patches = RNG.standard_normal((b, 96, 64)).astype(np.float32)
+    ref = np.asarray(xla_front(params, patches)).reshape(b, 24 * 16, 128)
+    with pltpu.force_tpu_interpret_mode():
+        xp = yam.packed_l1(params, jnp.asarray(patches)[..., None], 4)
+        got = np.asarray(fused_front(params, xp, groups=4, block_packed=1,
+                                     interpret=True))[:b]
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_fused_front_tail_matches_xla():
+    """The fuse-through variant (packed 2-3 + in-kernel un-interleave +
+    plain 4-7) matches XLA layers 1-7."""
+    from buzzdetect_tpu.ops.pallas_conv import fused_front_tail
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    b = 5
+    patches = RNG.standard_normal((b, 96, 64)).astype(np.float32)
+    x = xla_front(params, patches)
+    ref = np.asarray(xla_tail(params, x, 4, 8, gap=False))
+    ref = ref.reshape(b, -1, ref.shape[-1])
+    with pltpu.force_tpu_interpret_mode():
+        xp = yam.packed_l1(params, jnp.asarray(patches)[..., None], 4)
+        got = np.asarray(fused_front_tail(params, xp, groups=4,
+                                          block_packed=1, stop_layer=8,
+                                          interpret=True))[:b]
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize('front', [
+    dict(groups=4, block_packed=1),
+    dict(groups=4, block_packed=1, fuse_mid=True),
+])
+def test_embed_with_front_config_matches_xla(front, monkeypatch):
+    """Whole-embed parity with the front knob enabled, both variants."""
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    patches = RNG.standard_normal((6, 96, 64)).astype(np.float32)
+    ref = np.asarray(yam.embed(params, jnp.asarray(patches), conv='xla'))
+    monkeypatch.setattr(yam, 'PALLAS_FRONT', front)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(yam.embed(params, jnp.asarray(patches),
+                                   conv='pallas'))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_front_pw_splits_rule():
+    """Sub-dot counts follow the g*C<=128 rule: one block-diagonal dot
+    while the packed K fits a single MXU pass, dense-K splits beyond."""
+    from buzzdetect_tpu.ops.pallas_conv import front_pw_splits
+    assert front_pw_splits(4) == (1, 2)     # L2: 4*32=128; L3: 4*64=256
+    assert front_pw_splits(2) == (1, 1)     # 64 and 128: single dots
+    assert front_pw_splits(8) == (2, 4)     # 256 and 512

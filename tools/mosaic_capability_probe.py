@@ -201,12 +201,65 @@ def main():
         return np.array_equal(out, x3.reshape(16, 8, 2, 128)[:, :, 0]), \
             '(16,16,128)->(16,8,2,128)[:, :, 0]'
 
+    # 13-17: front-block probes (round 4). Findings on this toolchain:
+    # lane rolls by non-128 amounts normally PASS, but returned silently
+    # WRONG results once in a session whose backend was already degraded
+    # (subsequent compiles FAILED_PRECONDITION) — keep this case in the
+    # sweep as a canary; minor-dim splits need the new minor to be a 128
+    # multiple; lane-dim pad+slice shifts DO compile; swapaxes of the
+    # two non-minor dims plus a leading merge compiles (the packed
+    # front's un-interleave).
+    xf = np.arange(8 * 48 * 1024, dtype=np.float32).reshape(8, 48, 1024)
+
+    def case_roll_lane_32():
+        def k(i, o):
+            o[:] = pltpu.roll(i[:], 32, 2)
+        out = run(k, xf.shape, xf)
+        return np.array_equal(out, np.roll(xf, 32, 2)), \
+            'pltpu.roll axis=2 by 32 (non-128)'
+
+    def case_pad_slice_lane():
+        def k(i, o):
+            o[:] = jnp.pad(i[:], ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+        out = run(k, xf.shape, xf)
+        ref = np.pad(xf, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+        return np.array_equal(out, ref), 'lane shift via pad+slice'
+
+    def case_split_minor_small():
+        def k(i, o):
+            o[:] = i[:].reshape(8, 48, 32, 32)
+        out = run(k, (8, 48, 32, 32), xf)
+        return np.array_equal(out, xf.reshape(8, 48, 32, 32)), \
+            'split lanes -> new minor 32 (<128)'
+
+    def case_swap_nonminor_merge():
+        x5 = np.arange(2 * 384 * 512, dtype=np.float32).reshape(2, 384, 512)
+
+        def k(i, o):
+            y = i[:].reshape(2, 384, 4, 128)
+            o[:] = jnp.swapaxes(y, 1, 2).reshape(8, 384, 128)
+        out = run(k, (8, 384, 128), x5)
+        ref = np.swapaxes(x5.reshape(2, 384, 4, 128), 1, 2).reshape(
+            8, 384, 128)
+        return np.array_equal(out, ref), 'swap(1,2)+merge un-interleave'
+
+    def case_outer_broadcast_mul():
+        xc = np.arange(32 * 96 * 128, dtype=np.float32).reshape(32, 96, 128)
+        wc = np.arange(32, dtype=np.float32).reshape(32, 1, 1)
+
+        def k(i, wref, o):
+            o[:] = i[:] * wref[:]
+        out = run(k, xc.shape, xc, wc)
+        return np.array_equal(out, xc * wc), '(C,1,1)*(C,HW,pb)'
+
     for case in [case_stride_lane, case_stride_sublane, case_stride_leading,
                  case_reshape_leading_split, case_reshape_leading_merge,
                  case_collapse_to_2d, case_split_minor, case_roll_sublane,
                  case_roll_lane, case_pad_slice_shift, case_transpose_minor,
                  case_collapsed_dot, case_row_gather, case_iota_mask,
-                 case_iota_mod24, case_split_sublane]:
+                 case_iota_mod24, case_split_sublane, case_roll_lane_32,
+                 case_pad_slice_lane, case_split_minor_small,
+                 case_swap_nonminor_merge, case_outer_broadcast_mul]:
         probe(case.__name__[5:], case)
 
 
