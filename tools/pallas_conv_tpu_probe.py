@@ -37,7 +37,21 @@ N_INPUTS = 8  # distinct on-device batches — identical (fn, buffer) dispatches
 
 
 def parse_blocks(spec: str):
-    """'4:8:8,8::32' -> ((4, 8, 8), (8, None, 32))."""
+    """'4:8:8,8::32' -> ((4, 8, 8), (8, None, 32)).
+
+    'front[:pbi[:mid]]' -> a packed-front config dict (layers 2-3 fused
+    with g=4 lane packing on top of the default PALLAS_BLOCKS; 'mid'
+    selects the fuse-through-layer-7 variant) — reruns the round-4
+    front-block refutation (docs/tuning.md) on current hardware, e.g.:
+        --variants 4:8:8,8::32 front:1 front:1:mid
+    """
+    if spec.startswith('front'):
+        parts = spec.split(':')
+        cfg = dict(groups=4,
+                   block_packed=int(parts[1]) if len(parts) > 1 else 1)
+        if len(parts) > 2 and parts[2] == 'mid':
+            cfg['fuse_mid'] = True
+        return cfg
     blocks = []
     for part in spec.split(','):
         start, stop, pb = part.split(':')
@@ -195,6 +209,19 @@ def race_variants(args):
             def f(x, i):
                 return jnp.sum(yam.embed(params, x + i * 1e-6,
                                          compute_dtype=dtype))
+        elif isinstance(blocks, dict):
+            # packed front config (round-4 refutation rerun): set the
+            # trace-time knob INSIDE the traced fn so jit's deferred
+            # tracing bakes the intended config, not the module default
+            def f(x, i, front=blocks):
+                saved = yam.PALLAS_FRONT
+                yam.PALLAS_FRONT = front
+                try:
+                    return jnp.sum(yam.embed(params, x + i * 1e-6,
+                                             compute_dtype=dtype,
+                                             conv='pallas'))
+                finally:
+                    yam.PALLAS_FRONT = saved
         else:
             def f(x, i):
                 x = (x + i * 1e-6).astype(dtype)[..., None]
