@@ -29,10 +29,12 @@ sublane rolls, 2-D row gathers and minor transposes do):
   center tap is valid everywhere and needs neither roll nor mask, so it
   initializes the accumulator — pure VPU, 3 full-size ops per off-center
   tap (roll, mul, add);
-* stride-2 subsample: keep the ODD positions (rows (2*ho+1)*W + 2*wo+1 —
+* stride-2: each tap reads at the OUTPUT grid via four shared parity
+  planes built by reshape-split + static index steps (strided slices do
+  not compile — see _parity_planes/_tap_read), so tap math runs at 1/4
+  size; the all-odd plane (rows (2*ho+1)*W + 2*wo+1) is the center tap —
   SAME padding on even input pads only bottom/right, so parity with the
-  XLA/TF conv demands the odd offsets) via reshape-split + static index
-  steps, since strided slices do not compile (see _subsample_rows);
+  XLA/TF conv demands the odd offsets;
 * pointwise 1x1: the (Pb*HW, C) collapsed view @ (C, F) on the MXU at
   Precision.HIGHEST (f32 parity mode) or DEFAULT (bf16 mode) — Pb is
   chosen so Pb*HW >= 128 rows even at the 3x2-spatial layers;
@@ -112,10 +114,10 @@ def _tap_masks(spec: SepSpec) -> np.ndarray:
     ((HWo,1)x(1,C) broadcast) instead of paying a full-size select per tap.
 
     For stride-2 layers the masks are evaluated at the OUTPUT grid (input
-    positions (2ho+1, 2wo+1) — the odd offsets, see _subsample_rows): the
-    kernel subsamples each tap's rolled operand BEFORE the multiply-add,
-    so the tap math runs at 1/4 size instead of computing three quarters
-    of the depthwise output only to discard it."""
+    positions (2ho+1, 2wo+1) — the odd offsets, see _parity_planes): the
+    kernel reads each tap's operand at the output grid BEFORE the
+    multiply-add, so the tap math runs at 1/4 size instead of computing
+    three quarters of the depthwise output only to discard it."""
     if spec.stride > 1:
         hpos = np.repeat(2 * np.arange(spec.h_out) + 1, spec.w_out)
         wpos = np.tile(2 * np.arange(spec.w_out) + 1, spec.h_out)
@@ -232,27 +234,17 @@ def pack_front_params(params: dict, groups: int, compute_dtype=jnp.float32,
     return ops
 
 
-def _subsample_rows(x, spec: SepSpec, pb: int):
-    """(Pb, H*W, C) -> (Pb, Ho*Wo, C), keeping rows ((2ho+1)*W + 2wo+1).
-
-    SAME padding for a 3x3 stride-2 conv on even input pads only the
-    bottom/right (pad_total=1), so output (ho, wo) is the stride-1 centered
-    conv evaluated at (2ho+1, 2wo+1) — the ODD positions. Strided slices
-    don't compile on this toolchain (see tools/mosaic_capability_probe.py),
-    but splitting a dim in two and statically indexing one half does — so
-    stride-2 is two split+index steps (H, then W), all on probed-PASS
-    reshapes.
-    """
-    assert spec.stride == 2 and spec.h % 2 == 0 and spec.w % 2 == 0
-    c = x.shape[-1]
-    y = x.reshape(pb, spec.h // 2, 2, spec.w, c)[:, :, 1]   # odd rows
-    y = y.reshape(pb, spec.h // 2, spec.w // 2, 2, c)[:, :, :, 1]  # odd cols
-    return y.reshape(pb, spec.h_out * spec.w_out, c)
-
-
 def _parity_planes(x, spec: SepSpec, pb: int):
     """(Pb, H*W, C) -> {(ph, pw): (Pb, Ho*Wo, C)}: the four stride-2
     parity subsamples, each flattened on the output grid.
+
+    SAME padding for a 3x3 stride-2 conv on even input pads only the
+    bottom/right (pad_total=1), so output (ho, wo) is the stride-1
+    centered conv evaluated at (2ho+1, 2wo+1) — the ODD positions, plane
+    (1, 1). Strided slices don't compile on this toolchain
+    (tools/mosaic_capability_probe.py), but splitting a dim in two and
+    statically indexing one half does — each plane is two probed-PASS
+    split+index steps (H, then W).
 
     Built ONCE per stride-2 layer and shared by all 9 taps: tap (dy, dx)
     reads input rows (2ho+1+dy, 2wo+1+dx), which is parity plane
