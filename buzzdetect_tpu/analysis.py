@@ -254,6 +254,13 @@ class Analyzer:
         self.thread_writer = None
         self.threads_streamers = []
         self.threads_analyzers = []
+        # exact started-worker counts for interrupt-time poisoning,
+        # incremented only after t.start() RETURNS (start waits on the
+        # child's started event, so the count never includes a thread
+        # that is not yet draining its queue). Thread.ident is NOT a
+        # reliable signal here: it is assigned by the child, so the main
+        # thread can read None for a streamer that is already consuming.
+        self._started = {'streamers': 0, 'analyzers': 0, 'writer': 0}
 
     # --- setup -----------------------------------------------------------
     def _startup_warn(self, message, stacklevel=4):
@@ -445,6 +452,7 @@ class Analyzer:
                             result_header=header))
             self.threads_streamers.append(t)
             t.start()
+            self._started['streamers'] += 1
 
     def _launch_analyzers(self):
         # replica mode: thread a gets replica a (its own device-pinned
@@ -463,6 +471,7 @@ class Analyzer:
                                 * self.model.embedder.samplerate)))
             self.threads_analyzers.append(t)
             t.start()
+            self._started['analyzers'] += 1
 
     def _launch_writer(self):
         self.thread_writer = threading.Thread(
@@ -479,6 +488,7 @@ class Analyzer:
                         alert=self.alert,
                         alert_command=self.alert_command))
         self.thread_writer.start()
+        self._started['writer'] = 1
 
     def _launch_stall_watchdog(self):
         """Warn when NO results land within cfg.STALL_WARNING_S of launch;
@@ -816,8 +826,16 @@ class Analyzer:
         """
         import json
         import socket
+        import uuid
         path = self._lock_path()
+        # the claim token identifies THIS acquisition, not just this
+        # process: (pid, host) cannot distinguish two runs in one process
+        # (threads share the pid — analyze() is a library API), so after
+        # an operator hand-deletes a lock mid-session, a sibling run's
+        # fresh lock would read as "ours" under a pid/host check and both
+        # the session re-verify and the release would treat it as owned
         me = {'pid': os.getpid(), 'host': socket.gethostname(),
+              'claim': uuid.uuid4().hex,
               'started': self.timer_total.time_start.isoformat(
                   sep=' ', timespec='seconds')}
         os.makedirs(self.dir_out, exist_ok=True)
@@ -844,6 +862,7 @@ class Analyzer:
                         with os.fdopen(fd, 'w') as f, open(tmp) as t:
                             f.write(t.read())
                     self._lock_held = True
+                    self._lock_claim = me['claim']
                     return True
                 except FileExistsError:
                     owner = self._read_lock_owner(path)
@@ -928,12 +947,22 @@ class Analyzer:
                 os.close(dfd)  # releases the flock
 
     def _release_lock(self):
-        if getattr(self, '_lock_held', False):
-            try:
-                os.unlink(self._lock_path())
-            except OSError:
-                pass
-            self._lock_held = False
+        if not getattr(self, '_lock_held', False):
+            return
+        self._lock_held = False
+        path = self._lock_path()
+        # unlink only OUR claim: if the operator hand-deleted the lock
+        # mid-run (the documented escape hatch) and another run claimed
+        # the folder, the file on disk is THEIRS — a blind unlink would
+        # hand a third run the corruption window the lock prevents
+        owner = self._read_lock_owner(path)
+        if owner is not None and owner.get('claim') != \
+                getattr(self, '_lock_claim', None):
+            return
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
 
     def _write_run_summary(self, running=False, crash_reason=None):
         """Machine-readable run outcome: ``buzzdetect_run_summary.json``
@@ -1150,19 +1179,20 @@ class Analyzer:
             # poisoning it past the queue bound would spin forever (e.g.
             # 8 replicas over a 4-slot q_analyze, interrupted before
             # _launch_analyzers).
-            # count only threads that actually STARTED (ident is assigned
-            # by Thread.start): the launch helpers append before start(),
-            # so an interrupt landing in that one-instruction window would
-            # over-count — and the extra sentinel can spin _poison forever
-            # on a stage whose queue still holds backlog after its real
-            # workers exited (the never-started thread never drains it)
+            # count only workers that actually STARTED (_started is
+            # incremented after each t.start() returns): len(threads)
+            # over-counts when the interrupt lands between append and
+            # start — and the extra sentinel can spin _poison forever on
+            # a stage whose queue still holds backlog after its real
+            # workers exited (the never-started thread never drains it).
+            # The residual window (interrupt between start() returning
+            # and the increment) under-counts by one: that worker parks
+            # on its queue as a daemon thread — bounded leakage, chosen
+            # over the unbounded spin of over-counting.
             self.coordinator.poison_all(
-                streamers=sum(1 for t in self.threads_streamers
-                              if t.ident is not None),
-                analyzers=sum(1 for t in self.threads_analyzers
-                              if t.ident is not None),
-                writer=1 if (self.thread_writer is not None
-                             and self.thread_writer.ident is not None) else 0)
+                streamers=self._started['streamers'],
+                analyzers=self._started['analyzers'],
+                writer=self._started['writer'])
             # writer drain handled by the generic non-completed join below
             # (end_reason is 'interrupted' unless the run already finished,
             # in which case wait_for_exit joined the writer)
@@ -1213,18 +1243,21 @@ class SessionLock:
     def __init__(self):
         self.held = False
         self.path = None
+        self.claim = None
 
     def ensure(self, analyzer) -> bool:
-        import socket
         path = analyzer._lock_path()
         if self.held and path == self.path:
-            owner = analyzer._read_lock_owner(path)
-            if (owner is not None and owner.get('pid') == os.getpid()
-                    and owner.get('host') == socket.gethostname()):
+            owner = Analyzer._read_lock_owner(path)
+            # ownership = OUR claim token, not (pid, host): two runs in
+            # one process share the pid, so a sibling's fresh lock (after
+            # an operator hand-delete) must NOT read as ours
+            if owner is not None and owner.get('claim') == self.claim:
                 return True
             # the file vanished or was clobbered between passes: fall
-            # through and re-claim (a live foreign owner refuses us, which
-            # ends the watch loop — its end_reason is not healthy)
+            # through and re-claim (a live owner — foreign OR same-pid
+            # sibling — refuses us, which ends the watch loop: its
+            # end_reason is not healthy)
             self.held = False
         if not analyzer._acquire_lock():
             return False
@@ -1232,29 +1265,24 @@ class SessionLock:
         # finally releases only when analyzer._lock_held is set
         analyzer._lock_held = False
         self.held, self.path = True, path
+        self.claim = analyzer._lock_claim
         return True
 
     def release(self):
         if not self.held:
             return
         self.held = False
-        # verify ownership before unlinking: if the operator hand-deleted
-        # our lock mid-session and a foreign run claimed the folder, the
-        # file on disk is THEIRS — a blind unlink here would hand a third
-        # run the corruption window the lock exists to prevent
-        import json
-        import socket
+        # unlink only OUR claim: if the operator hand-deleted our lock
+        # mid-session and another run claimed the folder, the file on
+        # disk is THEIRS — a blind unlink here would hand a third run
+        # the corruption window the lock exists to prevent
+        owner = Analyzer._read_lock_owner(self.path)
+        if owner is None or owner.get('claim') != self.claim:
+            return
         try:
-            with open(self.path) as f:
-                owner = json.load(f)
-        except Exception:
-            return  # vanished or unreadable: nothing of ours to remove
-        if (owner.get('pid') == os.getpid()
-                and owner.get('host') == socket.gethostname()):
-            try:
-                os.unlink(self.path)
-            except OSError:
-                pass
+            os.unlink(self.path)
+        except OSError:
+            pass
 
 
 def _run_stop_forwarder(external_event, stop, current_pass,

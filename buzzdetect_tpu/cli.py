@@ -25,9 +25,7 @@ def str2bool(v):
 
 
 def _resolve_dir_out(dir_out, modelname):
-    if dir_out is not None:
-        return dir_out
-    return cfg.default_dir_out(modelname)
+    return cfg.resolve_dir_out(dir_out, modelname)
 
 
 def _resolve_classes_out(modelname, classes_out):

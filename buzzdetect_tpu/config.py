@@ -57,6 +57,20 @@ def resolve_dir(d: str) -> str:
     return os.path.join(DIR_REPO, d)
 
 
+def resolve_dir_out(dir_out, modelname) -> str:
+    """Blank/None dir_out -> the model's default output folder.
+
+    The ONE definition of the zero-config output rule shared by the
+    Analyzer, the CLI, the GUI viewmodel's manifest locking, and the GUI
+    outcome line — resolving it differently in any one of them makes that
+    surface look at a different folder than the one results land in.
+    A blank modelname falls back to DEFAULT_MODEL (the GUI form's
+    empty-field state during editing)."""
+    if dir_out:
+        return dir_out
+    return default_dir_out(modelname or DEFAULT_MODEL)
+
+
 def default_dir_out(modelname: str) -> str:
     """The default output directory for a model (models/<name>/output).
 

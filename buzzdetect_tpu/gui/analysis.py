@@ -181,16 +181,13 @@ class AnalysisWindow(tk.Toplevel):
         import os
 
         from buzzdetect_tpu import config as cfg
-        dir_out = self.analyze_kwargs.get('dir_out')
-        if not dir_out:
-            # a blank dir_out field is legal (OPTIONAL_EMPTY_FIELDS): the
-            # child resolves the model's default output folder and writes
-            # its summary THERE — resolve with the same one-definition
-            # rule (config.default_dir_out) or the outcome line is dead
-            # exactly in the GUI's zero-config path
-            modelname = self.analyze_kwargs.get('modelname') \
-                or cfg.DEFAULT_MODEL
-            dir_out = cfg.default_dir_out(modelname)
+        # a blank dir_out field is legal (OPTIONAL_EMPTY_FIELDS): the
+        # child resolves the model's default output folder and writes its
+        # summary THERE — resolve with the same one-definition rule
+        # (config.resolve_dir_out) or the outcome line is dead exactly in
+        # the GUI's zero-config path
+        dir_out = cfg.resolve_dir_out(self.analyze_kwargs.get('dir_out'),
+                                      self.analyze_kwargs.get('modelname'))
         try:
             with open(os.path.join(dir_out, cfg.FNAME_RUN_SUMMARY)) as f:
                 s = json.load(f)

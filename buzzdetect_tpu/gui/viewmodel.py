@@ -207,10 +207,8 @@ class SettingsModel:
     # --- manifest locking -----------------------------------------------------
     def resolved_dir_out(self):
         from buzzdetect_tpu import config as cfg
-        if self.values.get('dir_out'):
-            return self.values['dir_out']
-        model = self.values.get('modelname') or cfg.DEFAULT_MODEL
-        return cfg.default_dir_out(model)
+        return cfg.resolve_dir_out(self.values.get('dir_out'),
+                                   self.values.get('modelname'))
 
     def locked_fields(self):
         """Schema-determining fields that must not change because the output

@@ -229,18 +229,16 @@ def embed(params: dict, patches: jnp.ndarray,
         # layers 2-3 run packed in a fused kernel — with fuse_mid, the
         # SAME kernel continues through layers 4-7 after an in-VMEM
         # un-interleave, deleting the layer-3/4 HBM round trip
-        from buzzdetect_tpu.ops.pallas_conv import (fused_front,
-                                                    fused_front_tail,
-                                                    tail_specs)
+        from buzzdetect_tpu.ops.pallas_conv import fused_front, tail_specs
         b = x.shape[0]
         g = PALLAS_FRONT['groups']
         xp = packed_l1(params, x, g, compute_dtype)
         if PALLAS_FRONT.get('fuse_mid'):
             stop = PALLAS_BLOCKS[-1][0]  # the final block's start layer
-            y = fused_front_tail(params, xp, groups=g,
-                                 block_packed=PALLAS_FRONT['block_packed'],
-                                 stop_layer=stop,
-                                 compute_dtype=compute_dtype)[:b]
+            y = fused_front(params, xp, groups=g,
+                            block_packed=PALLAS_FRONT['block_packed'],
+                            plain_through=stop,
+                            compute_dtype=compute_dtype)[:b]
             s = tail_specs(4, stop)[-1]
             blocks = tuple(bl for bl in PALLAS_BLOCKS if bl[0] >= stop)
         else:

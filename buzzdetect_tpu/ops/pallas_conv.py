@@ -384,9 +384,9 @@ def _tail_kernel(*refs, specs, pb, compute_dtype, gap, unpack=None,
 def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
                 block_packed: int = 2, compute_dtype=jnp.float32,
                 start_layer: int = 2, stop_layer: int = 4,
-                unpack: bool = True,
+                unpack: bool = True, plain_through: int = None,
                 interpret: bool = False) -> jnp.ndarray:
-    """Packed layer-1 activations -> layer-4 input, one fused kernel.
+    """Packed layer-1 activations through the fused front, one kernel.
 
     ``x``: (Bo, 48, 32, groups*32) — ``groups`` patches' layer-1 outputs
     packed along the channel/lane dim (models/yamnet.py::packed_l1).
@@ -395,14 +395,28 @@ def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
     it is a probed lane-tile split + swap — outside, XLA charges a
     measured ~0.63 ms relayout for the same unpack at B=1000).
 
+    With ``plain_through`` set (e.g. 8), the SAME kernel continues past
+    the packed layers: un-interleave in VMEM after ``stop_layer - 1``,
+    then plain per-patch layers ``stop_layer..plain_through-1`` — the
+    fuse_mid variant, which skips the packed block's output round trip
+    (2 x 196 MB at B=1000) at the cost of a bigger kernel. Measured
+    SLOWER end-to-end (9.65 vs 9.05 ms embed, docs/tuning.md); kept as a
+    knob. Returns (Bo*groups, Ho*Wo, C) entering ``plain_through``.
+
     Design (reference parity: embedders/yamnet/yamnet.py:77-106, layers
     2-3): identical op set to the tail kernel — the packing makes layers
     2-3 full-lane (see ``front_specs``) where the plain layout measured
     SLOWER than XLA. Parity to f32 rounding vs the XLA path
     (tests/test_pallas_conv.py).
     """
-    specs = front_specs(groups, start_layer, stop_layer)
-    s0, sl = specs[0], specs[-1]
+    fspecs = front_specs(groups, start_layer, stop_layer)
+    pspecs = (tail_specs(stop_layer, plain_through)
+              if plain_through is not None else ())
+    if pspecs and not unpack:
+        raise ValueError('plain_through requires unpack=True (the plain '
+                         'layers run per-patch)')
+    specs = fspecs + pspecs
+    s0, sl = fspecs[0], specs[-1]
     bo, h, w, c = x.shape
     assert (h, w, c) == (s0.h, s0.w, s0.c_in), \
         f'expected {(s0.h, s0.w, s0.c_in)} packed input, got {(h, w, c)}'
@@ -414,85 +428,35 @@ def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
             [x, jnp.zeros((bo_pad - bo, h * w, c), x.dtype)], axis=0)
 
     ops = pack_front_params(params, groups, compute_dtype,
-                            start_layer, stop_layer)
+                            start_layer, stop_layer) \
+        + (pack_tail_params(params, pspecs, compute_dtype) if pspecs
+           else [])
+    pw_splits = (front_pw_splits(groups, start_layer, stop_layer)
+                 + (1,) * len(pspecs))
     hwo = sl.h_out * sl.w_out
-    c_out = sl.c_out // groups if unpack else sl.c_out
+    c_out = (sl.c_out if pspecs or not unpack
+             else sl.c_out // groups)
+    rows_out = pbi * groups if unpack else pbi
     kernel = partial(_tail_kernel, specs=specs, pb=pbi,
                      compute_dtype=compute_dtype, gap=False,
                      unpack=groups if unpack else None,
-                     pw_splits=front_pw_splits(groups, start_layer,
-                                               stop_layer))
+                     pw_splits=pw_splits,
+                     unpack_after=len(fspecs) - 1 if pspecs else None)
     out = pl.pallas_call(
         kernel,
         grid=(bo_pad // pbi,),
         in_specs=[pl.BlockSpec((pbi, h * w, c), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),
-        out_specs=pl.BlockSpec(
-            ((pbi * groups if unpack else pbi), hwo, c_out),
-            lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rows_out, hwo, c_out),
+                               lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            ((bo_pad * groups if unpack else bo_pad), hwo, c_out),
+            (bo_pad * (groups if unpack else 1), hwo, c_out),
             jnp.float32),
         interpret=interpret,
     )(x, *ops)
     return out[:bo * groups] if unpack else out[:bo]
-
-
-def fused_front_tail(params: dict, x: jnp.ndarray, *, groups: int = 4,
-                     block_packed: int = 1, stop_layer: int = 8,
-                     compute_dtype=jnp.float32,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Packed layer-1 activations -> layer-``stop_layer`` input, ONE kernel:
-    packed layers 2-3, in-kernel un-interleave, plain layers 4..stop-1.
-
-    Fusing the front INTO the mid-stack block is where the front's win
-    actually lives: a separate front kernel must write layer-3 output to
-    HBM for the 4..7 block to read back — 2 x 196 MB at B=1000, ~0.9 ms
-    of pure layer-boundary traffic that this kernel never pays. The
-    un-interleave between layer 3 and layer 4 happens on VMEM-resident
-    activations (_unpack_lanes).
-
-    ``x``: (Bo, 48, 32, groups*32) packed layer-1 activations
-    (models/yamnet.py::packed_l1). Returns (Bo*groups, Ho*Wo, C) per-patch
-    activations entering ``stop_layer`` (flattened spatial).
-    """
-    fspecs = front_specs(groups)
-    pspecs = tail_specs(4, stop_layer)
-    specs = fspecs + pspecs
-    s0, sl = fspecs[0], pspecs[-1]
-    bo, h, w, c = x.shape
-    assert (h, w, c) == (s0.h, s0.w, s0.c_in), \
-        f'expected {(s0.h, s0.w, s0.c_in)} packed input, got {(h, w, c)}'
-    pbi = block_packed
-    bo_pad = -(-bo // pbi) * pbi
-    x = x.reshape(bo, h * w, c)
-    if bo_pad != bo:
-        x = jnp.concatenate(
-            [x, jnp.zeros((bo_pad - bo, h * w, c), x.dtype)], axis=0)
-
-    ops = (pack_front_params(params, groups, compute_dtype)
-           + pack_tail_params(params, pspecs, compute_dtype))
-    pw_splits = front_pw_splits(groups) + (1,) * len(pspecs)
-    hwo, c_out = sl.h_out * sl.w_out, sl.c_out
-    kernel = partial(_tail_kernel, specs=specs, pb=pbi,
-                     compute_dtype=compute_dtype, gap=False,
-                     unpack=groups, pw_splits=pw_splits,
-                     unpack_after=len(fspecs) - 1)
-    out = pl.pallas_call(
-        kernel,
-        grid=(bo_pad // pbi,),
-        in_specs=[pl.BlockSpec((pbi, h * w, c), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM)]
-                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),
-        out_specs=pl.BlockSpec((pbi * groups, hwo, c_out),
-                               lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bo_pad * groups, hwo, c_out),
-                                       jnp.float32),
-        interpret=interpret,
-    )(x, *ops)
-    return out[:bo * groups]
 
 
 def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,

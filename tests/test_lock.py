@@ -205,6 +205,41 @@ def test_watch_session_lock_spans_idle_intervals(patched, tmp_path):
         'watch session left its lock behind after stopping'
 
 
+def test_session_lock_same_process_sibling_not_adopted(tmp_path):
+    """Ownership is the per-acquisition claim token, not (pid, host).
+
+    Two runs in one process share the pid (analyze() is a library API and
+    the suite itself runs watchers as threads), so after an operator
+    hand-deletes a watcher's lock and a same-process sibling run claims
+    the folder, a pid/host check would read the sibling's lock as 'ours':
+    the watcher's next pass would proceed — two live runs in one folder —
+    and its release would unlink the sibling's LIVE lock, opening the
+    folder to a third."""
+    from buzzdetect_tpu.analysis import SessionLock
+    dir_out = str(tmp_path / 'out')
+    a = _stub_acquirer(dir_out)
+    lock = SessionLock()
+    assert lock.ensure(a) is True
+    path = os.path.join(dir_out, cfg.FNAME_LOCK)
+
+    os.unlink(path)              # operator escape hatch fires mid-session
+    b = _stub_acquirer(dir_out)  # sibling run, SAME pid, claims the folder
+    assert b._acquire_lock() is True
+    sibling = open(path).read()
+
+    # the watcher's next pass must refuse, not adopt the sibling's lock
+    assert lock.ensure(a) is False
+    assert a.refusals == ['already running']
+    assert open(path).read() == sibling
+
+    # releasing the lost session claim must not remove the sibling's lock
+    lock.release()
+    assert open(path).read() == sibling
+    # and the sibling's own release removes exactly its claim
+    b._release_lock()
+    assert not os.path.exists(path)
+
+
 def test_session_lock_reclaims_hand_deleted_file(tmp_path):
     """The documented operator escape hatch ('delete <lock> and rerun')
     can fire mid-session: each pass re-verifies ownership, so a vanished

@@ -308,7 +308,7 @@ def test_fused_front_matches_xla(b):
 def test_fused_front_tail_matches_xla():
     """The fuse-through variant (packed 2-3 + in-kernel un-interleave +
     plain 4-7) matches XLA layers 1-7."""
-    from buzzdetect_tpu.ops.pallas_conv import fused_front_tail
+    from buzzdetect_tpu.ops.pallas_conv import fused_front
     params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
     b = 5
     patches = RNG.standard_normal((b, 96, 64)).astype(np.float32)
@@ -317,9 +317,9 @@ def test_fused_front_tail_matches_xla():
     ref = ref.reshape(b, -1, ref.shape[-1])
     with pltpu.force_tpu_interpret_mode():
         xp = yam.packed_l1(params, jnp.asarray(patches)[..., None], 4)
-        got = np.asarray(fused_front_tail(params, xp, groups=4,
-                                          block_packed=1, stop_layer=8,
-                                          interpret=True))[:b]
+        got = np.asarray(fused_front(params, xp, groups=4,
+                                     block_packed=1, plain_through=8,
+                                     interpret=True))[:b]
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
 
 
