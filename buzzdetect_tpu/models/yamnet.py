@@ -160,8 +160,40 @@ PALLAS_TAIL_START = PALLAS_BLOCKS[0][0]  # first layer the blocks cover
 # (tests/test_pallas_conv.py) so the knob is usable if a toolchain
 # shifts the VPU/MXU balance: set to e.g.
 # dict(groups=4, block_packed=1) — optionally fuse_mid=True (also
-# measured slower: 9.65 vs 9.05 ms embed).
+# measured slower: 9.65 vs 9.05 ms embed) — or set the
+# BUZZDETECT_PALLAS_FRONT environment variable ('g:pbi' or 'g:pbi:mid',
+# e.g. '4:1' / '4:1:mid') to re-test on a future toolchain without
+# editing installed code. Parity is unaffected either way (the kernels
+# are f32-rounding-exact vs the XLA path); only speed is at stake.
 PALLAS_FRONT = None
+
+
+def _front_from_env():
+    """BUZZDETECT_PALLAS_FRONT='g:pbi[:mid]' -> a PALLAS_FRONT config, or
+    None when unset/blank. Malformed values fail loudly at import — a
+    typo silently falling back to None would un-apply the operator's
+    requested experiment with no sign anything was ignored."""
+    import os
+    spec = os.environ.get('BUZZDETECT_PALLAS_FRONT', '').strip()
+    if not spec:
+        return None
+    parts = spec.split(':')
+    try:
+        cfg = dict(groups=int(parts[0]), block_packed=int(parts[1]))
+    except (IndexError, ValueError):
+        raise ValueError(
+            f"BUZZDETECT_PALLAS_FRONT must be 'g:pbi' or 'g:pbi:mid' "
+            f"(e.g. '4:1'); got {spec!r}") from None
+    if len(parts) > 3 or (len(parts) == 3 and parts[2] != 'mid'):
+        raise ValueError(
+            f"BUZZDETECT_PALLAS_FRONT third field must be 'mid'; "
+            f"got {spec!r}")
+    if len(parts) == 3:
+        cfg['fuse_mid'] = True
+    return cfg
+
+
+PALLAS_FRONT = _front_from_env() or PALLAS_FRONT
 
 
 def packed_l1(params, x, groups: int, compute_dtype=jnp.float32):

@@ -346,3 +346,34 @@ def test_front_pw_splits_rule():
     assert front_pw_splits(4) == (1, 2)     # L2: 4*32=128; L3: 4*64=256
     assert front_pw_splits(2) == (1, 1)     # 64 and 128: single dots
     assert front_pw_splits(8) == (2, 4)     # 256 and 512
+
+
+def test_front_env_knob_parsing():
+    """BUZZDETECT_PALLAS_FRONT parses 'g:pbi[:mid]' and fails loudly on
+    typos (silent fallback would un-apply the operator's experiment)."""
+    import os
+
+    from buzzdetect_tpu.models.yamnet import _front_from_env
+
+    def with_env(val):
+        old = os.environ.get('BUZZDETECT_PALLAS_FRONT')
+        try:
+            if val is None:
+                os.environ.pop('BUZZDETECT_PALLAS_FRONT', None)
+            else:
+                os.environ['BUZZDETECT_PALLAS_FRONT'] = val
+            return _front_from_env()
+        finally:
+            if old is None:
+                os.environ.pop('BUZZDETECT_PALLAS_FRONT', None)
+            else:
+                os.environ['BUZZDETECT_PALLAS_FRONT'] = old
+
+    assert with_env(None) is None
+    assert with_env('') is None
+    assert with_env('4:1') == dict(groups=4, block_packed=1)
+    assert with_env('4:2:mid') == dict(groups=4, block_packed=2,
+                                       fuse_mid=True)
+    for bad in ('4', 'four:1', '4:1:fuse', '4:1:mid:x'):
+        with pytest.raises(ValueError):
+            with_env(bad)
