@@ -146,36 +146,38 @@ PALLAS_TAIL_START = PALLAS_BLOCKS[0][0]  # first layer the blocks cover
 # Fused packed front block (ops/pallas_conv.py::fused_front): layers 2-3
 # with `groups` patches packed along the lane dim (full 128-lane occupancy
 # at the front's 32/64 channel counts), layer 1 as an XLA grouped conv
-# over the packed batch. MEASURED AND NOT SHIPPED (None): at the
-# whole-embed level the best variant is noise-neutral vs XLA layers 1-3
-# (interleaved A/B medians 0.97x and 1.08x; isolated front 4.06 ms vs
-# XLA's 3.49 ms). The front is compute/precision-bound, not
-# layout/bandwidth-bound like the tail: its pointwise dots have a
-# ~1.5 ms MXU floor at HIGHEST (6-pass f32) — 0.99 ms measured for the
-# layer-2 dot alone in plain XLA — and the 27-op masked 9-tap depthwise
-# runs at ~1.3 vreg-ops/cycle on this Mosaic toolchain (~1.4-2 ms), so
-# the kernel's compute alone matches XLA's entire front cost and fusion
-# has no traffic left to save. Full numbers: docs/tuning.md (round-4
-# front-block refutation). The implementation stays parity-tested
-# (tests/test_pallas_conv.py) so the knob is usable if a toolchain
-# shifts the VPU/MXU balance: set to e.g.
-# dict(groups=4, block_packed=1) — optionally fuse_mid=True (also
-# measured slower: 9.65 vs 9.05 ms embed) — or set the
-# BUZZDETECT_PALLAS_FRONT environment variable ('g:pbi' or 'g:pbi:mid',
-# e.g. '4:1' / '4:1:mid') to re-test on a future toolchain without
-# editing installed code. Parity is unaffected either way (the kernels
-# are f32-rounding-exact vs the XLA path); only speed is at stake.
-PALLAS_FRONT = None
+# over the packed batch; fuse_mid continues the same kernel through
+# layers 4-7 after an in-VMEM un-interleave. SHIPS as a small, stable
+# win: +3.9% whole-embed / +1.0-2.5% full classify graph, measured with
+# the round-4 long-run wall method (two 8-round sessions; the
+# dispatch-slope method's ±15% noise floor scattered this same effect
+# across 0.97x-1.29x — docs/tuning.md "round-4 front-block ceiling").
+# This is FAR below the 1.15x the round-3 verdict targeted, and the
+# measurements show why no front kernel can reach it at f32 parity: the
+# front is compute/precision-bound, not layout/bandwidth-bound like the
+# tail — its pointwise dots have a ~1.5 ms MXU floor at HIGHEST (0.99 ms
+# measured for the layer-2 dot alone as a bare XLA matmul) and the
+# 27-op masked 9-tap depthwise runs at ~1.3 vreg-ops/cycle on this
+# Mosaic toolchain (~1.4-2 ms), so fused compute alone nearly matches
+# XLA's entire 3.5 ms front cost; fusion only recovers the margins.
+# Parity is exact to f32 rounding (tests/test_pallas_conv.py); a compile
+# failure on a future toolchain degrades to all-XLA via conv-auto's
+# fallback rather than failing the run. Override without code edits via
+# BUZZDETECT_PALLAS_FRONT ('g:pbi', 'g:pbi:mid', or 'off').
+PALLAS_FRONT = dict(groups=4, block_packed=1, fuse_mid=True)
 
 
-def _front_from_env():
-    """BUZZDETECT_PALLAS_FRONT='g:pbi[:mid]' -> a PALLAS_FRONT config, or
-    None when unset/blank. Malformed values fail loudly at import — a
-    typo silently falling back to None would un-apply the operator's
-    requested experiment with no sign anything was ignored."""
+def _front_from_env(default):
+    """BUZZDETECT_PALLAS_FRONT='g:pbi[:mid]' -> a PALLAS_FRONT config;
+    'off' -> disabled (all-XLA layers 1-3); unset/blank -> ``default``.
+    Malformed values fail loudly at import — a typo silently falling
+    back would un-apply the operator's requested experiment with no
+    sign anything was ignored."""
     import os
     spec = os.environ.get('BUZZDETECT_PALLAS_FRONT', '').strip()
     if not spec:
+        return default
+    if spec.lower() in ('off', 'none', '0'):
         return None
     parts = spec.split(':')
     try:
@@ -193,7 +195,7 @@ def _front_from_env():
     return cfg
 
 
-PALLAS_FRONT = _front_from_env() or PALLAS_FRONT
+PALLAS_FRONT = _front_from_env(PALLAS_FRONT)
 
 
 def packed_l1(params, x, groups: int, compute_dtype=jnp.float32):

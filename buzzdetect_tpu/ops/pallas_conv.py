@@ -399,9 +399,10 @@ def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
     the packed layers: un-interleave in VMEM after ``stop_layer - 1``,
     then plain per-patch layers ``stop_layer..plain_through-1`` — the
     fuse_mid variant, which skips the packed block's output round trip
-    (2 x 196 MB at B=1000) at the cost of a bigger kernel. Measured
-    SLOWER end-to-end (9.65 vs 9.05 ms embed, docs/tuning.md); kept as a
-    knob. Returns (Bo*groups, Ho*Wo, C) entering ``plain_through``.
+    (2 x 196 MB at B=1000) at the cost of a bigger kernel. The shipped
+    default (best measured: full classify graph 1.013x/1.025x across two
+    long-run sessions, docs/tuning.md round-4 front-block ceiling).
+    Returns (Bo*groups, Ho*Wo, C) entering ``plain_through``.
 
     Design (reference parity: embedders/yamnet/yamnet.py:77-106, layers
     2-3): identical op set to the tail kernel — the packing makes layers
