@@ -293,11 +293,12 @@ class ChunkClassifier:
         self.frontend = frontend
         if conv not in ('auto', 'xla', 'pallas'):
             raise ValueError("conv must be 'auto', 'xla' or 'pallas'")
-        # conv stack implementation. 'pallas' fuses MobileNet layers 4-7
-        # and 8-14+pooling into two VMEM-resident kernels
-        # (ops/pallas_conv.py, yamnet.PALLAS_BLOCKS) — measured 1.37x on
-        # the whole embed at f32-rounding parity on a v5e, so 'auto'
-        # resolves to it on TPU. It stays 'xla' under a mesh or an
+        # conv stack implementation. 'pallas' fuses MobileNet layers 2-7
+        # (lane-packed front + mid, yamnet.PALLAS_FRONT) and
+        # 8-14+pooling into two VMEM-resident kernels (ops/pallas_conv.py)
+        # — measured 1.37x on the whole embed for the tail blocks plus
+        # ~1-2.5% full-graph for the front, at f32-rounding parity on a
+        # v5e, so 'auto' resolves to it on TPU. It stays 'xla' under a mesh or an
         # input sharding: GSPMD cannot partition a pallas_call along the
         # patch axis it blocks over. Explicit 'pallas' + mesh/sharding
         # fails loudly rather than silently substituting; on non-TPU

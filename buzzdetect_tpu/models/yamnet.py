@@ -137,9 +137,11 @@ def _conv2d(x, kernel, stride, *, depthwise=False):
 # at the 3x2-spatial layers; 8*96=768 at layer 5). Measured on v5e f32,
 # 1000-patch chunks, interleaved slopes (tools/pallas_conv_tpu_probe.py
 # --variants): embed 12.84 ms all-XLA, 9.87 ms tail-only, 9.35 ms with
-# both blocks (1.37x). Layers 1-3 stay XLA: C<=64 pads to <1/2 lane
-# occupancy in VMEM, and the 9-tap VPU cost on padded lanes would exceed
-# the HBM traffic the fusion saves.
+# both blocks (1.37x). With PALLAS_FRONT (below) active, layers 2-3
+# run lane-packed in the same kernel as 4-7, so only the (8, None)
+# block here remains separate; without it, layers 1-3 stay XLA (C<=64
+# pads to <1/2 lane occupancy in VMEM, and the 9-tap VPU cost on padded
+# lanes would exceed the HBM traffic the fusion saves).
 PALLAS_BLOCKS = ((4, 8, 8), (8, None, 32))
 PALLAS_TAIL_START = PALLAS_BLOCKS[0][0]  # first layer the blocks cover
 
