@@ -18,6 +18,9 @@ Usage:
     python tools/pallas_conv_tpu_probe.py --seconds 960 --trials 5
     # compare fused-block layouts head-to-head (same session, interleaved):
     python tools/pallas_conv_tpu_probe.py --variants 8::32 4:8:8,8::32
+    # resolve small (<2x) ratios with the long-run wall method:
+    python tools/pallas_conv_tpu_probe.py --variants front:1 front:1:mid \\
+        --method wall
 """
 
 import argparse
@@ -74,6 +77,15 @@ def main():
     ap.add_argument('--seconds', type=float, default=960.0)
     ap.add_argument('--bf16', action='store_true')
     ap.add_argument('--trials', type=int, default=5)
+    ap.add_argument('--method', choices=['slope', 'wall'], default='slope',
+                    help="variants mode: 'slope' isolates per-dispatch "
+                         'cost (use for >2x effects); "wall" times a '
+                         '100-dispatch run per sample and repeats to '
+                         '~1.5%% — required to resolve small ratios '
+                         '(the slope noise floor is ~15%% on the '
+                         'tunneled link; docs/tuning.md round-4 '
+                         'methodology note)')
+    ap.add_argument('--wall-dispatches', type=int, default=100)
     args = ap.parse_args()
 
     if args.variants:
@@ -260,14 +272,23 @@ def race_variants(args):
     for t in range(args.trials):
         for name, _ in variants:
             fn = fns[name]
-            short = min(run(fn, 2) for _ in range(2))
-            long = min(run(fn, N_INPUTS) for _ in range(2))
-            slopes[name].append(
-                max(0.0, (long - short) / (N_INPUTS - 2)))
+            if args.method == 'wall':
+                # long-run wall: amortizes dispatch noise over many
+                # unique dispatches; repeats to ~1.5% where slope
+                # medians scatter by ~15% (docs/tuning.md)
+                k = args.wall_dispatches
+                slopes[name].append(run(fn, k) / k)
+            else:
+                short = min(run(fn, 2) for _ in range(2))
+                long = min(run(fn, N_INPUTS) for _ in range(2))
+                slopes[name].append(
+                    max(0.0, (long - short) / (N_INPUTS - 2)))
         print(f'trial {t + 1}/{args.trials} done', flush=True)
 
+    kind = ('median wall per dispatch' if args.method == 'wall'
+            else 'median slopes (distrust spreads > 2x)')
     print(f'\nembed {label}, {b} patches ({args.seconds:.0f} s audio), '
-          f'median slopes (distrust spreads > 2x):')
+          f'{kind}:')
     base_med = None
     for name, _ in variants:
         ss = sorted(slopes[name])
