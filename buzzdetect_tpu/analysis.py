@@ -62,6 +62,56 @@ def run_worker(workerclass, **kwargs):
     worker()
 
 
+from contextlib import contextmanager  # noqa: E402  (grouped with its users)
+
+
+@contextmanager
+def _dir_flock(dir_out):
+    """Best-effort exclusive flock on the dir_out directory — the ONE
+    serialization point for every judge-then-unlink on the run lock
+    (_reclaim_stale_lock and both release paths share it). Yields
+    regardless on platforms/filesystems without directory flock (no
+    fcntl, unopenable dir, NFS nolock/ENOLCK): proceeding unserialized
+    is no worse than the historical behavior, and crashing the self-heal
+    would be."""
+    try:
+        import fcntl
+        dfd = os.open(dir_out, os.O_RDONLY)
+    except (OSError, ImportError):
+        dfd = None
+    try:
+        if dfd is not None:
+            try:
+                fcntl.flock(dfd, fcntl.LOCK_EX)
+            except OSError:
+                pass
+        yield
+    finally:
+        if dfd is not None:
+            os.close(dfd)  # releases the flock
+
+
+def _unlink_own_lock(dir_out, path, claim):
+    """Release a run-lock claim: unlink ``path`` only if it still carries
+    ``claim``. If the operator hand-deleted the lock mid-run (the
+    documented escape hatch) and another run claimed the folder, the file
+    on disk is THEIRS — a blind unlink would hand a third run the
+    corruption window the lock prevents. The read-owner-then-unlink pair
+    is serialized under the same directory flock _reclaim_stale_lock
+    takes: unserialized, a hand-delete plus a sibling's fresh claim can
+    land BETWEEN our owner read and the unlink, so the unlink would
+    remove the new owner's live lock — the narrower TOCTOU the reclaim
+    path already closes."""
+    with _dir_flock(dir_out):
+        owner = Analyzer._read_lock_owner(path)
+        if owner is None or owner.get('claim') != claim:
+            return
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
 
 
 class Analyzer:
@@ -247,8 +297,10 @@ class Analyzer:
         # program the run will dispatch (set by queue_assignments)
         self.warmup_rate = None
 
-        self.dir_out = (dir_out if dir_out is not None
-                        else cfg.default_dir_out(modelname))
+        # the ONE shared blank-dir_out rule (config.resolve_dir_out): a
+        # library caller passing dir_out='' must resolve the same folder
+        # the CLI/GUI surfaces would, not a cwd-relative ''
+        self.dir_out = cfg.resolve_dir_out(dir_out, modelname)
 
         self.thread_logger = None
         self.thread_writer = None
@@ -918,21 +970,7 @@ class Analyzer:
         without directory flock: falls back to blind unlink, no worse
         than the unserialized behavior.
         """
-        try:
-            import fcntl
-            dfd = os.open(self.dir_out, os.O_RDONLY)
-        except (OSError, ImportError):
-            # no fcntl (non-POSIX) or an unopenable directory: blind path
-            dfd = None
-        try:
-            if dfd is not None:
-                try:
-                    fcntl.flock(dfd, fcntl.LOCK_EX)
-                except OSError:
-                    # filesystem refuses the flock (e.g. NFS mounted
-                    # nolock, ENOLCK): proceed unserialized rather than
-                    # crash the self-heal the docstring promises
-                    pass
+        with _dir_flock(self.dir_out):
             owner = self._read_lock_owner(path)
             if os.path.exists(path) and (
                     owner is None
@@ -942,27 +980,13 @@ class Analyzer:
                     os.unlink(path)
                 except OSError:
                     pass
-        finally:
-            if dfd is not None:
-                os.close(dfd)  # releases the flock
 
     def _release_lock(self):
         if not getattr(self, '_lock_held', False):
             return
         self._lock_held = False
-        path = self._lock_path()
-        # unlink only OUR claim: if the operator hand-deleted the lock
-        # mid-run (the documented escape hatch) and another run claimed
-        # the folder, the file on disk is THEIRS — a blind unlink would
-        # hand a third run the corruption window the lock prevents
-        owner = self._read_lock_owner(path)
-        if owner is not None and owner.get('claim') != \
-                getattr(self, '_lock_claim', None):
-            return
-        try:
-            os.unlink(path)
-        except OSError:
-            pass
+        _unlink_own_lock(self.dir_out, self._lock_path(),
+                         getattr(self, '_lock_claim', None))
 
     def _write_run_summary(self, running=False, crash_reason=None):
         """Machine-readable run outcome: ``buzzdetect_run_summary.json``
@@ -1272,17 +1296,10 @@ class SessionLock:
         if not self.held:
             return
         self.held = False
-        # unlink only OUR claim: if the operator hand-deleted our lock
-        # mid-session and another run claimed the folder, the file on
-        # disk is THEIRS — a blind unlink here would hand a third run
-        # the corruption window the lock exists to prevent
-        owner = Analyzer._read_lock_owner(self.path)
-        if owner is None or owner.get('claim') != self.claim:
-            return
-        try:
-            os.unlink(self.path)
-        except OSError:
-            pass
+        # claim-checked unlink, serialized with the directory flock —
+        # see _unlink_own_lock for the TOCTOU this closes
+        _unlink_own_lock(os.path.dirname(self.path) or '.', self.path,
+                         self.claim)
 
 
 def _run_stop_forwarder(external_event, stop, current_pass,

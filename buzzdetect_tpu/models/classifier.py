@@ -317,6 +317,15 @@ class ChunkClassifier:
                 "conv='pallas' does not compose with mesh/sharding "
                 "(GSPMD cannot partition the fused kernel); use conv='xla'")
         self.conv = conv
+        if conv == 'pallas':
+            # resolve the BUZZDETECT_PALLAS_FRONT env override NOW, so a
+            # malformed knob fails loudly at model init (its ValueError
+            # names the variable) instead of surfacing mid-dispatch —
+            # where conv-auto's compile-failure fallback would demote the
+            # operator's requested experiment to all-XLA with only a
+            # warning. Import stays clean either way (yamnet parses the
+            # env lazily), keeping doctor/GUI runnable for diagnosis.
+            yamnet_lib.resolve_front()
         # 'mulaw' rides int8 on the wire; linear int8 is deliberately not
         # offered (mu-law strictly dominates it for audio at the same size)
         self.transfer_name = str(transfer_dtype)

@@ -252,6 +252,39 @@ def _import_plugin(path_py: str, base_class):
     return subclasses[0]
 
 
+def _validate_embedder_contract(emb: BaseEmbedder, origin: str):
+    """Enforce the plugin contract fields consumers trust blindly.
+
+    ``lookahead_s`` feeds watch mode's demotion margin
+    (analysis._demote_to_partial): a negative value would silently shrink
+    the margin below the patch window and re-introduce the baked-padded-row
+    bug the attribute exists to prevent, so it is rejected at load time.
+    A declared lookahead LARGER than a full framelength is legal but almost
+    certainly a unit mistake (the undeclared default is already a full
+    framelength) — warn, don't block.
+    """
+    la = emb.lookahead_s
+    if la is None:
+        return emb
+    la = float(la)
+    if not (la >= 0.0):  # also catches NaN
+        raise ValueError(
+            f'{origin}: lookahead_s must be >= 0 (got {emb.lookahead_s!r}); '
+            'a negative look-ahead would under-demote finalized rows in '
+            'watch mode. Declare the true DSP read-ahead past a frame '
+            'start beyond framelength_s, or leave it None for the '
+            'conservative full-framelength default.')
+    fl = emb.framelength_s
+    if fl is not None and la > float(fl):
+        import warnings
+        warnings.warn(
+            f'{origin}: lookahead_s={la} exceeds framelength_s={fl}; the '
+            'undeclared default is already a full framelength, so a larger '
+            'value only demotes extra finalized rows per watch-mode growth '
+            '(check the units)', RuntimeWarning)
+    return emb
+
+
 def load_embedder(embeddername: str, framehop_prop: float = 1.0) -> BaseEmbedder:
     """Resolve an embedder: ``embedders/<name>/embedder.py`` plugin first,
     then the built-in registry."""
@@ -259,7 +292,8 @@ def load_embedder(embeddername: str, framehop_prop: float = 1.0) -> BaseEmbedder
     path_py = os.path.join(dir_emb, 'embedder.py')
     if os.path.exists(path_py):
         klass = _import_plugin(path_py, BaseEmbedder)
-        return klass(framehop_prop=framehop_prop)
+        return _validate_embedder_contract(
+            klass(framehop_prop=framehop_prop), path_py)
     if embeddername in BUILTIN_EMBEDDERS:
         return BUILTIN_EMBEDDERS[embeddername](framehop_prop=framehop_prop)
     raise FileNotFoundError(

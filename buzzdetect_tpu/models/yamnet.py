@@ -172,9 +172,9 @@ PALLAS_FRONT = dict(groups=4, block_packed=1, fuse_mid=True)
 def _front_from_env(default):
     """BUZZDETECT_PALLAS_FRONT='g:pbi[:mid]' -> a PALLAS_FRONT config;
     'off' -> disabled (all-XLA layers 1-3); unset/blank -> ``default``.
-    Malformed values fail loudly at import — a typo silently falling
-    back would un-apply the operator's requested experiment with no
-    sign anything was ignored."""
+    Malformed values fail loudly — a typo silently falling back would
+    un-apply the operator's requested experiment with no sign anything
+    was ignored."""
     import os
     spec = os.environ.get('BUZZDETECT_PALLAS_FRONT', '').strip()
     if not spec:
@@ -197,7 +197,23 @@ def _front_from_env(default):
     return cfg
 
 
-PALLAS_FRONT = _front_from_env(PALLAS_FRONT)
+_FRONT_ENV_APPLIED = False
+
+
+def resolve_front():
+    """Apply the BUZZDETECT_PALLAS_FRONT env override LAZILY — at the first
+    pallas-conv model build, not at module import. A malformed knob used to
+    raise during import, which took down every entry point including
+    ``doctor`` (the tool you'd use to diagnose it) with a bare traceback;
+    now import always succeeds and the loud failure happens at model init,
+    where the classifier can surface the message. The parsed override is
+    written back into ``PALLAS_FRONT`` once; later direct assignment
+    (tools/pallas_conv_tpu_probe.py patches it per variant) still wins."""
+    global PALLAS_FRONT, _FRONT_ENV_APPLIED
+    if not _FRONT_ENV_APPLIED:
+        PALLAS_FRONT = _front_from_env(PALLAS_FRONT)
+        _FRONT_ENV_APPLIED = True
+    return PALLAS_FRONT
 
 
 def packed_l1(params, x, groups: int, compute_dtype=jnp.float32):
@@ -260,26 +276,27 @@ def embed(params: dict, patches: jnp.ndarray,
     if x.ndim == 3:
         x = x[..., None]
 
-    if conv == 'pallas' and PALLAS_FRONT is not None:
+    front = resolve_front() if conv == 'pallas' else None
+    if conv == 'pallas' and front is not None:
         # packed front path: XLA does only the pack + grouped layer 1;
         # layers 2-3 run packed in a fused kernel — with fuse_mid, the
         # SAME kernel continues through layers 4-7 after an in-VMEM
         # un-interleave, deleting the layer-3/4 HBM round trip
         from buzzdetect_tpu.ops.pallas_conv import fused_front, tail_specs
         b = x.shape[0]
-        g = PALLAS_FRONT['groups']
+        g = front['groups']
         xp = packed_l1(params, x, g, compute_dtype)
-        if PALLAS_FRONT.get('fuse_mid'):
+        if front.get('fuse_mid'):
             stop = PALLAS_BLOCKS[-1][0]  # the final block's start layer
             y = fused_front(params, xp, groups=g,
-                            block_packed=PALLAS_FRONT['block_packed'],
+                            block_packed=front['block_packed'],
                             plain_through=stop,
                             compute_dtype=compute_dtype)[:b]
             s = tail_specs(4, stop)[-1]
             blocks = tuple(bl for bl in PALLAS_BLOCKS if bl[0] >= stop)
         else:
             y = fused_front(params, xp, groups=g,
-                            block_packed=PALLAS_FRONT['block_packed'],
+                            block_packed=front['block_packed'],
                             compute_dtype=compute_dtype)[:b]
             s = tail_specs(2, 4)[-1]
             blocks = PALLAS_BLOCKS

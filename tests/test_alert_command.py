@@ -60,8 +60,10 @@ def test_runner_warns_once_and_summarizes_failures():
     runner.close(timeout=15.0)
     warns = [m for lvl, m in log if lvl == 'WARNING']
     assert len(warns) == 2  # first failure + close summary, NOT 4
-    assert 'exit 3' in warns[0]
-    assert '4 of 4' in warns[1]
+    # order-independent: the failure warn comes from the drain thread and
+    # the summary from close(); assert content, not arrival order
+    assert any('exit 3' in w for w in warns)
+    assert any('4 of 4' in w for w in warns)
 
 
 def test_runner_drops_instead_of_blocking(tmp_path):
@@ -84,8 +86,11 @@ def test_runner_drops_instead_of_blocking(tmp_path):
     assert runner._dropped == 7
     gate.write_text('go')
     runner.close(timeout=15.0)
+    # order-independent: under suite load close() may hit the abandon path
+    # first, so the "abandoning dispatch" line can precede the drop summary —
+    # both are correct behavior; asserting on dropped[0] was order-flaky
     dropped = [m for lvl, m in log if 'dropped' in m]
-    assert dropped and '7 alert(s)' in dropped[0]
+    assert any('7 alert(s)' in m for m in dropped)
 
 
 def test_runner_kills_hung_command():

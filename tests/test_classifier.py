@@ -101,6 +101,58 @@ def test_embedder_aliases():
         load_embedder('nope')
 
 
+def _write_embedder_plugin(tmp_path, monkeypatch, lookahead_expr):
+    from buzzdetect_tpu import config as cfg
+    d = tmp_path / 'embedders' / 'plugemb'
+    d.mkdir(parents=True, exist_ok=True)
+    (d / 'embedder.py').write_text(
+        'from buzzdetect_tpu.models.registry import BaseEmbedder\n\n'
+        'class PlugEmbedder(BaseEmbedder):\n'
+        '    embeddername = "plugemb"\n'
+        '    framelength_s = 0.5\n'
+        '    digits_time = 2\n'
+        '    samplerate = 16000\n'
+        '    n_embeddings = 8\n'
+        f'    lookahead_s = {lookahead_expr}\n'
+        '    def initialize(self):\n'
+        '        pass\n'
+        '    def embed(self, samples):\n'
+        '        return None\n')
+    monkeypatch.setattr(cfg, 'DIR_EMBEDDERS', str(tmp_path / 'embedders'))
+
+
+def test_plugin_negative_lookahead_rejected_at_load(tmp_path, monkeypatch):
+    """A plugin declaring a negative lookahead_s would silently shrink
+    watch mode's demotion margin below the patch window (the baked-padded
+    -row bug the attribute exists to prevent) — the registry rejects it at
+    load time, pointing at the contract."""
+    _write_embedder_plugin(tmp_path, monkeypatch, '-0.1')
+    with pytest.raises(ValueError, match='lookahead_s must be >= 0'):
+        load_embedder('plugemb')
+
+
+def test_plugin_nan_lookahead_rejected_at_load(tmp_path, monkeypatch):
+    _write_embedder_plugin(tmp_path, monkeypatch, 'float("nan")')
+    with pytest.raises(ValueError, match='lookahead_s must be >= 0'):
+        load_embedder('plugemb')
+
+
+def test_plugin_oversized_lookahead_warns(tmp_path, monkeypatch):
+    """lookahead_s past a full framelength is legal (extra-conservative
+    demotion) but almost always a unit mistake — warn, don't block."""
+    import warnings as _w
+    _write_embedder_plugin(tmp_path, monkeypatch, '2.0')
+    with pytest.warns(RuntimeWarning, match='exceeds framelength_s'):
+        emb = load_embedder('plugemb')
+    assert emb.lookahead_s == 2.0  # honored, not clamped
+
+    # a tight declaration loads silently
+    _write_embedder_plugin(tmp_path, monkeypatch, '0.02')
+    with _w.catch_warnings():
+        _w.simplefilter('error')
+        assert load_embedder('plugemb').lookahead_s == 0.02
+
+
 def test_full_pipeline_parity_vs_tf(arrays):
     """waveform -> scores: JAX fused graph vs TF composition of identical
     weights (tf.signal frontend + Keras CNN + dense head), atol 1e-3."""

@@ -380,3 +380,33 @@ def test_front_env_knob_parsing():
     for bad in ('4', 'four:1', '4:1:fuse', '4:1:mid:x'):
         with pytest.raises(ValueError):
             with_env(bad)
+
+
+def test_malformed_front_env_fails_at_model_init_not_import():
+    """A typo'd BUZZDETECT_PALLAS_FRONT must NOT take down module import
+    (doctor/GUI — the tools you'd use to diagnose it — import yamnet);
+    the loud failure belongs at model init, naming the knob. A fresh
+    interpreter is the only honest way to test import-time behavior."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        'from buzzdetect_tpu.models import yamnet\n'            # imports OK
+        'from buzzdetect_tpu.models.classifier import ChunkClassifier\n'
+        'import numpy as np\n'
+        'arrays = {"yamnet/layer1/conv/kernel": '
+        'np.zeros((3,3,1,32), np.float32)}\n'
+        'try:\n'
+        '    ChunkClassifier(arrays, conv="pallas")\n'
+        'except ValueError as e:\n'
+        '    assert "BUZZDETECT_PALLAS_FRONT" in str(e), e\n'
+        '    print("INIT_RAISED")\n'
+        'else:\n'
+        '    raise SystemExit("classifier init accepted a malformed knob")\n')
+    env = {**os.environ, 'BUZZDETECT_PALLAS_FRONT': 'typo!!',
+           'JAX_PLATFORMS': 'cpu'}
+    r = subprocess.run([sys.executable, '-c', code], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert 'INIT_RAISED' in r.stdout

@@ -58,6 +58,21 @@ def _read_csv(path):
     return rows[0], rows[1:]
 
 
+def test_blank_dir_out_resolves_model_default(patched_models):
+    """Library parity with the CLI/GUI blank-dir_out rule: a caller
+    passing dir_out='' must land in the model's default output folder
+    (config.resolve_dir_out — the ONE shared definition), not write
+    cwd-relative. Regression: Analyzer.__init__ used to resolve
+    independently with `dir_out if dir_out is not None`."""
+    from buzzdetect_tpu.analysis import Analyzer
+    a = Analyzer(modelname='testmodel', dir_audio=patched_models['audio'],
+                 dir_out='', verbosity_print='ERROR', quiet_startup=True)
+    assert a.dir_out == cfg.default_dir_out('testmodel')
+    a2 = Analyzer(modelname='testmodel', dir_audio=patched_models['audio'],
+                  dir_out=None, verbosity_print='ERROR', quiet_startup=True)
+    assert a2.dir_out == cfg.default_dir_out('testmodel')
+
+
 def test_analyze_end_to_end(patched_models, tmp_path):
     from buzzdetect_tpu.analysis import analyze
     dir_out = str(tmp_path / 'out')
