@@ -34,7 +34,8 @@ _MSG_DEVICES_MESH_EXCLUSIVE = (
 
 
 def _load_serving_models(modelname, framehop_prop, compute_dtype,
-                         transfer_dtype, *, mesh=None, replica_devices=None):
+                         transfer_dtype, *, mesh=None, replica_devices=None,
+                         conv_precision=None):
     """The ONE place a run's serving model(s) are constructed.
 
     Analyzer.__init__ (single-pass runs) and analyze()'s watch-mode
@@ -46,6 +47,8 @@ def _load_serving_models(modelname, framehop_prop, compute_dtype,
     (one device-pinned replica per chip), else ``{'model': m}``.
     """
     kw = {'transfer_dtype': transfer_dtype} if transfer_dtype else {}
+    if conv_precision:
+        kw['conv_precision'] = conv_precision
     if replica_devices:
         return {'replica_models': [
             load_model(modelname, framehop_prop=framehop_prop,
@@ -135,6 +138,8 @@ class Analyzer:
                  mesh=None,
                  batch_chunks: int = 1,
                  transfer_dtype: str = None,
+                 strict_f32: bool = False,
+                 profile: str = None,
                  resample_on_device: bool = False,
                  devices=None,
                  host_shard=None,
@@ -166,6 +171,14 @@ class Analyzer:
                 'alert_command without alert_classes does nothing; pass '
                 'alert_classes=... to enable live alerts')
         self.alert_command = alert_command if alert_command else None
+        # one-flag deployment profile (config.resolve_profile): fills
+        # transfer_dtype/strict_f32 defaults the caller left unset, BEFORE
+        # the model load below consumes them; the caveat note (mu-law on
+        # digitally-silent content) re-emits through the run log once the
+        # logger is up (startup_warnings)
+        self.analysis_profile = profile
+        transfer_dtype, strict_f32, self._profile_note = cfg.resolve_profile(
+            profile, transfer_dtype, strict_f32)
         self.framehop_prop = framehop_prop
         self.dir_audio = dir_audio
         self.verbosity_print = verbosity_print
@@ -205,7 +218,9 @@ class Analyzer:
             else:
                 models = _load_serving_models(
                     modelname, framehop_prop, compute_dtype, transfer_dtype,
-                    replica_devices=devs)['replica_models']
+                    replica_devices=devs,
+                    conv_precision='highest' if strict_f32 else None
+                    )['replica_models']
             for m in models:
                 if not hasattr(m, '_device'):
                     raise ValueError(
@@ -234,7 +249,8 @@ class Analyzer:
         else:
             self.model = _load_serving_models(
                 modelname, framehop_prop, compute_dtype, transfer_dtype,
-                mesh=mesh)['model']
+                mesh=mesh,
+                conv_precision='highest' if strict_f32 else None)['model']
         if resample_on_device and not getattr(
                 self.model, 'supports_device_resample', False):
             raise ValueError(
@@ -287,6 +303,11 @@ class Analyzer:
                 'the 1e-3 score-parity contract (still inside the 2-decimal '
                 'output rounding; detections mode is insensitive). Use '
                 'float32 where the parity contract matters.')
+        if self._profile_note:
+            # log-channel only (startup_warnings reaches the .log file and
+            # the GUI pane): the profile is a deliberate choice, not an
+            # API misuse worth a warnings.warn
+            self.startup_warnings.append(self._profile_note)
         self.chunklength = self._setup_chunklength(chunklength)
         self.classes_out = self._setup_classes_out(classes_out)
         self.threshold = self._setup_threshold(precision)
@@ -608,7 +629,8 @@ class Analyzer:
         manifest = build_manifest(modelname=self.modelname,
                                   framehop_prop=self.framehop_prop,
                                   precision=self.precision,
-                                  classes_out=self.classes_out)
+                                  classes_out=self.classes_out,
+                                  profile=self.analysis_profile)
         ok, msg = check_or_write_manifest(self.dir_out, manifest)
         if not ok:
             self.coordinator.exit_analysis(ExitSignal(
@@ -1349,6 +1371,8 @@ def analyze(modelname: str,
             host_shard=None,
             batch_chunks: int = 1,
             transfer_dtype: str = None,
+            strict_f32: bool = False,
+            profile: str = None,
             resample_on_device: bool = False,
             watch: bool = False,
             watch_interval: float = 30.0,
@@ -1414,6 +1438,22 @@ def analyze(modelname: str,
         (8-bit mu-law companding — halves transfer bytes again at ~38 dB
         SNR, for deployments where the host->device link is the bottleneck;
         activations typically shift by well under one rounding digit).
+    strict_f32 : pin EVERY conv dot to Precision.HIGHEST (6-pass exact-f32
+        emulation). By default the fused-pallas single-chip path already
+        runs HIGHEST (its measured-fastest in-budget form), while the XLA
+        conv path — what mesh/sharded runs and pallas fallbacks execute —
+        runs HIGH (3-pass): measured 1.166x faster at a 7.3-8.5e-4
+        real-bundle score deviation, inside the 1e-3 parity budget.
+        strict_f32 removes that last approximation for bitwise-stable
+        oracle numerics (e.g. cross-layout byte-reproducibility studies).
+        Irrelevant under ``compute_dtype=bfloat16``.
+    profile : one-flag deployment preset — ``'field'`` (throughput-first
+        for real recordings: mu-law wire, measured up to 2.9x pipeline on
+        link-bound deployments; its digital-silence caveat is logged and
+        the manifest records the profile) or ``'strict'`` (bit-strict
+        parity: float32 wire + exact-f32 conv precision). A profile fills
+        only the knobs left unset, so an explicit ``transfer_dtype`` still
+        wins. See docs/tuning.md "Profiles".
     resample_on_device : decode at each file's NATIVE rate and resample to
         the model rate inside the jit graph (ops/resample.py polyphase-as-
         conv) instead of in the host decode pass — removes the last
@@ -1516,6 +1556,8 @@ def analyze(modelname: str,
                             host_shard=host_shard,
                             batch_chunks=batch_chunks,
                             transfer_dtype=transfer_dtype,
+                            strict_f32=strict_f32,
+                            profile=profile,
                             resample_on_device=resample_on_device,
                             alert_classes=alert_classes,
                             alert_command=alert_command,
@@ -1533,9 +1575,16 @@ def analyze(modelname: str,
     # watch cycles share the model(s) so each device's params and compiled
     # programs upload once, not once per polling cycle; built by the same
     # helper Analyzer.__init__ uses so the two sites cannot drift apart
+    # the shared models must see the PROFILE-resolved knobs (the Analyzer
+    # resolves them from the originals each pass, but watch mode loads
+    # models here, once)
+    r_transfer, r_strict, _note = cfg.resolve_profile(
+        profile, transfer_dtype, strict_f32)
     shared = _load_serving_models(modelname, framehop_prop, compute_dtype,
-                                  transfer_dtype, mesh=mesh,
-                                  replica_devices=replica_devices)
+                                  r_transfer, mesh=mesh,
+                                  replica_devices=replica_devices,
+                                  conv_precision=('highest' if r_strict
+                                                  else None))
     stop = watch_stop if watch_stop is not None else threading.Event()
     # The pipeline sets event_stopanalysis at the END of every pass to
     # signal 'analysis done' (the GUI contract), so the caller's event

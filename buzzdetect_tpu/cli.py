@@ -130,6 +130,23 @@ def build_parser():
                         help='Host->device wire format for waveforms '
                              '(default int16; mulaw halves transfer bytes '
                              'for bandwidth-limited links)')
+    parser.add_argument('--profile', required=False, default=None,
+                        choices=['field', 'strict'],
+                        help="One-flag deployment preset: 'field' = "
+                             "throughput-first (mu-law wire; its "
+                             "digital-silence caveat is logged and the "
+                             "manifest records the profile), 'strict' = "
+                             "bit-strict parity (float32 wire + exact-f32 "
+                             "conv precision). Explicit knobs still win. "
+                             "See docs/tuning.md 'Profiles'")
+    parser.add_argument('--strict_f32', action='store_true',
+                        help='Pin every conv dot to exact-f32 MXU precision '
+                             '(6-pass HIGHEST). The single-chip fused path '
+                             'already runs HIGHEST by default; this '
+                             'additionally pins the XLA conv path (mesh '
+                             'runs, fallbacks), which defaults to 3-pass '
+                             'HIGH — 1.166x faster at a 7-9e-4 score '
+                             'deviation, inside the 1e-3 parity budget')
     parser.add_argument('--resample_on_device', action='store_true',
                         help='Decode at native rate and resample on the '
                              'accelerator inside the model graph (frees '
@@ -293,6 +310,8 @@ def main(argv=None):
                      devices=devices,
                      host_shard=host_shard,
                      transfer_dtype=args.transfer_dtype,
+                     strict_f32=args.strict_f32,
+                     profile=args.profile,
                      resample_on_device=args.resample_on_device,
                      watch=args.watch,
                      watch_interval=args.watch_interval,

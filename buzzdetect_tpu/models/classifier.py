@@ -162,10 +162,11 @@ def _resample_in_graph(wav, cfg, resample_from, resample_to, valid_len):
 
 @partial(jax.jit,
          static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend', 'conv',
-                          'resample_from', 'resample_to'))
+                          'conv_precision', 'resample_from', 'resample_to'))
 def _classify_padded(params, waveform, cfg: FrontendConfig,
                      compute_dtype=jnp.float32, mesh=None, frontend='xla',
-                     conv='xla', resample_from=None, resample_to=None,
+                     conv='xla', conv_precision='highest',
+                     resample_from=None, resample_to=None,
                      valid_len=None):
     """Already-padded 1-D waveform -> (n_patches, n_classes) activations.
 
@@ -186,15 +187,18 @@ def _classify_padded(params, waveform, cfg: FrontendConfig,
     if mesh is not None:
         patches = _shard_patches(patches, mesh)
     embeddings = yamnet_lib.embed(params['yamnet'], patches,
-                                  compute_dtype=compute_dtype, conv=conv)
+                                  compute_dtype=compute_dtype, conv=conv,
+                                  conv_precision=conv_precision)
     return apply_head(params['head'], embeddings)
 
 
 @partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'mesh', 'frontend',
-                                   'conv', 'resample_from', 'resample_to'))
+                                   'conv', 'conv_precision', 'resample_from',
+                                   'resample_to'))
 def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
                            compute_dtype=jnp.float32, mesh=None,
-                           frontend='xla', conv='xla', resample_from=None,
+                           frontend='xla', conv='xla',
+                           conv_precision='highest', resample_from=None,
                            resample_to=None, valid_len=None):
     """(B, L) padded waveforms -> (B, n_patches, n_classes).
 
@@ -212,17 +216,21 @@ def _classify_padded_batch(params, waveforms, cfg: FrontendConfig,
     if mesh is not None:
         flat = _shard_patches(flat, mesh)
     embeddings = yamnet_lib.embed(params['yamnet'], flat,
-                                  compute_dtype=compute_dtype, conv=conv)
+                                  compute_dtype=compute_dtype, conv=conv,
+                                  conv_precision=conv_precision)
     scores = apply_head(params['head'], embeddings)
     return scores.reshape(b, p, -1)
 
 
-@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'conv'))
+@partial(jax.jit, static_argnames=('cfg', 'compute_dtype', 'conv',
+                                   'conv_precision'))
 def _embed_padded(params, waveform, cfg: FrontendConfig,
-                  compute_dtype=jnp.float32, conv='xla'):
+                  compute_dtype=jnp.float32, conv='xla',
+                  conv_precision='highest'):
     patches = log_mel_patches(_to_float(waveform), cfg)
     return yamnet_lib.embed(params['yamnet'], patches,
-                            compute_dtype=compute_dtype, conv=conv)
+                            compute_dtype=compute_dtype, conv=conv,
+                            conv_precision=conv_precision)
 
 
 def _execution_target_is_tpu(device=None, devices=None):
@@ -272,7 +280,7 @@ class ChunkClassifier:
     def __init__(self, arrays: dict, framehop_prop: float = 1.0,
                  compute_dtype=jnp.float32, device=None, sharding=None,
                  mesh=None, transfer_dtype='float32', frontend='auto',
-                 conv='auto'):
+                 conv='auto', conv_precision='auto'):
         self.cfg = FrontendConfig().with_framehop(framehop_prop)
         self.compute_dtype = compute_dtype
         if frontend not in ('auto', 'xla', 'pallas'):
@@ -317,6 +325,38 @@ class ChunkClassifier:
                 "conv='pallas' does not compose with mesh/sharding "
                 "(GSPMD cannot partition the fused kernel); use conv='xla'")
         self.conv = conv
+        # MXU emulation depth for the conv stack's f32 dots (bf16 compute
+        # ignores it — its dots run 1-pass DEFAULT). 'auto' resolves
+        # PER CONV PATH from round-5 hardware measurements on the real
+        # bundle (docs/tuning.md "round-5 conv precision"):
+        # * conv='xla' -> 'high' (3-pass): measured 1.166x (29.0->24.9 ms
+        #   classify) at max |dscore| 7.3-8.5e-4 — inside the 1e-3 parity
+        #   budget, though with only ~1.3x headroom (the round-3 "1.5e-4,
+        #   7x headroom" figure did not survive the real head's
+        #   amplification). This is the path mesh/sharded runs and
+        #   pallas-compile-failure fallbacks take — the only place the
+        #   knob both wins and holds the budget. (The fallback itself
+        #   keeps whatever was resolved at init: conservative.)
+        # * conv='pallas' -> 'highest': Mosaic's in-kernel dot lowering
+        #   refuses Precision.HIGH outright, and the in-kernel 3-pass
+        #   EMULATION (ops/pallas_conv.py::_pw_dot — hi/lo bf16 splits,
+        #   zero extra VMEM) measures 1.128x but moves real-bundle scores
+        #   ~1e-2: real log-mel statistics (large common-mode component)
+        #   make its per-dot error coherent across the stack, 10x over
+        #   budget — and any user tolerating >1e-3 is strictly better
+        #   served by --bf16 (2.2x at ~6e-3). Explicit 'high' + pallas
+        #   still selects the emulated hybrid (measured, documented) for
+        #   study and for future toolchains with native in-kernel HIGH.
+        # 'highest' everywhere (6-pass exact f32) is the --strict_f32
+        # escape; the frontend's DFT/mel matmuls ship at HIGH on their own
+        # measurement (ops/frontend.py::DFT_PRECISION) and the head stays
+        # HIGHEST (one tiny dot producing the user-visible scores).
+        if conv_precision not in ('auto', 'high', 'highest'):
+            raise ValueError(
+                "conv_precision must be 'auto', 'high' or 'highest'")
+        self.conv_precision = (
+            ('highest' if conv == 'pallas' else 'high')
+            if conv_precision == 'auto' else conv_precision)
         if conv == 'pallas':
             # resolve the BUZZDETECT_PALLAS_FRONT env override NOW, so a
             # malformed knob fails loudly at model init (its ValueError
@@ -453,7 +493,8 @@ class ChunkClassifier:
         explicit frontend choice fails loudly — no silent substitution."""
         return self._dispatch(lambda: _classify_padded(
             self._device_params(), wav_device, self.cfg, self.compute_dtype,
-            self.mesh, self.frontend, self.conv, *resample_args))
+            self.mesh, self.frontend, self.conv, self.conv_precision,
+            *resample_args))
 
     # --- public API ------------------------------------------------------------
     def predict(self, samples: np.ndarray,
@@ -514,7 +555,7 @@ class ChunkClassifier:
             valid = jnp.asarray(n_models, jnp.int32)[:, None]  # (B, 1)
             out = self._dispatch(lambda: _classify_padded_batch(
                 self._device_params(), batch, self.cfg, self.compute_dtype,
-                self.mesh, self.frontend, self.conv,
+                self.mesh, self.frontend, self.conv, self.conv_precision,
                 int(input_rate), int(t_model), valid))
             return out, n_valids
         n_valids = [num_patches(len(a), self.cfg) for a in arrs]
@@ -523,7 +564,7 @@ class ChunkClassifier:
         batch = jax.device_put(batch, self._placement)
         out = self._dispatch(lambda: _classify_padded_batch(
             self._device_params(), batch, self.cfg, self.compute_dtype,
-            self.mesh, self.frontend, self.conv))
+            self.mesh, self.frontend, self.conv, self.conv_precision))
         return out, n_valids
 
     def classify_resident(self, wav_device):
@@ -541,7 +582,7 @@ class ChunkClassifier:
         wav = self._pad_to(samples, self._target_length(len(samples)))
         out = self._dispatch(lambda: _embed_padded(
             self._device_params(), wav, self.cfg, self.compute_dtype,
-            self.conv))
+            self.conv, self.conv_precision))
         return np.asarray(out)[:n_valid]
 
     def warmup(self, chunk_samples: int):

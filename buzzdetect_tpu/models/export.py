@@ -62,7 +62,8 @@ def export_classifier(modelname: str, chunk_seconds: float,
         # substitution on the serving path)
         return _classify_padded(params, waveform, cfg,
                                 compute_dtype=clf.compute_dtype,
-                                frontend=clf.frontend, conv=conv)
+                                frontend=clf.frontend, conv=conv,
+                                conv_precision=clf.conv_precision)
 
     dtype = {'int16': jnp.int16, 'mulaw': jnp.int8}.get(
         transfer_dtype, jnp.float32)
@@ -84,6 +85,7 @@ def export_classifier(modelname: str, chunk_seconds: float,
         'n_patches': num_patches(n_samples, cfg),
         'platforms': list(platforms),
         'conv': conv,
+        'conv_precision': clf.conv_precision,
         'samplerate': 16000,
     }
     return exported.serialize(), meta

@@ -154,7 +154,8 @@ class BundleModel(BaseModel):
 
     def __init__(self, dir_model: str, framehop_prop: float = 1.0,
                  compute_dtype=None, sharding=None, mesh=None,
-                 transfer_dtype=None, frontend=None, conv=None, device=None):
+                 transfer_dtype=None, frontend=None, conv=None, device=None,
+                 conv_precision=None):
         self.dir_model = dir_model
         self.framehop_prop = framehop_prop
         self.modelname = os.path.basename(dir_model.rstrip('/'))
@@ -186,6 +187,14 @@ class BundleModel(BaseModel):
         # TPU, XLA elsewhere — ChunkClassifier.__init__ has the measurements
         # and composition rules), 'xla', or 'pallas'
         self._conv = conv or self.config.get('conv') or 'auto'
+        # conv-dot MXU precision: 'auto' (default) resolves per conv path
+        # in ChunkClassifier — 'high' on XLA (1.166x at 7-9e-4, in
+        # budget; the mesh/fallback path), 'highest' on pallas (Mosaic
+        # has no native HIGH and the emulation is out of budget);
+        # 'highest' everywhere is the --strict_f32 escape
+        self._conv_precision = (conv_precision
+                                or self.config.get('conv_precision')
+                                or 'auto')
         self.classifier = None
         # one model instance is shared by every inferer thread; initialize()
         # must build the classifier exactly once
@@ -214,7 +223,7 @@ class BundleModel(BaseModel):
                 compute_dtype=dtype, sharding=self._sharding,
                 mesh=self._mesh, transfer_dtype=self._transfer_dtype,
                 frontend=self._frontend, conv=self._conv,
-                device=self._device)
+                device=self._device, conv_precision=self._conv_precision)
             self.embedder._classifier = classifier
             self.classifier = classifier
 
@@ -305,7 +314,7 @@ def load_model(modelname: str, framehop_prop: float = 1.0,
                initialize: bool = False, compute_dtype=None,
                sharding=None, mesh=None,
                transfer_dtype=None, frontend=None, conv=None,
-               device=None) -> BaseModel:
+               device=None, conv_precision=None) -> BaseModel:
     """Resolve a model by directory name.
 
     ``models/<name>/model.npz`` -> built-in BundleModel (fused XLA graph);
@@ -321,7 +330,8 @@ def load_model(modelname: str, framehop_prop: float = 1.0,
         model = BundleModel(dir_model, framehop_prop,
                             compute_dtype=compute_dtype, sharding=sharding,
                             mesh=mesh, transfer_dtype=transfer_dtype,
-                            frontend=frontend, conv=conv, device=device)
+                            frontend=frontend, conv=conv, device=device,
+                            conv_precision=conv_precision)
     elif os.path.exists(os.path.join(dir_model, 'model.py')):
         klass = _import_plugin(os.path.join(dir_model, 'model.py'), BaseModel)
         model = klass(dir_model, framehop_prop)

@@ -106,14 +106,32 @@ def fold_batchnorm(raw: dict) -> dict:
 
 # --- forward pass -------------------------------------------------------------
 
-def _conv2d(x, kernel, stride, *, depthwise=False):
+def conv_mxu_precision(compute_dtype, conv_precision: str):
+    """MXU precision for the conv stack's dots, from the product knob.
+
+    f32 operands: an unqualified dot runs the MXU in bf16-operand mode
+    (~3 lost decimal digits — far outside the 1e-3 TF-parity budget), so
+    f32 always gets a multi-pass emulation: ``'highest'`` = 6-pass exact
+    f32 (the oracle; the fused-pallas default) or ``'high'`` = 3-pass
+    bf16-operand-split (the XLA-conv-path default: measured 1.166x on the
+    classify graph at 7.3-8.5e-4 real-bundle score deviation — inside the
+    1e-3 TF-parity budget; docs/tuning.md "round-5 conv precision").
+    bf16 compute always runs DEFAULT (1-pass; the operands are already
+    bf16, emulation adds nothing).
+    """
+    if jnp.dtype(compute_dtype) != jnp.float32:
+        return jax.lax.Precision.DEFAULT
+    if conv_precision == 'highest':
+        return jax.lax.Precision.HIGHEST
+    if conv_precision == 'high':
+        return jax.lax.Precision.HIGH
+    raise ValueError(
+        f"conv_precision must be 'high' or 'highest', got {conv_precision!r}")
+
+
+def _conv2d(x, kernel, stride, *, depthwise=False,
+            precision=jax.lax.Precision.HIGHEST):
     groups = kernel.shape[3] if depthwise else 1
-    # Explicit precision: JAX f32 convs otherwise run the MXU in its
-    # bf16-operand mode, which costs ~3 decimal digits and violates the 1e-3
-    # score-parity budget. When the caller opts into bfloat16 compute the
-    # operands are already bf16 and HIGHEST adds nothing, so pick per dtype.
-    precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
     return jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
@@ -216,7 +234,8 @@ def resolve_front():
     return PALLAS_FRONT
 
 
-def packed_l1(params, x, groups: int, compute_dtype=jnp.float32):
+def packed_l1(params, x, groups: int, compute_dtype=jnp.float32,
+              precision=None):
     """Patches (B, 96, 64, 1) -> packed layer-1 activations
     (ceil(B/groups), 48, 32, groups*32).
 
@@ -235,8 +254,12 @@ def packed_l1(params, x, groups: int, compute_dtype=jnp.float32):
     kernel = jnp.tile(params['layer1/conv/kernel'].astype(compute_dtype),
                       (1, 1, 1, groups))
     bias = jnp.tile(params['layer1/conv/bias'].astype(jnp.float32), (groups,))
-    precision = (jax.lax.Precision.HIGHEST if xp.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
+    if precision is None:
+        # keyed off COMPUTE_DTYPE, not xp.dtype: raw patches are always
+        # f32, so an xp.dtype key would run layer 1 at HIGHEST with a
+        # bf16 kernel — inconsistent with the tail kernel's DEFAULT
+        # precision under bf16 compute
+        precision = conv_mxu_precision(compute_dtype, 'highest')
     y = jax.lax.conv_general_dilated(
         xp, kernel, window_strides=(2, 2), padding='SAME',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
@@ -245,7 +268,7 @@ def packed_l1(params, x, groups: int, compute_dtype=jnp.float32):
     return jax.nn.relu(y + bias).astype(compute_dtype)
 
 
-def _pallas_embed(params, x, compute_dtype, blocks):
+def _pallas_embed(params, x, compute_dtype, blocks, precision=None):
     """Run the fused-block sequence; x enters blocks[0][0] in NHWC."""
     # lazy import: ops.pallas_conv imports LAYER_DEFS from this module
     from buzzdetect_tpu.ops.pallas_conv import fused_tail, tail_specs
@@ -253,7 +276,7 @@ def _pallas_embed(params, x, compute_dtype, blocks):
         last = bi == len(blocks) - 1
         x = fused_tail(params, x, start_layer=start, stop_layer=stop,
                        block_patches=pb, compute_dtype=compute_dtype,
-                       gap=last)
+                       gap=last, precision=precision)
         if not last:
             s = tail_specs(start, stop)[-1]
             x = x.reshape(x.shape[0], s.h_out, s.w_out, s.c_out)
@@ -261,7 +284,8 @@ def _pallas_embed(params, x, compute_dtype, blocks):
 
 
 def embed(params: dict, patches: jnp.ndarray,
-          compute_dtype=jnp.float32, conv: str = 'xla') -> jnp.ndarray:
+          compute_dtype=jnp.float32, conv: str = 'xla',
+          conv_precision: str = 'highest') -> jnp.ndarray:
     """Log-mel patches -> embeddings.
 
     ``patches``: (B, 96, 64) or (B, 96, 64, 1) float32.
@@ -271,7 +295,23 @@ def embed(params: dict, patches: jnp.ndarray,
     kernels (ops/pallas_conv.py, PALLAS_BLOCKS; TPU or interpret mode only)
     — measured 1.37x on the whole embed at f32-rounding parity on a v5e.
     'xla' is the portable path.
+
+    ``conv_precision`` ('highest'|'high', f32 only — see
+    ``conv_mxu_precision``) selects the MXU emulation depth for the conv
+    and pointwise dots. The OP-LEVEL default stays 'highest' (exact-f32
+    oracle; kernel-parity tests rely on it); the PRODUCT resolution lives
+    in ChunkClassifier: 'high' for the XLA conv path (measured 1.166x at
+    7.3-8.5e-4 real-bundle score deviation — inside the 1e-3 budget) but
+    'highest' for the pallas path, where Mosaic refuses native HIGH and
+    the in-kernel 3-pass EMULATION (ops/pallas_conv.py::_pw_dot) measures
+    1.128-1.167x at ~1e-2 real-bundle deviation — real log-mel inputs'
+    large common-mode component makes the hi/lo-split error coherent
+    across the stack (synthetic zero-mean patches measure 100x tighter;
+    the parity tests pin the semantics, docs/tuning.md has the full
+    measurement story). Explicit conv='pallas' + 'high' still runs the
+    emulated kernels, for study and future toolchains.
     """
+    precision = conv_mxu_precision(compute_dtype, conv_precision)
     x = patches.astype(compute_dtype)
     if x.ndim == 3:
         x = x[..., None]
@@ -285,23 +325,25 @@ def embed(params: dict, patches: jnp.ndarray,
         from buzzdetect_tpu.ops.pallas_conv import fused_front, tail_specs
         b = x.shape[0]
         g = front['groups']
-        xp = packed_l1(params, x, g, compute_dtype)
+        xp = packed_l1(params, x, g, compute_dtype, precision=precision)
         if front.get('fuse_mid'):
             stop = PALLAS_BLOCKS[-1][0]  # the final block's start layer
             y = fused_front(params, xp, groups=g,
                             block_packed=front['block_packed'],
                             plain_through=stop,
-                            compute_dtype=compute_dtype)[:b]
+                            compute_dtype=compute_dtype,
+                            precision=precision)[:b]
             s = tail_specs(4, stop)[-1]
             blocks = tuple(bl for bl in PALLAS_BLOCKS if bl[0] >= stop)
         else:
             y = fused_front(params, xp, groups=g,
                             block_packed=front['block_packed'],
-                            compute_dtype=compute_dtype)[:b]
+                            compute_dtype=compute_dtype,
+                            precision=precision)[:b]
             s = tail_specs(2, 4)[-1]
             blocks = PALLAS_BLOCKS
         y = y.reshape(b, s.h_out, s.w_out, s.c_out)
-        return _pallas_embed(params, y, compute_dtype, blocks)
+        return _pallas_embed(params, y, compute_dtype, blocks, precision)
 
     stop = PALLAS_BLOCKS[0][0] if conv == 'pallas' else len(LAYER_DEFS) + 1
     for key, kind, stride, _shape in _conv_shapes():
@@ -309,11 +351,13 @@ def embed(params: dict, patches: jnp.ndarray,
             break
         kernel = params[f'{key}/kernel'].astype(compute_dtype)
         bias = params[f'{key}/bias'].astype(jnp.float32)
-        x = _conv2d(x, kernel, stride, depthwise=(kind == 'depthwise'))
+        x = _conv2d(x, kernel, stride, depthwise=(kind == 'depthwise'),
+                    precision=precision)
         x = jax.nn.relu(x.astype(jnp.float32) + bias).astype(compute_dtype)
 
     if conv == 'pallas':
-        return _pallas_embed(params, x, compute_dtype, PALLAS_BLOCKS)
+        return _pallas_embed(params, x, compute_dtype, PALLAS_BLOCKS,
+                             precision)
 
     # global average pool over the spatial axes -> (B, 1024)
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
@@ -347,6 +391,7 @@ def embed_train(raw_params: dict, patches: jnp.ndarray, *,
     return jnp.mean(x, axis=(1, 2)), new_params
 
 
-@partial(jax.jit, static_argnames=('compute_dtype', 'conv'))
-def embed_jit(params, patches, compute_dtype=jnp.float32, conv='xla'):
-    return embed(params, patches, compute_dtype, conv)
+@partial(jax.jit, static_argnames=('compute_dtype', 'conv', 'conv_precision'))
+def embed_jit(params, patches, compute_dtype=jnp.float32, conv='xla',
+              conv_precision='highest'):
+    return embed(params, patches, compute_dtype, conv, conv_precision)

@@ -35,9 +35,10 @@ sublane rolls, 2-D row gathers and minor transposes do):
   size; the all-odd plane (rows (2*ho+1)*W + 2*wo+1) is the center tap —
   SAME padding on even input pads only bottom/right, so parity with the
   XLA/TF conv demands the odd offsets;
-* pointwise 1x1: the (Pb*HW, C) collapsed view @ (C, F) on the MXU at
-  Precision.HIGHEST (f32 parity mode) or DEFAULT (bf16 mode) — Pb is
-  chosen so Pb*HW >= 128 rows even at the 3x2-spatial layers;
+* pointwise 1x1: the (Pb*HW, C) collapsed view @ (C, F) on the MXU — at
+  the caller's ``precision`` (the product ships HIGH for f32, HIGHEST via
+  --strict_f32, DEFAULT under bf16; models/yamnet.py::conv_mxu_precision)
+  — Pb is chosen so Pb*HW >= 128 rows even at the 3x2-spatial layers;
 * BatchNorm is already folded into kernel+bias upstream
   (models/yamnet.py::fold_batchnorm); bias+relu ride the same VMEM pass.
 
@@ -130,13 +131,76 @@ def _tap_masks(spec: SepSpec) -> np.ndarray:
         for dy, dx in TAPS]).reshape(9, spec.h_out * spec.w_out, 1)
 
 
-def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
+def _resolve_precision(precision, compute_dtype):
+    """None -> the historical rule (HIGHEST for f32 operands, DEFAULT for
+    bf16); resolved ONCE at the pallas_call wrapper so the packers and the
+    kernel body always agree on the pw operand layout (hi/lo split vs
+    plain cast)."""
+    if precision is not None:
+        return precision
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(compute_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _split_hi_lo(w):
+    """f32 -> (2, ...) bf16 hi/lo split: w ~= hi + lo to ~16 mantissa bits.
+
+    The operand form of the MXU's 3-pass HIGH emulation (see _pw_dot):
+    same total bytes as the f32 original (2 x bf16), so the kernels'
+    VMEM budget is unchanged."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, lo])
+
+
+def _pw_dot(flat, w_ref, compute_dtype, precision):
+    """The pointwise contraction at the requested MXU precision.
+
+    Mosaic's in-kernel dot lowering supports only DEFAULT and HIGHEST
+    ("Unsupported dot precision: HIGH", probed 2026-08-20 —
+    tools/mosaic_capability_probe.py), so Precision.HIGH is EMULATED:
+    the packers ship the weight as a (2, K, F) bf16 hi/lo split
+    (w ~= hi + lo), the activation splits on the fly, and the dot runs
+    as the same 3 one-pass products XLA's HIGH lowers to —
+    hi@hi + hi@lo + lo@hi (the dropped lo@lo term is below f32 rounding).
+    3 MXU passes instead of HIGHEST's 6, identical VMEM (2xbf16 = 1xf32).
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if precision == jax.lax.Precision.HIGH:
+        a = flat.astype(jnp.float32)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def one(x, w):
+            return jax.lax.dot_general(
+                x, w, dims, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+        w_hi, w_lo = w_ref[0], w_ref[1]
+        return one(a_hi, w_hi) + one(a_hi, w_lo) + one(a_lo, w_hi)
+    return jax.lax.dot_general(
+        flat.astype(compute_dtype), w_ref[:], dims,
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _pack_pw(pw, compute_dtype, precision):
+    """Pointwise weight operand for _pw_dot: hi/lo split under emulated
+    HIGH, plain compute-dtype cast otherwise."""
+    if precision == jax.lax.Precision.HIGH:
+        return _split_hi_lo(pw.astype(jnp.float32))
+    return pw.astype(compute_dtype)
+
+
+def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32,
+                     precision=None):
     """Folded yamnet params -> the kernel's flat operand list.
 
     Per layer: dw taps (9, 1, C) [tap t = kernel[dy, dx, 0, :]], dw bias
-    (1, C) f32, tap edge masks (9, H*W, 1) f32, pw kernel (C, F), pw bias
-    (1, F) f32. Only the pointwise kernel is cast to the compute dtype
-    (it feeds the MXU dot); dw taps and biases stay f32 for the VPU math.
+    (1, C) f32, tap edge masks (9, H*W, 1) f32, pw kernel (C, F) — or its
+    (2, C, F) bf16 hi/lo split under emulated HIGH (_pw_dot) — and pw
+    bias (1, F) f32. Only the pointwise kernel is cast to the compute
+    dtype (it feeds the MXU dot); dw taps and biases stay f32 for the
+    VPU math.
     """
     ops = []
     for s in specs:
@@ -152,7 +216,7 @@ def pack_tail_params(params: dict, specs, compute_dtype=jnp.float32):
             jnp.asarray(params[f'{s.name}/depthwise_conv/bias'],
                         jnp.float32).reshape(1, s.c_in),
             jnp.asarray(_tap_masks(s)),
-            pw.reshape(s.c_in, s.c_out).astype(compute_dtype),
+            _pack_pw(pw.reshape(s.c_in, s.c_out), compute_dtype, precision),
             jnp.asarray(params[f'{s.name}/pointwise_conv/bias'],
                         jnp.float32).reshape(1, s.c_out),
         ]
@@ -202,7 +266,8 @@ def front_pw_splits(groups: int, start_layer: int = 2, stop_layer: int = 4):
 
 
 def pack_front_params(params: dict, groups: int, compute_dtype=jnp.float32,
-                      start_layer: int = 2, stop_layer: int = 4):
+                      start_layer: int = 2, stop_layer: int = 4,
+                      precision=None):
     """Folded yamnet params -> packed-front operand list.
 
     Same five operands per layer as ``pack_tail_params``, built for the
@@ -225,8 +290,9 @@ def pack_front_params(params: dict, groups: int, compute_dtype=jnp.float32,
                                  jnp.float32).reshape(1, s.c_in),
                      (1, groups)),
             jnp.asarray(_tap_masks(s)),
-            jnp.kron(eye, pw.reshape(s.c_in, s.c_out).astype(jnp.float32)
-                     ).astype(compute_dtype),
+            _pack_pw(jnp.kron(eye, pw.reshape(s.c_in, s.c_out)
+                              .astype(jnp.float32)),
+                     compute_dtype, precision),
             jnp.tile(jnp.asarray(params[f'{s.name}/pointwise_conv/bias'],
                                  jnp.float32).reshape(1, s.c_out),
                      (1, groups)),
@@ -289,14 +355,16 @@ def _unpack_lanes(x, pb, groups):
 
 
 def _tail_kernel(*refs, specs, pb, compute_dtype, gap, unpack=None,
-                 pw_splits=None, unpack_after=None):
+                 pw_splits=None, unpack_after=None, precision=None):
     """refs = [x_ref, (dw, dw_b, masks, pw, pw_b) * len(specs), out_ref].
 
     Activations stay float32 on the VPU side regardless of compute_dtype:
     Mosaic's dynamic_rotate only handles 32-bit vectors ("Rotate with
     non-32-bit data" compile error on bf16), and the depthwise taps
     accumulate in f32 anyway. compute_dtype only selects the MXU dot
-    operands' dtype/precision — where the bf16 throughput lives.
+    operands' dtype; ``precision`` their MXU emulation depth (None keeps
+    the historical rule: HIGHEST for f32 operands, DEFAULT for bf16 —
+    the product threads HIGH here via models/yamnet.py::embed).
 
     With ``unpack_after=i`` the first i+1 specs run in the packed-lane
     layout (``unpack`` patches per row, virtual channel counts); the
@@ -307,9 +375,10 @@ def _tail_kernel(*refs, specs, pb, compute_dtype, gap, unpack=None,
     write (a front-only kernel).
     """
     x_ref, out_ref = refs[0], refs[-1]
-    precision = (jax.lax.Precision.HIGHEST
-                 if compute_dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST
+                     if compute_dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
     x = x_ref[:].astype(jnp.float32)
     pb_now = pb
 
@@ -349,22 +418,17 @@ def _tail_kernel(*refs, specs, pb, compute_dtype, gap, unpack=None,
         hwo = spec.h_out * spec.w_out
         n = pw_splits[li] if pw_splits is not None else 1
         if n == 1:
-            flat = y.reshape(pb_now * hwo, spec.c_in).astype(compute_dtype)
-            z = jax.lax.dot_general(
-                flat, pw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
+            flat = y.reshape(pb_now * hwo, spec.c_in)
+            z = _pw_dot(flat, pw_ref, compute_dtype, precision)
         else:
             # packed front past g*C=128: contract in n dense-K sub-dots
             # over lane-tile slices instead of one block-diagonal dot
             # whose zero blocks would be real MXU passes (front_pw_splits)
             kq = spec.c_in // n
             y4 = y.reshape(pb_now, hwo, n, kq)
-            zs = [jax.lax.dot_general(
-                y4[:, :, i, :].reshape(pb_now * hwo, kq)
-                .astype(compute_dtype),
-                pw_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
-                for i in range(n)]
+            zs = [_pw_dot(y4[:, :, i, :].reshape(pb_now * hwo, kq),
+                          pw_ref, compute_dtype, precision)
+                  for i in range(n)]
             z = jnp.concatenate(zs, axis=-1)
         x = jax.nn.relu(z.reshape(pb_now, hwo, spec.c_out) + pwb_ref[:])
 
@@ -385,7 +449,7 @@ def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
                 block_packed: int = 2, compute_dtype=jnp.float32,
                 start_layer: int = 2, stop_layer: int = 4,
                 unpack: bool = True, plain_through: int = None,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, precision=None) -> jnp.ndarray:
     """Packed layer-1 activations through the fused front, one kernel.
 
     ``x``: (Bo, 48, 32, groups*32) — ``groups`` patches' layer-1 outputs
@@ -421,6 +485,7 @@ def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
     bo, h, w, c = x.shape
     assert (h, w, c) == (s0.h, s0.w, s0.c_in), \
         f'expected {(s0.h, s0.w, s0.c_in)} packed input, got {(h, w, c)}'
+    precision = _resolve_precision(precision, compute_dtype)
     pbi = block_packed
     bo_pad = -(-bo // pbi) * pbi
     x = x.reshape(bo, h * w, c)
@@ -429,9 +494,9 @@ def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
             [x, jnp.zeros((bo_pad - bo, h * w, c), x.dtype)], axis=0)
 
     ops = pack_front_params(params, groups, compute_dtype,
-                            start_layer, stop_layer) \
-        + (pack_tail_params(params, pspecs, compute_dtype) if pspecs
-           else [])
+                            start_layer, stop_layer, precision) \
+        + (pack_tail_params(params, pspecs, compute_dtype, precision)
+           if pspecs else [])
     pw_splits = (front_pw_splits(groups, start_layer, stop_layer)
                  + (1,) * len(pspecs))
     hwo = sl.h_out * sl.w_out
@@ -442,7 +507,8 @@ def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
                      compute_dtype=compute_dtype, gap=False,
                      unpack=groups if unpack else None,
                      pw_splits=pw_splits,
-                     unpack_after=len(fspecs) - 1 if pspecs else None)
+                     unpack_after=len(fspecs) - 1 if pspecs else None,
+                     precision=precision)
     out = pl.pallas_call(
         kernel,
         grid=(bo_pad // pbi,),
@@ -463,7 +529,7 @@ def fused_front(params: dict, x: jnp.ndarray, *, groups: int = 4,
 def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,
                stop_layer: int = None, block_patches: int = 32,
                compute_dtype=jnp.float32, gap: bool = True,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False, precision=None) -> jnp.ndarray:
     """(B, H, W, C) activations entering `start_layer` -> (B, 1024)
     embeddings (gap=True) or the last fused layer's activations
     (gap=False: (B, Ho*Wo, C_out), flattened spatial).
@@ -479,6 +545,7 @@ def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,
     b, h, w, c = x.shape
     assert (h, w, c) == (s0.h, s0.w, s0.c_in), \
         f'expected {(s0.h, s0.w, s0.c_in)} input, got {(h, w, c)}'
+    precision = _resolve_precision(precision, compute_dtype)
     pb = block_patches
     b_pad = -(-b // pb) * pb
     x = x.reshape(b, h * w, c)
@@ -486,7 +553,7 @@ def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,
         x = jnp.concatenate(
             [x, jnp.zeros((b_pad - b, h * w, c), x.dtype)], axis=0)
 
-    ops = pack_tail_params(params, specs, compute_dtype)
+    ops = pack_tail_params(params, specs, compute_dtype, precision)
     if gap:
         out_shape = jax.ShapeDtypeStruct((b_pad, sl.c_out), jnp.float32)
         out_spec = pl.BlockSpec((pb, sl.c_out), lambda g: (g, 0),
@@ -499,7 +566,8 @@ def fused_tail(params: dict, x: jnp.ndarray, *, start_layer: int = 8,
                                 memory_space=pltpu.VMEM)
 
     kernel = partial(_tail_kernel, specs=specs, pb=pb,
-                     compute_dtype=compute_dtype, gap=gap)
+                     compute_dtype=compute_dtype, gap=gap,
+                     precision=precision)
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // pb,),

@@ -101,6 +101,67 @@ def test_embedder_aliases():
         load_embedder('nope')
 
 
+def test_conv_precision_mapping():
+    """The product knob -> MXU emulation depth rule (yamnet.conv_mxu_precision):
+    f32 picks 6-pass HIGHEST (--strict_f32 oracle) or 3-pass HIGH (the
+    default); bf16 operands always run 1-pass DEFAULT — emulation depth is
+    meaningless when the operands are already bf16."""
+    import jax
+    import jax.numpy as jnp
+    P = jax.lax.Precision
+    assert yam.conv_mxu_precision(jnp.float32, 'highest') == P.HIGHEST
+    assert yam.conv_mxu_precision(jnp.float32, 'high') == P.HIGH
+    assert yam.conv_mxu_precision(jnp.bfloat16, 'highest') == P.DEFAULT
+    assert yam.conv_mxu_precision(jnp.bfloat16, 'high') == P.DEFAULT
+    with pytest.raises(ValueError, match='conv_precision'):
+        yam.conv_mxu_precision(jnp.float32, 'medium')
+
+
+def test_classifier_conv_precision_resolution(arrays):
+    """'auto' resolves PER CONV PATH (round-5 real-bundle measurements):
+    'high' on the XLA path (1.166x at 7.3-8.5e-4 — inside the 1e-3
+    budget; the path mesh runs and pallas fallbacks take) but 'highest'
+    on the pallas path (Mosaic refuses native HIGH; the in-kernel
+    emulation measures ~1e-2 real-bundle deviation — over budget and
+    dominated by --bf16). 'highest' stays the strict escape; anything
+    else fails loudly."""
+    # CPU: conv auto resolves to 'xla' -> precision auto is 'high'
+    assert ChunkClassifier(arrays).conv == 'xla'
+    assert ChunkClassifier(arrays).conv_precision == 'high'
+    # explicit pallas: precision auto stays at the exact-f32 oracle
+    assert ChunkClassifier(
+        arrays, conv='pallas').conv_precision == 'highest'
+    # explicit values always win
+    assert ChunkClassifier(
+        arrays, conv_precision='highest').conv_precision == 'highest'
+    assert ChunkClassifier(
+        arrays, conv='pallas', conv_precision='high').conv_precision == 'high'
+    with pytest.raises(ValueError, match='conv_precision'):
+        ChunkClassifier(arrays, conv_precision='exact')
+
+
+def test_conv_precision_threads_to_identical_scores_on_cpu(arrays):
+    """On the CPU backend HIGH and HIGHEST are the same true-f32 matmul,
+    so the knob must not change scores AT ALL here — this pins that the
+    threading reaches the graph without perturbing anything else. (The
+    on-chip deviation/therapy numbers live in docs/tuning.md; CPU cannot
+    measure them.)"""
+    wav = (RNG.standard_normal(32000) * 0.1).astype(np.float32)
+    out_high = ChunkClassifier(arrays, conv_precision='high').predict(wav)
+    out_strict = ChunkClassifier(
+        arrays, conv_precision='highest').predict(wav)
+    np.testing.assert_array_equal(out_high, out_strict)
+
+
+def test_strict_f32_threads_through_bundle_model(bundle_dir, monkeypatch):
+    from buzzdetect_tpu import config as cfg
+    monkeypatch.setattr(cfg, 'DIR_MODELS', os.path.dirname(bundle_dir))
+    m = load_model('testmodel', initialize=True, conv_precision='highest')
+    assert m.classifier.conv_precision == 'highest'
+    m2 = load_model('testmodel', initialize=True)
+    assert m2.classifier.conv_precision == 'high'
+
+
 def _write_embedder_plugin(tmp_path, monkeypatch, lookahead_expr):
     from buzzdetect_tpu import config as cfg
     d = tmp_path / 'embedders' / 'plugemb'

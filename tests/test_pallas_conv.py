@@ -51,6 +51,49 @@ def test_fused_tail_matches_xla(start_layer):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
 
 
+def test_fused_tail_emulated_high_tracks_f32():
+    """Precision.HIGH inside the kernel: Mosaic's dot lowering refuses
+    HIGH outright ("Unsupported dot precision: HIGH", probed 2026-08-20),
+    so _pw_dot EMULATES it — hi/lo bf16 operand splits and the same three
+    one-pass products XLA's HIGH lowers to. The result must track the
+    exact-f32 reference to ~HIGH-grade error (far tighter than bf16), and
+    the hi/lo weight split must be byte-neutral (2xbf16 = 1xf32)."""
+    from buzzdetect_tpu.ops.pallas_conv import _split_hi_lo
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    x = tail_input(5, 8)
+    ref = np.asarray(xla_tail(params, jnp.asarray(x), 8))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_tail(params, jnp.asarray(x), start_layer=8,
+                                    block_patches=4, interpret=True,
+                                    precision=jax.lax.Precision.HIGH))
+    assert got.shape == ref.shape
+    # measured 1.3e-6 on embeddings of unit-scale inputs (CPU interpret);
+    # 1e-4 keeps margin for compiled-mode accumulation differences while
+    # still 100x tighter than the bf16 test's tolerance
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    # the split reconstructs the weight to ~16 mantissa bits and carries
+    # the same bytes as the f32 original
+    w = jnp.asarray(RNG.standard_normal((64, 128)).astype(np.float32))
+    s = _split_hi_lo(w)
+    assert s.dtype == jnp.bfloat16 and s.shape == (2, 64, 128)
+    recon = s[0].astype(jnp.float32) + s[1].astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(w),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_embed_high_precision_pallas_tracks_xla():
+    """The product wiring: embed(conv='pallas', conv_precision='high')
+    reaches the emulated-HIGH kernels through the packed front AND both
+    tail blocks, staying at HIGH-grade distance from the f32 oracle."""
+    params = yam.fold_batchnorm(yam.init_raw_params(seed=7))
+    patches = RNG.standard_normal((8, 96, 64)).astype(np.float32) * 0.5
+    ref = np.asarray(yam.embed(params, jnp.asarray(patches)))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(yam.embed(params, jnp.asarray(patches),
+                                   conv='pallas', conv_precision='high'))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_fused_tail_bf16_compiles_and_tracks_f32():
     """bf16 compute: the kernel keeps VPU activations f32 (Mosaic cannot
     rotate non-32-bit vectors) and runs only the MXU dots in bf16, so its

@@ -252,6 +252,49 @@ def main():
         out = run(k, xc.shape, xc, wc)
         return np.array_equal(out, xc * wc), '(C,1,1)*(C,HW,pb)'
 
+    # 18-19: dot precision (round 5). Finding on this toolchain: the
+    # in-kernel dot lowering supports ONLY DEFAULT and HIGHEST —
+    # Precision.HIGH raises NotImplementedError at lowering (2026-08-20),
+    # which is why ops/pallas_conv.py EMULATES HIGH as hi/lo bf16 splits
+    # + 3 DEFAULT-precision dots (_pw_dot). If dot_high ever flips to
+    # PASS, the native form may beat the emulation — re-race them.
+    def case_dot_high():
+        w = np.random.default_rng(1).standard_normal(
+            (128, 128)).astype(np.float32)
+
+        def k(i, wref, o):
+            flat = i[:].reshape(4 * 16 * 16, 128)
+            o[:] = jnp.dot(flat, wref[:],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGH)
+        out = pl.pallas_call(
+            k,
+            out_shape=jax.ShapeDtypeStruct((1024, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(xs, w)
+        return np.allclose(out, xs.reshape(-1, 128) @ w, atol=1e-3), \
+            'dot @Precision.HIGH (native)'
+
+    def case_dot_high_emulated():
+        from buzzdetect_tpu.ops.pallas_conv import _pw_dot, _split_hi_lo
+        w = np.random.default_rng(1).standard_normal(
+            (128, 128)).astype(np.float32)
+        whl = np.asarray(_split_hi_lo(jnp.asarray(w)))
+
+        def k(i, wref, o):
+            flat = i[:].reshape(4 * 16 * 16, 128)
+            o[:] = _pw_dot(flat, wref, jnp.float32,
+                           jax.lax.Precision.HIGH)
+        out = pl.pallas_call(
+            k,
+            out_shape=jax.ShapeDtypeStruct((1024, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(xs, whl)
+        return np.allclose(out, xs.reshape(-1, 128) @ w, atol=1e-3), \
+            'dot @HIGH emulated (hi/lo bf16 x3)'
+
     for case in [case_stride_lane, case_stride_sublane, case_stride_leading,
                  case_reshape_leading_split, case_reshape_leading_merge,
                  case_collapse_to_2d, case_split_minor, case_roll_sublane,
@@ -259,7 +302,8 @@ def main():
                  case_collapsed_dot, case_row_gather, case_iota_mask,
                  case_iota_mod24, case_split_sublane, case_roll_lane_32,
                  case_pad_slice_lane, case_split_minor_small,
-                 case_swap_nonminor_merge, case_outer_broadcast_mul]:
+                 case_swap_nonminor_merge, case_outer_broadcast_mul,
+                 case_dot_high, case_dot_high_emulated]:
         probe(case.__name__[5:], case)
 
 
