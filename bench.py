@@ -173,7 +173,12 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
     # syncing via host materialization of the final output (device stream
     # ordering makes that a full barrier). block_until_ready is NOT used:
     # through the axon tunnel it returns before execution completes.
-    compute_rtf = None
+    # ``reps`` independent draws (fresh short+long timed loops each) feed a
+    # min/median/max spread: single-draw slopes on the tunneled link have a
+    # measured ~±2-4% run-to-run scatter (docs/tuning.md "round-5 bench
+    # spread"), so effects below that are NOT resolvable at this surface —
+    # the honest bar the round-4 front-block reconciliation needed.
+    compute_rtfs = []
     if clf is not None and n_chunks > 2:
         devs = [jax.device_put(
             clf._pad_to(c, clf._target_length(len(c)))) for c in chunks]
@@ -187,13 +192,14 @@ def bench_device(chunklength: float, n_chunks: int, framehop: float,
             return time.perf_counter() - t0
 
         run(2)  # warm
-        short = min(run(2) for _ in range(2))
-        long = min(run(n_chunks) for _ in range(2))
-        per_chunk = (long - short) / (n_chunks - 2)
-        if per_chunk > 0:
-            compute_rtf = chunklength / per_chunk
+        for _ in range(max(1, reps)):
+            short = min(run(2) for _ in range(2))
+            long = min(run(n_chunks) for _ in range(2))
+            per_chunk = (long - short) / (n_chunks - 2)
+            if per_chunk > 0:
+                compute_rtfs.append(chunklength / per_chunk)
 
-    return link_rtfs, compute_rtf
+    return link_rtfs, compute_rtfs
 
 
 def bench_pipeline(chunklength: float, n_files: int, seconds_per_file: float,
@@ -333,17 +339,20 @@ def main():
     chunkl_device = 960.0 if args.chunklength is None else args.chunklength
     chunkl_pipeline = 200.0 if args.chunklength is None else args.chunklength
     if args.mode == 'device':
-        links, compute = bench_device(chunkl_device, args.chunks,
-                                      args.framehop, args.bf16,
-                                      args.frontend, args.reps)
+        links, computes = bench_device(chunkl_device, args.chunks,
+                                       args.framehop, args.bf16,
+                                       args.frontend, args.reps)
         sp = spread(links)
         record.update(metric='realtime_factor_device', value=sp['median'])
         if len(links) > 1:
             record['value_spread'] = sp
-        if compute is not None:
+        if computes:
             # graph-only rate with data already on-device: the link-transfer
             # ceiling removed (the tunnel, not the chip, bounds `value`)
-            record['device_compute'] = round(compute, 2)
+            csp = spread(computes)
+            record['device_compute'] = csp['median']
+            if len(computes) > 1:
+                record['device_compute_spread'] = csp
     elif args.mode == 'pipeline':
         rtfs = bench_pipeline(chunkl_pipeline, args.files,
                               args.seconds_per_file, args.batch_chunks,
@@ -355,43 +364,55 @@ def main():
         if len(rtfs) > 1:
             record['value_spread'] = sp
     else:  # 'both': the driver-recorded artifact — the full capability story
-        links, compute = bench_device(chunkl_device, args.chunks,
-                                      args.framehop, args.bf16,
-                                      args.frontend, args.reps)
+        links, computes = bench_device(chunkl_device, args.chunks,
+                                       args.framehop, args.bf16,
+                                       args.frontend, args.reps)
         # HEADLINE = device_compute (the chip's sustained graph rate): the
         # stable capability number. The end-to-end `device_link` figure
         # rides this environment's tunneled host->device link, whose duty
         # cycle swings rates 2-5x between draws (docs/tuning.md); a
         # production TPU-VM's PCIe is not the bottleneck the tunnel is.
-        # Link-bound rows therefore carry min/median/max over the draws,
-        # with the scalar key holding the median.
+        # EVERY measured row carries min/median/max over its draws (when
+        # >1), with the scalar key holding the median — including the
+        # headline: its ~±2-4% draw-to-draw scatter is the metric's
+        # resolving power, and effects smaller than it (e.g. the round-4
+        # front block's 1-2.5%) are only attributable via the long-run
+        # wall probes, not this artifact.
         link_sp = spread(links)
-        if compute is not None:
+        if computes:
+            csp = spread(computes)
             record.update(metric='realtime_factor_device_compute',
-                          value=round(compute, 2))
+                          value=csp['median'])
+            if len(computes) > 1:
+                record['device_compute_spread'] = csp
         else:  # slope unavailable (too few chunks): fall back honestly
             record.update(metric='realtime_factor_device',
                           value=link_sp['median'])
         record['device_link'] = link_sp['median']
-        record['device_link_spread'] = link_sp
+        if len(links) > 1:
+            record['device_link_spread'] = link_sp
         # pipeline at the product DEFAULT configuration (200 s chunks,
         # int16 wire — the literal default, regardless of --transfer-dtype,
         # so the record key never lies) and at the measured-best TUNED
         # configuration (mu-law wire — halves transfer bytes on the
         # throttled link; activations shift well under one output rounding
         # digit, docs/tuning.md)
-        sp_default = spread(bench_pipeline(
+        defaults = bench_pipeline(
             chunkl_pipeline, args.files, args.seconds_per_file,
             args.batch_chunks, args.sample_rate, args.resample_on_device,
-            None, devices, draws=args.draws))
+            None, devices, draws=args.draws)
+        sp_default = spread(defaults)
         record['pipeline_default'] = sp_default['median']
-        record['pipeline_default_spread'] = sp_default
-        sp_mulaw = spread(bench_pipeline(
+        if len(defaults) > 1:
+            record['pipeline_default_spread'] = sp_default
+        mulaws = bench_pipeline(
             chunkl_pipeline, args.files, args.seconds_per_file,
             args.batch_chunks, args.sample_rate, args.resample_on_device,
-            'mulaw', devices, draws=args.draws))
+            'mulaw', devices, draws=args.draws)
+        sp_mulaw = spread(mulaws)
         record['pipeline_tuned_mulaw'] = sp_mulaw['median']
-        record['pipeline_tuned_mulaw_spread'] = sp_mulaw
+        if len(mulaws) > 1:
+            record['pipeline_tuned_mulaw_spread'] = sp_mulaw
 
     # derived from the ROUNDED value so the pair is always self-consistent
     record['vs_baseline'] = round(record['value'] / BASELINE_REALTIME, 3)

@@ -82,6 +82,17 @@ def test_bench_both_mode_full_record():
         assert sp['draws'] == 2
         assert sp['min'] <= sp['median'] <= sp['max']
         assert rec[key] == sp['median']
+    # the HEADLINE carries the same variance honesty (round-5): when the
+    # compute slope resolved, its value is the median of the draws and the
+    # spread rides along. (On a loaded CPU host a draw can produce a
+    # non-positive slope and be dropped, so the spread may legitimately
+    # cover fewer draws than --reps — but never more.)
+    if rec['metric'] == 'realtime_factor_device_compute' \
+            and 'device_compute_spread' in rec:
+        sp = rec['device_compute_spread']
+        assert 1 < sp['draws'] <= 2
+        assert sp['min'] <= sp['median'] <= sp['max']
+        assert rec['value'] == sp['median']
 
 
 def test_bench_preflight_failure_emits_honest_record():
