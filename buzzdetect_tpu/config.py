@@ -57,6 +57,39 @@ def resolve_dir(d: str) -> str:
     return os.path.join(DIR_REPO, d)
 
 
+def resolve_profile(profile, transfer_dtype, strict_f32):
+    """One-flag deployment profiles: resolve (transfer_dtype, strict_f32,
+    note) from ``--profile`` without knob archaeology (docs/tuning.md
+    "Profiles"). A profile fills only the knobs the caller left unset, so
+    an explicit --transfer_dtype still wins.
+
+    * ``field``: throughput-first for real-world recordings — mu-law wire
+      (halves host->device bytes; measured 2.9x pipeline on a throttled
+      link). Caveat (returned as ``note`` and recorded in the run log):
+      mu-law's ~-48 dB noise floor is inaudible under any field
+      recording's ambient noise, but DIGITALLY silent content (synthetic
+      tones, studio masters) picks it up through log(mel + 1e-3) and can
+      shift scores visibly — use the default profile for synthetic audio.
+    * ``strict``: bit-strict parity — float32 wire (no quantization) and
+      exact-f32 conv precision (HIGHEST; the --strict_f32 escape).
+    """
+    if profile is None:
+        return transfer_dtype, strict_f32, None
+    if profile == 'field':
+        note = None
+        if transfer_dtype is None:
+            transfer_dtype = 'mulaw'
+            note = ("profile 'field': mu-law wire format selected (2x "
+                    "fewer host->device bytes). Caveat: digitally-silent "
+                    "content (synthetic tones, studio silence) can pick "
+                    "up the companding noise floor through log-mel — use "
+                    "the default profile for synthetic/mastered audio.")
+        return transfer_dtype, strict_f32, note
+    if profile == 'strict':
+        return (transfer_dtype or 'float32'), True, None
+    raise ValueError(f"profile must be 'field' or 'strict', got {profile!r}")
+
+
 def resolve_dir_out(dir_out, modelname) -> str:
     """Blank/None dir_out -> the model's default output folder.
 

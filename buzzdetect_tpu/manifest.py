@@ -31,9 +31,18 @@ class Manifest:
     classes_out: Optional[list]      # sorted; None in detections mode
     precision: Optional[float]
     framehop_prop: float
+    # informational provenance, NOT in KEYS_LOCKED: the deployment profile
+    # (--profile field|strict) changes only wire format / MXU precision —
+    # sub-rounding-digit effects that stay result-compatible — but a
+    # reader auditing a folder should see which trade the run made
+    # (e.g. mu-law's documented digital-silence caveat). Absent (None) in
+    # runs that set knobs individually; older/reference manifests without
+    # the key read as None.
+    profile: Optional[str] = None
 
     @classmethod
-    def from_settings(cls, modelname, framehop_prop, precision, classes_out):
+    def from_settings(cls, modelname, framehop_prop, precision, classes_out,
+                      profile=None):
         detections = precision is not None
         return cls(
             modelname=modelname,
@@ -43,10 +52,16 @@ class Manifest:
             classes_out=None if detections else sorted(classes_out),
             precision=precision,
             framehop_prop=framehop_prop,
+            profile=profile,
         )
 
     def to_dict(self):
-        return asdict(self)
+        d = asdict(self)
+        if d.get('profile') is None:
+            # keep byte-level wire parity with the reference manifest (and
+            # all pre-profile folders) unless a profile was actually used
+            del d['profile']
+        return d
 
     def conflicts_with(self, other: dict):
         """Human-readable list of locked-key mismatches vs a stored dict."""
@@ -113,9 +128,10 @@ def write_manifest(dir_out, manifest):
 
 # --- functional wrappers (the API the rest of the framework uses) ----------
 
-def build_manifest(modelname, framehop_prop, precision, classes_out) -> dict:
+def build_manifest(modelname, framehop_prop, precision, classes_out,
+                   profile=None) -> dict:
     return Manifest.from_settings(modelname, framehop_prop, precision,
-                                  classes_out).to_dict()
+                                  classes_out, profile=profile).to_dict()
 
 
 def diff_manifests(existing: dict, current: dict):
