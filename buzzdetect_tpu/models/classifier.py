@@ -340,12 +340,13 @@ class ChunkClassifier:
         # * conv='pallas' -> 'highest': Mosaic's in-kernel dot lowering
         #   refuses Precision.HIGH outright, and the in-kernel 3-pass
         #   EMULATION (ops/pallas_conv.py::_pw_dot — hi/lo bf16 splits,
-        #   zero extra VMEM) measures 1.128x but moves real-bundle scores
-        #   ~1e-2: real log-mel statistics (large common-mode component)
-        #   make its per-dot error coherent across the stack, 10x over
-        #   budget — and any user tolerating >1e-3 is strictly better
-        #   served by --bf16 (2.2x at ~6e-3). Explicit 'high' + pallas
-        #   still selects the emulated hybrid (measured, documented) for
+        #   zero extra VMEM) measures 1.128-1.167x but moves real-bundle
+        #   scores ~1e-2: its math is near-exact (interpret parity
+        #   2.5e-6) but the compiled MXU's accumulation-order seeds are
+        #   amplified by relu gating through the stack — 10x over budget,
+        #   and any user tolerating >1e-3 is strictly better served by
+        #   --bf16 (2.2x at ~6e-3). Explicit 'high' + pallas still
+        #   selects the emulated kernels (measured, documented) for
         #   study and for future toolchains with native in-kernel HIGH.
         # 'highest' everywhere (6-pass exact f32) is the --strict_f32
         # escape; the frontend's DFT/mel matmuls ship at HIGH on their own

@@ -304,11 +304,11 @@ def embed(params: dict, patches: jnp.ndarray,
     7.3-8.5e-4 real-bundle score deviation — inside the 1e-3 budget) but
     'highest' for the pallas path, where Mosaic refuses native HIGH and
     the in-kernel 3-pass EMULATION (ops/pallas_conv.py::_pw_dot) measures
-    1.128-1.167x at ~1e-2 real-bundle deviation — real log-mel inputs'
-    large common-mode component makes the hi/lo-split error coherent
-    across the stack (synthetic zero-mean patches measure 100x tighter;
-    the parity tests pin the semantics, docs/tuning.md has the full
-    measurement story). Explicit conv='pallas' + 'high' still runs the
+    1.128-1.167x at ~1e-2 real-bundle deviation — the emulation's MATH is
+    near-exact (interpret-mode parity 2.5e-6; the tests pin it), but the
+    compiled MXU's accumulation-order seeds get amplified by relu gating
+    through the stack (docs/tuning.md "Round-5 conv precision" has the
+    localization A/B). Explicit conv='pallas' + 'high' still runs the
     emulated kernels, for study and future toolchains.
     """
     precision = conv_mxu_precision(compute_dtype, conv_precision)
