@@ -81,6 +81,11 @@ class AnalysisSettings(tk.Tk):
         if name in ('verbosity_print', 'verbosity_log'):
             return DropDownEntry(parent, name, list(loglevels), validator,
                                  self._on_change)
+        if name == 'profile':
+            # one-flag deployment preset (docs/tuning.md "Profiles");
+            # blank = none, matching the CLI's optional flag
+            return DropDownEntry(parent, name, ['', 'field', 'strict'],
+                                 validator, self._on_change)
         if field_types().get(name) is bool:
             return CheckBoxEntry(parent, name, None, self._on_change)
         return TextEntry(parent, name, validator, self._on_change)

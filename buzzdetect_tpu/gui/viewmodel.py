@@ -24,6 +24,7 @@ BASIC_FIELDS = ('modelname', 'dir_audio', 'dir_out', 'classes_out',
                 'precision', 'framehop_prop')
 ADVANCED_FIELDS = ('chunklength', 'analyzers_cpu', 'analyzers_gpu',
                    'devices', 'n_streamers', 'stream_buffer_depth',
+                   'profile',
                    'verbosity_print', 'verbosity_log', 'log_progress',
                    'watch', 'watch_interval',
                    'alert_classes', 'alert_threshold', 'alert_command',
@@ -64,7 +65,7 @@ def field_types():
 # optional fields whose empty form value means "unset" (None), matching the
 # analyze() defaults — validators must see None, not ''
 OPTIONAL_EMPTY_FIELDS = ('dir_out', 'precision', 'n_streamers',
-                         'stream_buffer_depth', 'devices',
+                         'stream_buffer_depth', 'devices', 'profile',
                          'alert_classes', 'alert_threshold',
                          'alert_command', 'backend_timeout',
                          'stall_timeout')

@@ -197,6 +197,13 @@ def validate_transfer_dtype(value):
     return ArgValid(False, "must be one of: float32, int16, mulaw")
 
 
+def validate_profile(value):
+    """Deployment preset (config.resolve_profile): blank = none."""
+    if value in (None, '', 'field', 'strict'):
+        return OK
+    return ArgValid(False, "must be one of: field, strict (or blank)")
+
+
 def validate_devices(value):
     """Per-chip replica count: None (off), 'all', or an int >= 1. Whether
     that many chips are actually attached is checked at launch (the
@@ -239,6 +246,7 @@ validate_map = {
     'verbosity_log': validate_verbosity,
     'log_progress': numeric_rule(kind=int, minimum=0, maximum=1),
     'transfer_dtype': validate_transfer_dtype,
+    'profile': validate_profile,
     'devices': validate_devices,
     'resample_on_device': numeric_rule(kind=int, minimum=0, maximum=1),
     'watch': numeric_rule(kind=int, minimum=0, maximum=1),

@@ -210,6 +210,25 @@ def test_coerce_field_empty_optionals_and_numerics():
     assert coerce_field('analyzers_cpu', '3.0') == 3
 
 
+def test_profile_field_in_form(tmp_path):
+    """The deployment-profile preset is a first-class form field: blank
+    coerces to None (no profile), valid names validate and thread into
+    analyze_kwargs, junk is rejected inline."""
+    from buzzdetect_tpu.gui.viewmodel import (SettingsModel, coerce_field,
+                                              ADVANCED_FIELDS)
+    assert 'profile' in ADVANCED_FIELDS
+    assert coerce_field('profile', '') is None
+    assert coerce_field('profile', 'field') == 'field'
+    m = SettingsModel(path_cache=str(tmp_path / 'cache.json'))
+    m.values['profile'] = None
+    assert m.validate_field('profile').valid
+    m.values['profile'] = 'field'
+    assert m.validate_field('profile').valid
+    assert m.analyze_kwargs()['profile'] == 'field'
+    m.values['profile'] = 'fast'
+    assert not m.validate_field('profile').valid
+
+
 def test_watch_mode_exempts_dir_audio_validation():
     """Watch mode tolerates a not-yet-created recorder directory (CLI
     parity: cli.py skips the dir_audio validator there); the GUI must not
