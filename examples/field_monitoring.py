@@ -66,8 +66,12 @@ def main():
         # vars (class, ident, audio path, span, peak) — here it appends to
         # a file, in the field it would hit an SMS gateway or MQTT broker
         print('watching the recorder directory (10 cycles)...')
+        # profile='field' = the one-flag throughput preset (mu-law wire;
+        # its digital-silence caveat is logged and the output manifest
+        # records the profile — docs/tuning.md "Profiles")
         analyze(modelname='model_general_v3', dir_audio=dir_audio,
                 dir_out=dir_out, verbosity_print='WARNING',
+                profile='field',
                 watch=True, watch_interval=1.0, watch_cycles=10,
                 alert_classes='ins_buzz', alert_threshold=-2.0,
                 alert_command=(
