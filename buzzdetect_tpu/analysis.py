@@ -923,18 +923,28 @@ class Analyzer:
         try:
             for attempt in (0, 1):
                 try:
-                    try:
-                        os.link(tmp, path)
-                    except FileExistsError:
-                        raise
-                    except OSError:
-                        # filesystem without hard links: O_EXCL fallback
-                        # (re-opens the content-less window, but only
-                        # where link() itself is unavailable)
-                        fd = os.open(path,
-                                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                        with os.fdopen(fd, 'w') as f, open(tmp) as t:
-                            f.write(t.read())
+                    # the CLAIM takes the same directory flock the
+                    # reclaim/release paths serialize under: without it, a
+                    # hand-delete plus this fresh link can land inside a
+                    # releasing run's flock-held read->unlink window, and
+                    # that release would remove THIS live lock. (The
+                    # reclaim below runs OUTSIDE the flock — it takes its
+                    # own; nesting two opens of the same directory would
+                    # self-deadlock the thread.)
+                    with _dir_flock(self.dir_out):
+                        try:
+                            os.link(tmp, path)
+                        except FileExistsError:
+                            raise
+                        except OSError:
+                            # filesystem without hard links: O_EXCL
+                            # fallback (re-opens the content-less window,
+                            # but only where link() itself is unavailable)
+                            fd = os.open(path,
+                                         os.O_CREAT | os.O_EXCL
+                                         | os.O_WRONLY)
+                            with os.fdopen(fd, 'w') as f, open(tmp) as t:
+                                f.write(t.read())
                     self._lock_held = True
                     self._lock_claim = me['claim']
                     return True

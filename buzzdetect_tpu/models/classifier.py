@@ -335,8 +335,10 @@ class ChunkClassifier:
         #   7x headroom" figure did not survive the real head's
         #   amplification). This is the path mesh/sharded runs and
         #   pallas-compile-failure fallbacks take — the only place the
-        #   knob both wins and holds the budget. (The fallback itself
-        #   keeps whatever was resolved at init: conservative.)
+        #   knob both wins and holds the budget. (An AUTO precision
+        #   re-resolves to 'high' when the fallback flips conv to 'xla'
+        #   — _dispatch — so the documented per-path rule holds there
+        #   too; an EXPLICIT 'highest' survives the flip.)
         # * conv='pallas' -> 'highest': Mosaic's in-kernel dot lowering
         #   refuses Precision.HIGH outright, and the in-kernel 3-pass
         #   EMULATION (ops/pallas_conv.py::_pw_dot — hi/lo bf16 splits,
@@ -355,6 +357,7 @@ class ChunkClassifier:
         if conv_precision not in ('auto', 'high', 'highest'):
             raise ValueError(
                 "conv_precision must be 'auto', 'high' or 'highest'")
+        self._conv_precision_auto = conv_precision == 'auto'
         self.conv_precision = (
             ('highest' if conv == 'pallas' else 'high')
             if conv_precision == 'auto' else conv_precision)
@@ -487,6 +490,11 @@ class ChunkClassifier:
                 f'({type(e).__name__}: {str(e)[:300]}); conv=auto falling '
                 f'back to the XLA conv stack', RuntimeWarning)
             self.conv = 'xla'
+            if self._conv_precision_auto:
+                # the per-path auto rule follows the flip: the XLA path's
+                # measured-default is HIGH (1.166x at 7-9e-4, in budget);
+                # an EXPLICIT 'highest' (--strict_f32) is preserved
+                self.conv_precision = 'high'
             return thunk()
 
     def _classify(self, wav_device, *resample_args):

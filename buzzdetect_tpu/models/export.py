@@ -17,12 +17,20 @@ def export_classifier(modelname: str, chunk_seconds: float,
                       framehop_prop: float = 1.0,
                       platforms=('cpu', 'tpu'),
                       transfer_dtype: str = 'int16',
-                      conv: str = 'xla'):
+                      conv: str = 'xla',
+                      conv_precision: str = 'auto'):
     """Build and export the waveform->scores graph for a fixed chunk shape.
 
     ``conv='pallas'`` bakes the fused conv-tail kernel into the artifact
     (measured 1.31x on the embed, docs/tuning.md) — TPU-only: a Mosaic
     custom call cannot load on CPU, so it requires platforms=('tpu',).
+
+    ``conv_precision`` ('auto'|'high'|'highest') is resolved against THIS
+    export's ``conv`` argument — not the live model's auto-resolved path,
+    which depends on the BUILD host's backend: an export built on a CPU
+    host would otherwise bake the out-of-budget emulated-HIGH kernels
+    into a pallas artifact (or HIGHEST into an XLA artifact meant to run
+    the shipped HIGH default).
 
     Returns (serialized_bytes, meta_dict).
     """
@@ -51,6 +59,13 @@ def export_classifier(modelname: str, chunk_seconds: float,
     if conv == 'pallas' and set(platforms) != {'tpu'}:
         raise ValueError("conv='pallas' exports are TPU-only; pass "
                          "platforms=('tpu',)")
+    if conv_precision not in ('auto', 'high', 'highest'):
+        raise ValueError("conv_precision must be 'auto', 'high' or "
+                         "'highest'")
+    if conv_precision == 'auto':
+        # the product rule, applied to the export's own conv path
+        # (ChunkClassifier.__init__ has the measurements)
+        conv_precision = 'highest' if conv == 'pallas' else 'high'
 
     params = clf.params  # baked in as constants
     from buzzdetect_tpu.models.classifier import _classify_padded
@@ -63,7 +78,7 @@ def export_classifier(modelname: str, chunk_seconds: float,
         return _classify_padded(params, waveform, cfg,
                                 compute_dtype=clf.compute_dtype,
                                 frontend=clf.frontend, conv=conv,
-                                conv_precision=clf.conv_precision)
+                                conv_precision=conv_precision)
 
     dtype = {'int16': jnp.int16, 'mulaw': jnp.int8}.get(
         transfer_dtype, jnp.float32)
@@ -85,7 +100,7 @@ def export_classifier(modelname: str, chunk_seconds: float,
         'n_patches': num_patches(n_samples, cfg),
         'platforms': list(platforms),
         'conv': conv,
-        'conv_precision': clf.conv_precision,
+        'conv_precision': conv_precision,
         'samplerate': 16000,
     }
     return exported.serialize(), meta

@@ -119,14 +119,16 @@ def conv_mxu_precision(compute_dtype, conv_precision: str):
     bf16 compute always runs DEFAULT (1-pass; the operands are already
     bf16, emulation adds nothing).
     """
+    # validate BEFORE the dtype short-circuit: a typo'd knob must fail
+    # loudly on the bf16 path too, not only when f32 happens to run
+    if conv_precision not in ('high', 'highest'):
+        raise ValueError(
+            f"conv_precision must be 'high' or 'highest', "
+            f"got {conv_precision!r}")
     if jnp.dtype(compute_dtype) != jnp.float32:
         return jax.lax.Precision.DEFAULT
-    if conv_precision == 'highest':
-        return jax.lax.Precision.HIGHEST
-    if conv_precision == 'high':
-        return jax.lax.Precision.HIGH
-    raise ValueError(
-        f"conv_precision must be 'high' or 'highest', got {conv_precision!r}")
+    return (jax.lax.Precision.HIGHEST if conv_precision == 'highest'
+            else jax.lax.Precision.HIGH)
 
 
 def _conv2d(x, kernel, stride, *, depthwise=False,

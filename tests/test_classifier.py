@@ -115,6 +115,10 @@ def test_conv_precision_mapping():
     assert yam.conv_mxu_precision(jnp.bfloat16, 'high') == P.DEFAULT
     with pytest.raises(ValueError, match='conv_precision'):
         yam.conv_mxu_precision(jnp.float32, 'medium')
+    # validation precedes the dtype short-circuit: a typo'd knob fails
+    # loudly on the bf16 path too, not only when f32 happens to run
+    with pytest.raises(ValueError, match='conv_precision'):
+        yam.conv_mxu_precision(jnp.bfloat16, 'hihgest')
 
 
 def test_classifier_conv_precision_resolution(arrays):

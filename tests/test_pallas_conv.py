@@ -278,13 +278,27 @@ def test_conv_auto_compile_failure_falls_back_to_xla(monkeypatch):
     arrays = _bundle_arrays()
     clf = clf_mod.ChunkClassifier(arrays, framehop_prop=1.0)
     clf._conv_auto, clf.conv = True, 'pallas'  # as on a TPU backend
+    clf.conv_precision = 'highest'             # the pallas-path auto value
     wav = np.zeros(int(2 * 0.96 * 16000) + 240, np.float32)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter('always')
         out, n_valid = clf.predict_async(wav)
     assert np.asarray(out).shape[1] == 3 and n_valid == 2
     assert clf.conv == 'xla'
+    # the per-path AUTO precision follows the flip: the XLA path's
+    # measured-default is 'high' (the docs promise fallbacks run it)
+    assert clf.conv_precision == 'high'
     assert any('falling back' in str(x.message) for x in w)
+
+    # an EXPLICIT 'highest' (--strict_f32) must survive the flip
+    clf_strict = clf_mod.ChunkClassifier(arrays, framehop_prop=1.0,
+                                         conv_precision='highest')
+    clf_strict._conv_auto, clf_strict.conv = True, 'pallas'
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter('always')
+        clf_strict.predict_async(wav)
+    assert clf_strict.conv == 'xla'
+    assert clf_strict.conv_precision == 'highest'
 
     # explicit pallas: no silent substitution
     clf2 = clf_mod.ChunkClassifier(arrays, framehop_prop=1.0)
