@@ -44,15 +44,22 @@ def main():
     rng = np.random.default_rng(3)
 
     worst = 0.0
-    for label, seconds, framehop, frontend in [
-            ('xla fh=1.0', 10.0, 1.0, 'xla'),
-            ('xla fh=0.5', 4.8, 0.5, 'xla'),
-            ('pallas fh=1.0', 10.0, 1.0, 'pallas'),
+    # rows vary the FRONTEND implementation and (last row) the conv path:
+    # conv='xla' with auto precision runs the shipped XLA-path default —
+    # 3-pass Precision.HIGH (what mesh/sharded runs and pallas fallbacks
+    # execute; measured 7-9e-4 worst-case on 60 s inputs) — so the budget
+    # is attested for BOTH serving configurations, not just the fused
+    # single-chip default (conv auto -> pallas at HIGHEST).
+    for label, seconds, framehop, frontend, conv in [
+            ('xla fh=1.0', 10.0, 1.0, 'xla', 'auto'),
+            ('xla fh=0.5', 4.8, 0.5, 'xla', 'auto'),
+            ('pallas fh=1.0', 10.0, 1.0, 'pallas', 'auto'),
+            ('xla-conv HIGH fh=1.0', 60.0, 1.0, 'xla', 'xla'),
     ]:
         wav = (rng.standard_normal(int(seconds * 16000)) * 0.1
                ).astype(np.float32)
         tpu = ChunkClassifier(arrays, framehop_prop=framehop,
-                              frontend=frontend,
+                              frontend=frontend, conv=conv,
                               transfer_dtype='float32').predict(wav)
         with jax.default_device(jax.devices('cpu')[0]):
             cpu = ChunkClassifier(arrays, framehop_prop=framehop,
