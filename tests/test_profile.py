@@ -106,6 +106,30 @@ def test_analyze_profile_strict_sets_precision(tmp_path, monkeypatch):
     assert clf.conv_precision == 'highest'
 
 
+def test_watch_mode_shared_loader_honors_profile(tmp_path, monkeypatch):
+    """Watch mode loads its models ONCE in analyze()'s shared block, not
+    per pass — the profile must resolve there too, or watch runs would
+    silently ignore it (the exact single-site-drift _load_serving_models
+    exists to prevent)."""
+    from buzzdetect_tpu.analysis import analyze
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'profmodel'),
+                       classes=['ins_buzz', 'ambient_noise'], seed=5)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 220), 16000)
+
+    analyzer = analyze(modelname='profmodel', dir_audio=str(dir_audio),
+                       dir_out=str(tmp_path / 'out'), chunklength=2.0,
+                       verbosity_print='ERROR', profile='field',
+                       watch=True, watch_interval=0.05, watch_cycles=2)
+    assert analyzer.model.transfer_dtype == 'mulaw'
+    with open(tmp_path / 'out' / 'buzzdetect_manifest.json') as f:
+        assert json.load(f)['profile'] == 'field'
+
+
 def test_cli_accepts_profile(tmp_path, monkeypatch):
     """The flag parses and threads into analyze() (the CLI imports
     analyze lazily inside main, so patch it at its definition site)."""
