@@ -161,7 +161,11 @@ def main(modelname: str = None, json_mode: bool = False):
         # conv 'auto' resolves to the fused Pallas conv blocks (layers 4-7
         # and 8-14+pool) on TPU and 'xla' elsewhere — see
         # models/classifier.py for the resolution rules
+        # conv_precision 'auto' resolves per conv path (HIGHEST on the
+        # fused pallas kernels, HIGH on XLA — the measured-per-path
+        # defaults, docs/tuning.md "Round-5 conv precision")
         knobs = (f', frontend={clf.frontend}, conv={clf.conv}'
+                 f', conv_precision={clf.conv_precision}'
                  if clf is not None else '')
         return f'1 s inference -> {out.shape} scores{knobs}'
     if reachable:
