@@ -489,12 +489,16 @@ class ChunkClassifier:
                 f'fused Pallas conv failed to compile on this backend '
                 f'({type(e).__name__}: {str(e)[:300]}); conv=auto falling '
                 f'back to the XLA conv stack', RuntimeWarning)
-            self.conv = 'xla'
+            # precision BEFORE conv: concurrent dispatch threads key off
+            # self.conv — flipping conv first would let another thread
+            # score a chunk at (xla, highest) mid-transition, breaking
+            # the run's byte-determinism vs its own resume
             if self._conv_precision_auto:
                 # the per-path auto rule follows the flip: the XLA path's
                 # measured-default is HIGH (1.166x at 7-9e-4, in budget);
                 # an EXPLICIT 'highest' (--strict_f32) is preserved
                 self.conv_precision = 'high'
+            self.conv = 'xla'
             return thunk()
 
     def _classify(self, wav_device, *resample_args):

@@ -63,9 +63,16 @@ def export_classifier(modelname: str, chunk_seconds: float,
         raise ValueError("conv_precision must be 'auto', 'high' or "
                          "'highest'")
     if conv_precision == 'auto':
-        # the product rule, applied to the export's own conv path
-        # (ChunkClassifier.__init__ has the measurements)
-        conv_precision = 'highest' if conv == 'pallas' else 'high'
+        if not clf._conv_precision_auto:
+            # an EXPLICIT pin (config_model.json conv_precision, honored
+            # by the registry like its frontend/compute pins) survives
+            # into the artifact — the operator validated the bundle under
+            # that precision
+            conv_precision = clf.conv_precision
+        else:
+            # the product rule, applied to the export's own conv path
+            # (ChunkClassifier.__init__ has the measurements)
+            conv_precision = 'highest' if conv == 'pallas' else 'high'
 
     params = clf.params  # baked in as constants
     from buzzdetect_tpu.models.classifier import _classify_padded

@@ -288,6 +288,41 @@ def test_aot_export_roundtrip(bundle_dir, monkeypatch, tmp_path):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_export_conv_precision_resolution(bundle_dir, monkeypatch,
+                                          tmp_path):
+    """The export resolves conv_precision against ITS OWN conv path (not
+    the build host's auto-resolved live path) — but an EXPLICIT pin in
+    the bundle's config_model.json survives into the artifact, like the
+    bundle's frontend/compute pins do."""
+    import json as _json
+    import shutil
+    from buzzdetect_tpu import config as cfg
+    from buzzdetect_tpu.models.export import export_classifier
+
+    monkeypatch.setattr(cfg, 'DIR_MODELS', os.path.dirname(bundle_dir))
+    # default bundle: the per-path rule applies to the export's conv
+    _, meta = export_classifier('testmodel', chunk_seconds=2.0,
+                                platforms=('cpu',), conv='xla')
+    assert meta['conv_precision'] == 'high'
+    # explicit export argument wins
+    _, meta = export_classifier('testmodel', chunk_seconds=2.0,
+                                platforms=('cpu',), conv='xla',
+                                conv_precision='highest')
+    assert meta['conv_precision'] == 'highest'
+
+    # a bundle that PINS conv_precision keeps its pin in the artifact
+    pinned = tmp_path / 'models' / 'pinnedmodel'
+    shutil.copytree(bundle_dir, pinned)
+    cfg_path = pinned / 'config_model.json'
+    conf = _json.loads(cfg_path.read_text())
+    conf['conv_precision'] = 'highest'
+    cfg_path.write_text(_json.dumps(conf))
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(tmp_path / 'models'))
+    _, meta = export_classifier('pinnedmodel', chunk_seconds=2.0,
+                                platforms=('cpu',), conv='xla')
+    assert meta['conv_precision'] == 'highest'
+
+
 def test_aot_export_slices_phantom_padding_row(bundle_dir, monkeypatch,
                                                tmp_path):
     """At framehop_prop > 1 the padded graph emits an extra pure-padding

@@ -41,8 +41,16 @@ def main():
         d = save_exported(os.path.join(td, 'serving'), blob, meta)
         call, meta2 = load_exported(d)
 
+        # the live comparator must run the SAME graph configuration the
+        # artifact baked (the export records it): a default live model on
+        # TPU auto-resolves the fused pallas kernels at HIGHEST, while a
+        # default export bakes the XLA path at its HIGH default — a
+        # mismatched comparison would measure the documented 7-9e-4
+        # path difference, not AOT fidelity
         model = load_model(args.modelname, initialize=True,
-                           transfer_dtype='int16')
+                           transfer_dtype='int16',
+                           conv=meta2['conv'],
+                           conv_precision=meta2['conv_precision'])
         rng = np.random.default_rng(0)
         wav = (rng.standard_normal(meta2['input_samples'])
                * 0.1).astype(np.float32)

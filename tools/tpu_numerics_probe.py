@@ -7,8 +7,10 @@ closes the remaining link: it runs the SAME graph on the real TPU chip and
 on the in-process CPU backend and compares scores — if TPU matches CPU,
 parity with TF follows transitively. The interesting failure mode it
 guards is the MXU's bf16-operand default: every matmul on the score path
-pins an explicit precision — the convs HIGHEST (6-pass f32 emulation),
-the DFT/mel matmuls HIGH (3-pass; measured 6.7e-06 score impact, see
+pins an explicit precision — the fused-pallas convs HIGHEST (6-pass f32
+emulation, the single-chip default), the XLA conv path HIGH (3-pass, the
+mesh/fallback default — measured 7-9e-4, attested here by its own row),
+the DFT/mel matmuls HIGH (measured 6.7e-06 score impact, see
 ops/frontend.py::DFT_PRECISION) — and this probe is the hardware check
 that those pins actually hold the budget.
 
