@@ -106,6 +106,29 @@ def test_analyze_profile_strict_sets_precision(tmp_path, monkeypatch):
     assert clf.conv_precision == 'highest'
 
 
+def test_analyze_bare_strict_f32(tmp_path, monkeypatch):
+    """strict_f32=True without a profile pins the conv dots to HIGHEST
+    while leaving the wire format at its default (int16) — the two knobs
+    compose independently."""
+    from buzzdetect_tpu.analysis import analyze
+
+    dir_models = tmp_path / 'models'
+    build_model_bundle(str(dir_models / 'profmodel'),
+                       classes=['ins_buzz', 'ambient_noise'], seed=5)
+    monkeypatch.setattr(cfg, 'DIR_MODELS', str(dir_models))
+    dir_audio = tmp_path / 'audio'
+    dir_audio.mkdir()
+    write_wav(dir_audio / 'rec.wav', make_tone(2.0, 16000, 220), 16000)
+
+    analyzer = analyze(modelname='profmodel', dir_audio=str(dir_audio),
+                       dir_out=str(tmp_path / 'out'), chunklength=2.0,
+                       verbosity_print='ERROR', strict_f32=True)
+    clf = analyzer.model.classifier
+    assert clf.conv_precision == 'highest'
+    assert not clf._conv_precision_auto  # survives a conv fallback flip
+    assert analyzer.model.transfer_dtype == 'int16'
+
+
 def test_watch_mode_shared_loader_honors_profile(tmp_path, monkeypatch):
     """Watch mode loads its models ONCE in analyze()'s shared block, not
     per pass — the profile must resolve there too, or watch runs would
