@@ -7,7 +7,6 @@ recording provenance.
 import json
 import os
 
-import numpy as np
 import pytest
 
 from buzzdetect_tpu import config as cfg
